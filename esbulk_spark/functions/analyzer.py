@@ -1,0 +1,158 @@
+"""Code-aware analyzer (SURVEY.md B1).
+
+The reference ships analyzer config opaquely to Elasticsearch
+(/root/reference/run.go:166-198); the north star requires we own it:
+camelCase/snake_case splitting, lowercasing, stopword removal.
+
+The analyzer is THE determinism-critical component: index build, query
+analysis, the DataFrame full-scan oracle, and the DuckDB oracle SQL must
+all tokenize byte-identically. It is therefore specified ONCE here as a
+regex pipeline and rendered four ways:
+
+1. ``tokens_col``      — native Catalyst expressions (regexp_replace /
+                         split / filter). Stays inside whole-stage
+                         codegen; the fast path for index builds.
+2. ``tokenize_text``   — pure Python, same regexes. Query-string
+                         analysis + unit-test golden.
+3. ``tf_map_in_pandas``— Arrow-vectorized one-pass tokenize+count for
+                         the index build (emits (doc_id, term, tf, dl)
+                         without materializing an exploded token table).
+4. ``duckdb_tokens_sql`` — the equivalent DuckDB SQL fragment, used by
+                         ``oracle_sql()`` entries.
+
+Spec (applies to all four):
+  a. insert a space between an acronym run and a following capitalized
+     word:   ([A-Z]+)([A-Z][a-z])  ->  "$1 $2"     (HTTPServer -> HTTP Server)
+  b. insert a space at lower/digit -> upper boundaries:
+           ([a-z0-9])([A-Z])       ->  "$1 $2"     (camelCase -> camel Case)
+  c. lowercase
+  d. split on runs of anything outside [a-z0-9] (underscore is a
+     separator: snake_case splits; only ASCII alnum tokens survive, so
+     engine-specific unicode lowercasing cannot cause divergence)
+  e. drop empty tokens, tokens longer than 64 chars, and stopwords
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small English function-word list. Code keywords (return/def/if/...) are
+# deliberately NOT stopwords: they are legitimate code-search terms and the
+# Zipf-hot ones exercise posting-list skew handling (SURVEY.md §4.2).
+STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "in", "is", "it", "of", "on", "or", "that", "the", "this", "to", "with",
+)
+
+MAX_TOKEN_LEN = 64
+
+# Java regex (Spark), RE2 (DuckDB) and Python `re` agree on these patterns.
+_ACRONYM_PAT = r"([A-Z]+)([A-Z][a-z])"
+_CAMEL_PAT = r"([a-z0-9])([A-Z])"
+_SPLIT_PAT = r"[^a-z0-9]+"
+
+_ACRONYM_RE = re.compile(_ACRONYM_PAT)
+_CAMEL_RE = re.compile(_CAMEL_PAT)
+_SPLIT_RE = re.compile(_SPLIT_PAT)
+_STOPSET = frozenset(STOPWORDS)
+
+ANALYZER_VERSION = "code-v1"
+
+
+def tokens_col(col: Column | str) -> Column:
+    """Native-expression tokenizer: array<string> of analyzed tokens.
+
+    Pure Catalyst (regexp_replace/lower/split/filter) — runs JVM-side
+    inside whole-stage codegen, no Python in the loop.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(c, _ACRONYM_PAT, r"$1 $2")
+    s = F.regexp_replace(s, _CAMEL_PAT, r"$1 $2")
+    s = F.lower(s)
+    arr = F.split(s, _SPLIT_PAT)
+    return F.filter(
+        arr,
+        lambda t: (t != F.lit(""))
+        & (F.length(t) <= F.lit(MAX_TOKEN_LEN))
+        & ~t.isin(*STOPWORDS),
+    )
+
+
+def tokenize_text(text: str) -> list[str]:
+    """Pure-Python rendering of the same spec (query analysis, tests)."""
+    if text is None:
+        return []
+    s = _ACRONYM_RE.sub(r"\1 \2", text)
+    s = _CAMEL_RE.sub(r"\1 \2", s)
+    toks = _SPLIT_RE.split(s.lower())
+    return [
+        t for t in toks
+        if t and len(t) <= MAX_TOKEN_LEN and t not in _STOPSET
+    ]
+
+
+def analyze_query(text: str) -> list[str]:
+    """Query analysis: analyzed tokens, de-duplicated, sorted.
+
+    Duplicate query terms score once (spec choice, documented; the
+    full-scan oracle and WAND both follow it)."""
+    return sorted(set(tokenize_text(text)))
+
+
+TF_SCHEMA = "doc_id long, term string, tf int, dl int"
+
+
+def tf_map_in_pandas(id_col: str, text_col: str):
+    """One-pass tokenize+count for ``DataFrame.mapInPandas``.
+
+    Emits one row per distinct (doc, term) with its tf, PLUS one sentinel
+    row (term=NULL, tf=0) per document carrying dl — so document norms
+    (incl. zero-token docs) come out of the same single pass with no
+    second tokenize and no extra shuffle. This is the Arrow-vectorized
+    analog of the reference's per-worker batcher (indexing.go:364-394).
+    """
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        for pdf in batches:
+            ids: list[int] = []
+            terms: list[str | None] = []
+            tfs: list[int] = []
+            dls: list[int] = []
+            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
+                toks = tokenize_text(text)
+                dl = len(toks)
+                ids.append(doc_id)
+                terms.append(None)
+                tfs.append(0)
+                dls.append(dl)
+                if toks:
+                    for term, tf in Counter(toks).items():
+                        ids.append(doc_id)
+                        terms.append(term)
+                        tfs.append(tf)
+                        dls.append(dl)
+            yield pd.DataFrame(
+                {"doc_id": ids, "term": terms, "tf": tfs, "dl": dls}
+            )
+
+    return fn
+
+
+def duckdb_tokens_sql(col_expr: str) -> str:
+    """DuckDB SQL fragment producing the same token list (oracle side)."""
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        "list_filter(regexp_split_to_array(lower("
+        f"regexp_replace(regexp_replace({col_expr}, "
+        f"'{_ACRONYM_PAT}', '\\1 \\2', 'g'), "
+        f"'{_CAMEL_PAT}', '\\1 \\2', 'g')), '{_SPLIT_PAT}'), "
+        f"t -> t <> '' AND length(t) <= {MAX_TOKEN_LEN} "
+        f"AND t NOT IN ({stop}))"
+    )

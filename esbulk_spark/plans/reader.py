@@ -1,0 +1,204 @@
+"""Index-backed query execution (SURVEY.md §3.3 query lifecycle).
+
+The reference's query path is its integration tests' `_search` call
+(/root/reference/run_test.go:300-320): analyze -> look up -> score ->
+top-k. Here that becomes a Python-side planner that builds the right
+DataFrame (SURVEY.md §4.1: a library function achieves the same plan a
+custom Catalyst rule would):
+
+  query text
+    -> analyze with the SAME analyzer as indexing (determinism contract)
+    -> dictionary lookup, bucket-pruned (terms hash to partition dirs;
+       only those directories are scanned — partition pruning visible in
+       the physical plan) -> per-term idf (driver-side: a handful of rows
+       of METADATA, not data)
+    -> postings scan, bucket- AND term-pruned (parquet predicate pushdown
+       on the sorted `term` column)
+    -> groupBy(qid, shard) applyInPandas block-max scorer (plans/wand.py)
+       — shards are the parallelism unit, exactly like ES shards
+    -> global top-k merge of the tiny per-shard winners.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from esbulk_spark.functions.analyzer import analyze_query
+from esbulk_spark.plans.build import STATS_FILE, bucket_col
+from esbulk_spark.plans.wand import RESULT_SCHEMA, idf as idf_fn, make_group_scorer
+from esbulk_spark.plans.score import topk_deterministic
+
+
+class IndexReader:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, STATS_FILE)) as f:
+            self.stats = json.load(f)
+
+    @property
+    def n_docs(self) -> int:
+        return self.stats["n_docs"]
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+
+    def dictionary(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "dictionary"))
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+
+    def norms(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "norms"))
+
+    def doc_count(self) -> int:
+        """Post-ingest verification count (run_test.go:318-320 analog)."""
+        return self.docs().count()
+
+    # ---- planning helpers ----
+
+    def lookup_terms(self, terms: list[str]) -> dict[str, int]:
+        """term -> df, via bucket-pruned dictionary scan. Collects at most
+        len(terms) rows — query metadata, not data."""
+        if not terms:
+            return {}
+        d = self.dictionary().filter(
+            bucket_col(F.col("term"), self.stats["n_buckets"]).isin(
+                self._buckets(terms)
+            )
+            & F.col("term").isin(terms)
+        )
+        return {r["term"]: int(r["df"]) for r in d.select("term", "df").collect()}
+
+    def _buckets(self, terms: list[str]) -> list[int]:
+        # same hash as build-side bucket_col: xxhash64, computed via Spark
+        # to guarantee bit-identity with the write path
+        rows = (
+            self.spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(bucket_col(F.col("term"), self.stats["n_buckets"]).alias("b"))
+            .collect()
+        )
+        return sorted({int(r["b"]) for r in rows})
+
+    def _pruned_postings(self, terms: list[str]) -> DataFrame:
+        return self.postings().filter(
+            F.col("bucket").isin(self._buckets(terms)) & F.col("term").isin(terms)
+        )
+
+    # ---- search ----
+
+    def search_many(
+        self,
+        queries: dict[str, str],
+        k: int = 10,
+        prune: bool = True,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """Batch top-k: one postings scan + one shuffle for ALL queries.
+
+        Returns (qid, doc_id, score) with per-qid top-k, ordered within
+        qid by (score desc, doc_id asc)."""
+        analyzed = {qid: analyze_query(q) for qid, q in queries.items()}
+        all_terms = sorted({t for ts in analyzed.values() for t in ts})
+        dfs = self.lookup_terms(all_terms)
+        meta_by_qid = {
+            qid: {t: float(idf_fn(dfs[t], self.n_docs)) for t in ts if t in dfs}
+            for qid, ts in analyzed.items()
+        }
+        live_terms = sorted({t for m in meta_by_qid.values() for t in m})
+        empty = self.spark.createDataFrame([], RESULT_SCHEMA)
+        if not live_terms:
+            return empty
+
+        # (qid, term) pairs: broadcast-joined onto the pruned postings scan
+        pairs = self.spark.createDataFrame(
+            [(qid, t) for qid, m in meta_by_qid.items() for t in m],
+            "qid string, term string",
+        )
+        posts = self._pruned_postings(live_terms)
+        tagged = posts.join(F.broadcast(pairs), "term")
+
+        scorer = make_group_scorer(
+            meta_by_qid,
+            k,
+            self.stats["k1"],
+            self.stats["b"],
+            self.stats["avgdl"],
+            self.stats["block_size"],
+            prune=prune,
+        )
+        per_shard = tagged.groupBy("qid", "shard").applyInPandas(scorer, RESULT_SCHEMA)
+        # global merge: per qid, at most n_shards * k tiny rows
+        if round_to is not None:
+            per_shard = per_shard.withColumn("score", F.round("score", round_to))
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            per_shard.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "doc_id", "score")
+            .orderBy("qid", F.desc("score"), F.asc("doc_id"))
+        )
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        prune: bool = True,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """Single-query top-k -> (doc_id, score)."""
+        res = self.search_many({"q": query}, k=k, prune=prune).drop("qid")
+        return topk_deterministic(res, k, round_to)
+
+    def search_and(self, query: str, k: int = 10) -> DataFrame:
+        """Conjunctive (AND) search (SURVEY.md B10): only docs containing
+        ALL query terms, BM25-ranked. Posting-list intersection expressed
+        as a count-matching filter over the per-term hits."""
+        terms = analyze_query(query)
+        dfs = self.lookup_terms(terms)
+        if not terms or len(dfs) < len(terms):
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        scored = self._decode_to_rows(terms)
+        agg = scored.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("nt"), F.sum("contrib").alias("score")
+        )
+        out = agg.filter(F.col("nt") == len(dfs)).select("doc_id", "score")
+        return topk_deterministic(out, k, None)
+
+    def _decode_to_rows(self, terms: list[str]) -> DataFrame:
+        """Decode pruned postings chunks -> (term, doc_id, contrib) rows.
+        The index-backed full-scan path used by intersection and tests."""
+        import pandas as pd
+        import numpy as np
+        from esbulk_spark.functions.codec import varint_decode, delta_decode
+
+        dfs = self.lookup_terms(terms)
+        idfs = {t: float(idf_fn(d, self.n_docs)) for t, d in dfs.items()}
+        k1, b, avgdl = self.stats["k1"], self.stats["b"], self.stats["avgdl"]
+
+        def decode(batches):
+            for pdf in batches:
+                outs = []
+                for _, r in pdf.iterrows():
+                    ids = delta_decode(varint_decode(r["blob_ids"])).astype(np.int64)
+                    tfs = varint_decode(r["blob_tfs"]).astype(np.float64)
+                    dls = varint_decode(r["blob_dls"]).astype(np.float64)
+                    tfn = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+                    outs.append(
+                        pd.DataFrame(
+                            {"term": r["term"], "doc_id": ids, "contrib": idfs[r["term"]] * tfn}
+                        )
+                    )
+                yield pd.concat(outs) if outs else pd.DataFrame(
+                    {"term": [], "doc_id": [], "contrib": []}
+                )
+
+        return self._pruned_postings(list(idfs)).mapInPandas(
+            decode, "term string, doc_id long, contrib double"
+        )

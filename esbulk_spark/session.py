@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the index-build workload.
+
+Local mode stands in for a multi-executor cluster: parallelism comes from
+``local[$SPARK_GRAFT_CPUS]`` and ``spark.sql.shuffle.partitions``. All
+settings here are the ones that matter identically on a real cluster
+(AQE, Arrow batching, shuffle width); nothing is local-mode-specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "esbulk-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(32, int(cpus))
+        except ValueError:
+            shuffle_partitions = 32
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime coalescing + skew-join splitting; free on a cluster too.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow is the micro-batch analog of esbulk's -size flag
+        # (reference: indexing.go:364-394): vectorized Python<->JVM transfer.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,64 @@
+"""Analyzer determinism (SURVEY.md B1, §5 test plan item 1).
+
+The analyzer is the single highest-risk determinism dependency: index and
+query must share it byte-for-byte, and the DuckDB oracle must reproduce it."""
+
+import duckdb
+import pytest
+
+from esbulk_spark.functions.analyzer import (
+    MAX_TOKEN_LEN,
+    STOPWORDS,
+    analyze_query,
+    duckdb_tokens_sql,
+    tokenize_text,
+    tokens_col,
+)
+
+GOLDENS = [
+    ("parseHTTPResponse", ["parse", "http", "response"]),
+    ("snake_case_ident", ["snake", "case", "ident"]),
+    ("getUserName2X", ["get", "user", "name2", "x"]),
+    ("camelCase mixedUP_and_down", ["camel", "case", "mixed", "up", "down"]),
+    ("the a of In THE", []),  # stopword-only
+    ("", []),
+    (None, []),
+    ("x" * (MAX_TOKEN_LEN + 1) + " ok", ["ok"]),  # overlong dropped
+    ("héllo wörld", ["h", "llo", "w", "rld"]),  # non-ASCII are separators
+    ("a1B2c3", ["a1", "b2c3"]),
+    ("HTTPServer IOError", ["http", "server", "io", "error"]),
+    ("return self.value;", ["return", "self", "value"]),
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDENS)
+def test_tokenize_goldens(text, expected):
+    assert tokenize_text(text) == expected
+
+
+def test_analyze_query_dedup_sorted():
+    assert analyze_query("foo bar foo BAR baz") == ["bar", "baz", "foo"]
+
+
+def test_spark_native_matches_python(spark, corpus):
+    from pyspark.sql import functions as F
+
+    rows = corpus.select("content", tokens_col("content").alias("toks")).collect()
+    assert rows
+    for r in rows:
+        assert list(r.toks) == tokenize_text(r.content)
+
+
+def test_duckdb_sql_matches_python():
+    con = duckdb.connect()
+    texts = [g[0] for g in GOLDENS if g[0]] + ["MergeIndexBlock47 retry_count_3"]
+    for t in texts:
+        got = con.execute(
+            f"SELECT {duckdb_tokens_sql('?')}", [t]
+        ).fetchone()[0]
+        assert got == tokenize_text(t), t
+
+
+def test_stopwords_are_lowercase_ascii():
+    for w in STOPWORDS:
+        assert w == w.lower() and w.isascii()

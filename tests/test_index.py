@@ -1,0 +1,154 @@
+"""End-to-end index build + query (SURVEY.md §5 test plan items 2-3).
+
+Mirrors the reference's golden verification — ingest then independently
+query and assert (/root/reference/run_test.go:270-320) — strengthened to
+per-row sha256 invariants and rank-identical scores as the north rule
+requires."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from esbulk_spark.plans.reader import IndexReader
+from esbulk_spark.plans.score import bm25_fullscan
+
+QUERIES = [
+    "getUserName",                      # single camelCase (matches snake docs too)
+    "get_user_name",                    # snake form of the same -> same tokens
+    "parse_token_5 mergeList",          # mixed
+    "flushBuffer retry score",          # multi-term
+    "return",                           # hot term (keyword in every doc)
+    "getuserbuffer44 scan_value_87",    # rare + rare
+    "return getValue0",                 # hot + specific
+    "zzznotaterm",                      # no hits
+    "the of and",                       # stopword-only -> empty
+    "def func class",                   # hot keywords conjunction
+]
+
+
+@pytest.fixture(scope="module")
+def reader(spark, index_dir):
+    return IndexReader(spark, index_dir)
+
+
+def test_doc_count_matches_source(reader, corpus):
+    # run_test.go:318-320 analog
+    assert reader.doc_count() == corpus.count()
+
+
+def test_content_sha_invariant(reader, corpus):
+    # BASELINE.json input_hint: per-row sha256(content) equality vs source
+    src = corpus.select(F.sha2("content", 256).alias("sha"))
+    idx = reader.docs().select("content_sha")
+    assert src.exceptAll(idx.withColumnRenamed("content_sha", "sha")).count() == 0
+    assert idx.exceptAll(
+        src.withColumnRenamed("sha", "content_sha")
+    ).count() == 0
+
+
+def test_norms_and_stats(reader, corpus):
+    from esbulk_spark.functions.analyzer import tokens_col
+
+    expected = corpus.select(F.size(tokens_col("content")).alias("dl"))
+    exp_total = expected.agg(F.sum("dl")).collect()[0][0]
+    got_total = reader.norms().agg(F.sum("dl")).collect()[0][0]
+    assert exp_total == got_total
+    assert reader.stats["n_docs"] == corpus.count()
+    assert abs(reader.stats["avgdl"] - exp_total / corpus.count()) < 1e-9
+
+
+def test_dictionary_df_spot_check(reader):
+    from esbulk_spark.functions.analyzer import tokens_col
+
+    docs = reader.docs()
+    # df of a term == number of docs whose token set contains it
+    for term in ["return", "getuserbuffer44"]:
+        expected = docs.filter(
+            F.array_contains(tokens_col("content"), term)
+        ).count()
+        row = reader.dictionary().filter(F.col("term") == term).collect()
+        got = row[0]["df"] if row else 0
+        assert got == expected, term
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identity_three_ways(reader, query):
+    """WAND top-10 == index full-scan == raw-corpus oracle (ids AND scores)."""
+    oracle = [
+        (r.doc_id, round(r.score, 6))
+        for r in bm25_fullscan(reader.docs(), query, text_col="content", k=10).collect()
+    ]
+    full = [
+        (r.doc_id, round(r.score, 6))
+        for r in reader.search(query, k=10, prune=False).collect()
+    ]
+    wand = [
+        (r.doc_id, round(r.score, 6))
+        for r in reader.search(query, k=10, prune=True).collect()
+    ]
+    assert oracle == full == wand
+
+
+def test_search_many_matches_single(reader):
+    batch = reader.search_many({f"q{i}": q for i, q in enumerate(QUERIES[:5])}, k=10)
+    rows = batch.collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r.qid, []).append((r.doc_id, round(r.score, 6)))
+    for i, q in enumerate(QUERIES[:5]):
+        single = [
+            (r.doc_id, round(r.score, 6)) for r in reader.search(q, k=10).collect()
+        ]
+        assert by_qid.get(f"q{i}", []) == single, q
+
+
+def test_conjunctive_and(reader):
+    """AND semantics: every result doc contains ALL query terms (B10)."""
+    from esbulk_spark.functions.analyzer import tokens_col
+
+    q = "def func class"
+    res = reader.search_and(q, k=10).collect()
+    assert res
+    docs = reader.docs().withColumn("toks", tokens_col("content"))
+    for r in res:
+        row = docs.filter(F.col("doc_id") == r.doc_id).select("toks").collect()[0]
+        toks = set(row.toks)
+        assert {"def", "func", "class"} <= toks
+
+
+def test_resume_skips_done_stages(spark, corpus, index_dir):
+    """Re-running build with same fingerprint recomputes nothing."""
+    import time
+
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    cfg = IndexConfig(index_dir=index_dir, n_buckets=8, n_shards=4, chunk_cap=256)
+    t0 = time.time()
+    build_index(spark, corpus, cfg, input_sig="test150")
+    assert time.time() - t0 < 5.0
+    man = [json.loads(x) for x in open(os.path.join(index_dir, "manifest.jsonl"))]
+    assert sum(1 for m in man if m["stage"] == "postings") == 1
+
+
+def test_resume_rebuilds_lost_stage(spark, corpus, index_dir, reader):
+    """Crash recovery: losing one stage output rebuilds exactly that stage,
+    and the rebuilt index is identical (byte-level postings equality)."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    before = {
+        (r.term, r.shard, r.chunk): bytes(r.blob_ids)
+        for r in reader.postings().collect()
+    }
+    shutil.rmtree(os.path.join(index_dir, "postings"))
+    cfg = IndexConfig(index_dir=index_dir, n_buckets=8, n_shards=4, chunk_cap=256)
+    build_index(spark, corpus, cfg, input_sig="test150")
+    after = {
+        (r.term, r.shard, r.chunk): bytes(r.blob_ids)
+        for r in reader.postings().collect()
+    }
+    assert before == after
