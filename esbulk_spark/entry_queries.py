@@ -1,0 +1,797 @@
+"""Driver-contract queries: every implemented operator from SURVEY.md §2
+exposed as (spark_fn, duckdb_oracle_sql) pairs over /root/testdata tables.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash):
+  * every computed column aliased identically on both sides
+  * floats rounded (4-6 dp) on both sides, and top-k ORDER BY uses the
+    ROUNDED value so boundary selection is engine-stable
+  * deterministic tie-breaks on unique id columns everywhere
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from esbulk_spark import K1, B
+from esbulk_spark.functions.analyzer import (
+    analyze_query,
+    duckdb_tokens_sql,
+    tokens_col,
+)
+from esbulk_spark.operators import dedup, multimodal, optype, similarity, textstats
+from esbulk_spark.plans.score import bm25_fullscan, duckdb_bm25_sql
+
+# ---------------------------------------------------------------- helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> "IndexReader":
+    """Build (once per sf_dir per process) the inverted index over the
+    driver's documents table; reused by all index-backed queries."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+    from esbulk_spark.plans.reader import IndexReader
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = _INDEX_CACHE.get(sf_dir) or f"/tmp/esbulk_spark_index_{key}"
+    cfg = IndexConfig(
+        index_dir=idx_dir,
+        id_col="doc_id",
+        text_col="text",
+        n_buckets=16,
+        n_shards=4,
+        chunk_cap=1 << 15,
+        overwrite=True,
+    )
+    build_index(spark, _t(spark, sf_dir, "documents"), cfg, input_sig=sf_dir)
+    _INDEX_CACHE[sf_dir] = idx_dir
+    return IndexReader(spark, idx_dir)
+
+
+# fixed reference queries over the documents vocabulary
+FLAGSHIP_QUERY = "merge sort join"
+QUERY_FULLSCAN = "spark window batch"
+QUERY_HOT = "data"
+QUERY_AND = "merge scan"
+
+TOKS = duckdb_tokens_sql("text")
+
+_MM_PRIME = dedup.MINHASH_PRIME
+_MD5I_SPARK = dedup.md5_int
+_N_PERM, _BAND = 16, 4
+_PARAMS = dedup.minhash_params(_N_PERM)
+
+
+def _duck_words(col: str = "text") -> str:
+    """whitespace words, blanks dropped — matches F.split + filter."""
+    return f"list_filter(regexp_split_to_array(trim({col}), '\\s+'), w -> w <> '')"
+
+
+def _duck_md5i(expr: str) -> str:
+    return dedup.DUCK_MD5_INT.format(expr)
+
+
+def _duck_shingles(n: int = 3) -> str:
+    """word n-gram shingle list — matches dedup.ngram_shingles exactly."""
+    w = _duck_words()
+    return (
+        f"list_transform(range(greatest(len({w}) - {n - 1}, 1)), "
+        f"i -> array_to_string(list_slice({w}, i + 1, i + {n}), ' '))"
+    )
+
+
+# ---------------------------------------------------------------- queries
+# Each entry: name -> (fn(spark, sf_dir) -> DataFrame, oracle_sql or None)
+
+
+def q_ingest_count(spark, sf_dir):
+    """A16 count metric (run.go:349-365)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+SQL_INGEST_COUNT = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"
+
+
+def q_linescan_nonblank(spark, sf_dir):
+    """A1+A3 line scan + blank filter, applied to whitespace-separated
+    records of the text column (run.go:284-303)."""
+    d = _t(spark, sf_dir, "documents")
+    recs = d.select("lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("rec"))
+    return (
+        recs.filter(F.length(F.trim("rec")) > 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .orderBy("lang")
+    )
+
+
+SQL_LINESCAN = f"""
+SELECT lang, count(*) AS n_records
+FROM (SELECT lang, unnest({_duck_words()}) AS rec FROM documents)
+WHERE length(trim(rec)) > 0
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_skip_broken(spark, sf_dir):
+    """A4 -skipbroken (run.go:304-311): 1-in-7 events corrupted, count
+    valid vs broken per event_type."""
+    # corruption must be unambiguous across JSON parsers: prefixing a
+    # non-JSON byte is rejected by every parser, whereas truncating the
+    # leading '{' leaves '"k": 87}' — a valid scalar + trailing garbage
+    # that Spark's lenient try_parse_json accepts and DuckDB rejects.
+    e = _t(spark, sf_dir, "events").withColumn(
+        "line",
+        F.when(
+            F.col("event_id") % 7 == 0, F.concat(F.lit("x"), F.col("props"))
+        ).otherwise(F.col("props")),
+    )
+    ok = F.try_parse_json("line").isNotNull()
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(F.when(ok, 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(ok, 0).otherwise(1)).alias("n_broken"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SKIP_BROKEN = """
+SELECT event_type,
+       sum(CASE WHEN json_valid(line) THEN 1 ELSE 0 END) AS n_valid,
+       sum(CASE WHEN json_valid(line) THEN 0 ELSE 1 END) AS n_broken
+FROM (SELECT event_type,
+             CASE WHEN event_id % 7 = 0 THEN 'x' || props ELSE props END AS line
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_id_extract(spark, sf_dir):
+    """A7 -id concat spec (indexing.go:204-258): id = props.k + event_type."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.concat(
+            F.get_json_object("props", "$.k"), F.lit("-"), F.col("event_type")
+        ).alias("xid"),
+    ).orderBy("event_id")
+
+
+SQL_ID_EXTRACT = """
+SELECT event_id, json_extract_string(props, '$.k') || '-' || event_type AS xid
+FROM events ORDER BY event_id
+"""
+
+
+def q_bulk_assembly(spark, sf_dir):
+    """A9/A11 bulk action synthesis (indexing.go:279-312)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    return e.select(
+        "event_id",
+        F.concat(
+            F.lit('{"index": {"_index": "events", "_id": "'),
+            F.col("event_id").cast("string"),
+            F.lit('"}}'),
+        ).alias("action_line"),
+        F.concat(
+            F.lit('{"event_id": '),
+            F.col("event_id").cast("string"),
+            F.lit(', "type": "'),
+            F.col("event_type"),
+            F.lit('"}'),
+        ).alias("doc_line"),
+    ).orderBy("event_id")
+
+
+SQL_BULK_ASSEMBLY = """
+SELECT event_id,
+       '{"index": {"_index": "events", "_id": "' || event_id || '"}}' AS action_line,
+       '{"event_id": ' || event_id || ', "type": "' || event_type || '"}' AS doc_line
+FROM events WHERE event_id < 100 ORDER BY event_id
+"""
+
+
+def q_optype_index(spark, sf_dir):
+    """B12 op-type index = last-write-wins (indexing.go:305-307)."""
+    o = _t(spark, sf_dir, "orders")
+    w1 = o.filter(F.col("o_orderkey") % 2 == 0)
+    w2 = o.filter(F.col("o_orderkey") % 2 == 1)
+    res = optype.optype_index(w1, w2, ["o_custkey"], "o_orderkey")
+    return res.select("o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice")).orderBy(
+        "o_custkey"
+    )
+
+
+SQL_OPTYPE_INDEX = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+      FROM orders)
+WHERE rn = 1 ORDER BY o_custkey
+"""
+
+
+def q_optype_create(spark, sf_dir):
+    """B12 op-type create = insert-only (left-anti)."""
+    o = _t(spark, sf_dir, "orders")
+    w1 = o.filter(F.col("o_orderkey") % 3 == 0)
+    w2 = o.filter(F.col("o_orderkey") % 3 == 1)
+    res = optype.optype_create(w1, w2, ["o_custkey"])
+    return res.select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+
+
+SQL_OPTYPE_CREATE = """
+WITH w1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+     w2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1)
+SELECT o_orderkey, o_custkey FROM w1
+UNION ALL
+SELECT o_orderkey, o_custkey FROM w2
+WHERE o_custkey NOT IN (SELECT DISTINCT o_custkey FROM w1)
+ORDER BY o_orderkey
+"""
+
+
+def q_optype_update(spark, sf_dir):
+    """B12 op-type update = doc_as_upsert field merge."""
+    c = _t(spark, sf_dir, "customer")
+    existing = c.select("c_custkey", "c_name", "c_acctbal")
+    incoming = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal")
+    )
+    res = optype.optype_update(existing, incoming, ["c_custkey"])
+    return res.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 4).alias("c_acctbal")
+    ).orderBy("c_custkey")
+
+
+SQL_OPTYPE_UPDATE = """
+SELECT c.c_custkey, c.c_name,
+       round(coalesce(i.c_acctbal, c.c_acctbal), 4) AS c_acctbal
+FROM customer c
+LEFT JOIN (SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+           FROM customer WHERE c_custkey % 2 = 0) i USING (c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_content_sha(spark, sf_dir):
+    """B14 per-row invariant: sha256(content) (BASELINE.json input_hint)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.sha2("text", 256).alias("content_sha"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_CONTENT_SHA = "SELECT doc_id, sha256(text) AS content_sha FROM documents ORDER BY doc_id"
+
+
+def q_doc_norms(spark, sf_dir):
+    """B5 document length (analyzed tokens per doc)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens_col("text")).alias("dl"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_NORMS = f"SELECT doc_id, len({TOKS}) AS dl FROM documents ORDER BY doc_id"
+
+
+def q_corpus_stats(spark, sf_dir):
+    """B5 N / total tokens / avgdl."""
+    d = _t(spark, sf_dir, "documents").select(F.size(tokens_col("text")).alias("dl"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        F.round(F.sum("dl") / F.count(F.lit(1)), 6).alias("avgdl"),
+    )
+
+
+SQL_CORPUS_STATS = f"""
+SELECT count(*) AS n_docs, sum(dl) AS total_tokens,
+       round(sum(dl) * 1.0 / count(*), 6) AS avgdl
+FROM (SELECT len({TOKS}) AS dl FROM documents)
+"""
+
+
+def q_dictionary(spark, sf_dir):
+    """B3/B4 term dictionary: df + cf, top 100 by df."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+        .orderBy(F.desc("df"), F.desc("cf"), F.asc("term"))
+        .limit(100)
+    )
+
+
+SQL_DICTIONARY = f"""
+WITH tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({TOKS}) AS t FROM documents)
+  GROUP BY doc_id, t
+)
+SELECT term, count(*) AS df, sum(tf) AS cf
+FROM tf GROUP BY term
+ORDER BY df DESC, cf DESC, term ASC LIMIT 100
+"""
+
+
+def q_postings_for_term(spark, sf_dir):
+    """B3 posting list of one term, from the REAL index (decoded)."""
+    r = _index_for(spark, sf_dir)
+    rows = r._decode_to_rows(["merge"])
+    tfq = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens_col("text")).alias("t"))
+        .filter(F.col("t") == "merge")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # decoded doc ids joined back to exact tf (contrib is float; tf exact)
+    return (
+        rows.select("doc_id")
+        .join(tfq, "doc_id")
+        .select("doc_id", "tf")
+        .orderBy("doc_id")
+    )
+
+
+SQL_POSTINGS_FOR_TERM = f"""
+SELECT doc_id, count(*) AS tf
+FROM (SELECT doc_id, unnest({TOKS}) AS t FROM documents)
+WHERE t = 'merge'
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_bm25_wand(spark, sf_dir):
+    """B8+B9+B11: BM25 top-10 via the index with block-max pruning; the
+    oracle is an independent full-scan in DuckDB — cross-engine
+    rank-identity, the north rule's core check."""
+    r = _index_for(spark, sf_dir)
+    return r.search(FLAGSHIP_QUERY, k=10, prune=True, round_to=4)
+
+
+SQL_BM25_WAND = None  # filled below (needs table name "documents")
+
+
+def q_bm25_fullscan(spark, sf_dir):
+    """B8 full-scan oracle path (no index), same contract."""
+    return bm25_fullscan(
+        _t(spark, sf_dir, "documents"),
+        QUERY_FULLSCAN,
+        id_col="doc_id",
+        text_col="text",
+        k=10,
+        round_to=4,
+    )
+
+
+def q_bm25_hot(spark, sf_dir):
+    """B11 pruning on a dense (hot-term) posting list."""
+    r = _index_for(spark, sf_dir)
+    return r.search(QUERY_HOT, k=10, prune=True, round_to=4)
+
+
+def q_conjunctive(spark, sf_dir):
+    """B10 posting-list intersection (AND), BM25-ranked."""
+    r = _index_for(spark, sf_dir)
+    res = r.search_and(QUERY_AND, k=10)
+    from esbulk_spark.plans.score import topk_deterministic
+
+    return topk_deterministic(res, 10, 4)
+
+
+def _sql_bm25(query: str, require_all: bool = False) -> str:
+    sql = duckdb_bm25_sql(
+        "documents", query, id_col="doc_id", text_col="text", k=10, round_to=4
+    )
+    if require_all:
+        n = len(analyze_query(query))
+        sql = sql.replace(
+            "GROUP BY doc_id\nORDER BY",
+            f"GROUP BY doc_id\nHAVING count(*) = {n}\nORDER BY",
+        )
+    return sql
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id").orderBy("keep_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY sha256(text) ORDER BY keep_id
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.08, max_shingle_df=None
+    ).orderBy("id_a", "id_b")
+
+
+SQL_JACCARD = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, {_duck_md5i('s')} AS sh
+  FROM (SELECT doc_id, unnest({_duck_shingles(3)}) AS s FROM documents)
+  WHERE s <> ''
+), sizes AS (
+  SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.08
+ORDER BY id_a, id_b
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", n_perm=_N_PERM, band_size=_BAND, n=3
+    ).orderBy("id_a", "id_b")
+
+
+_PERM_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_PARAMS))
+
+SQL_MINHASH_LSH = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, {_duck_md5i('s')} AS sh
+  FROM (SELECT doc_id, unnest({_duck_shingles(3)}) AS s FROM documents)
+  WHERE s <> ''
+), perms(perm, a, b) AS (VALUES {_PERM_VALUES}),
+sig AS (
+  SELECT id, perm, min((a * (sh % {_MM_PRIME}) + b) % {_MM_PRIME}) AS minhash
+  FROM sh CROSS JOIN perms GROUP BY id, perm
+), banded AS (
+  SELECT id, perm // {_BAND} AS band,
+         band || ':' || string_agg(minhash, ',' ORDER BY perm) AS band_key
+  FROM sig GROUP BY id, perm // {_BAND}
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.id < b.id
+ORDER BY id_a, id_b
+"""
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash(d, "text", "doc_id", bits=16).orderBy("id")
+
+
+SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id AS id, {_duck_md5i('w')} AS h
+  FROM (SELECT doc_id, unnest({_duck_words()}) AS w FROM documents)
+  WHERE w <> ''
+), bits AS (
+  SELECT id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks CROSS JOIN (SELECT unnest(range(16)) AS b)
+  GROUP BY id, b
+)
+SELECT id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+FROM bits GROUP BY id ORDER BY id
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk(
+        e, "embedding", "vec_id", [float(x) for x in qvec], k=10, exclude_id=0
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id AS id,
+       round(
+         list_sum(list_transform(range(1, len(embedding) + 1),
+                                 i -> embedding[i]::DOUBLE * qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE)))
+            * sqrt(list_sum(list_transform(qv, v -> v::DOUBLE * v::DOUBLE)))),
+         6) AS cosine
+FROM embeddings CROSS JOIN q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, id ASC LIMIT 10
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate NN (LSH-bucketed) — no SQL oracle (approximate op);
+    driver records rows-only. Recall vs brute force is pytest-checked."""
+    e = _t(spark, sf_dir, "embeddings")
+    qs = {
+        str(r.vec_id): [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 3).collect()
+    }
+    return similarity.lsh_ann_topk(e, "embedding", "vec_id", qs, k=10)
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pred = textstats.lang_id(d, "text", "doc_id")
+    joined = d.select(F.col("doc_id").alias("id"), "lang").join(pred, "id")
+    return (
+        joined.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _sql_lang_hits(lang: str) -> str:
+    ws = textstats.LANG_MARKERS[lang]
+    return " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in ws
+    )
+
+
+SQL_LANG_ID = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_sql_lang_hits('de')} AS h_de,
+         {_sql_lang_hits('en')} AS h_en,
+         {_sql_lang_hits('es')} AS h_es,
+         {_sql_lang_hits('fr')} AS h_fr,
+         {_sql_lang_hits('zh')} AS h_zh
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE
+           WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+           WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+           WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+           WHEN h_fr >= h_zh THEN 'fr'
+           ELSE 'zh'
+         END AS pred_lang
+  FROM scored
+)
+SELECT lang, pred_lang, count(*) AS n
+FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+
+def q_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textstats.quality_score(d, "text", "doc_id").orderBy("id")
+
+
+_STOP_HITS_SQL = " + ".join(
+    f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in textstats.STOP_EN
+)
+
+SQL_QUALITY = f"""
+SELECT doc_id AS id,
+       len(words) AS n_words,
+       round(CASE WHEN len(words) > 0
+             THEN length(array_to_string(words, '')) * 1.0 / len(words) ELSE 0 END, 4) AS mean_word_len,
+       round(CASE WHEN length(text) > 0
+             THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text) ELSE 0 END, 4) AS punct_ratio,
+       round(CASE WHEN len(words) > 0
+             THEN ({_STOP_HITS_SQL}) * 1.0 / len(words) ELSE 0 END, 4) AS stop_ratio,
+       CASE WHEN len(words) >= 5
+             AND (CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text) ELSE 0 END) < 0.3
+             AND (CASE WHEN len(words) > 0 THEN length(array_to_string(words, '')) * 1.0 / len(words) ELSE 0 END) BETWEEN 2.0 AND 12.0
+            THEN 1 ELSE 0 END AS keep
+FROM (SELECT doc_id, text, {_duck_words()} AS words FROM documents)
+ORDER BY id
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tc = textstats.token_count(d, "text", "doc_id")
+    joined = d.select(F.col("doc_id").alias("id"), "lang").join(tc, "id")
+    return (
+        joined.groupBy("lang")
+        .agg(F.sum("ws_tokens").alias("ws_tokens"), F.sum("bpe_tokens").alias("bpe_tokens"))
+        .orderBy("lang")
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT lang,
+       sum(len({_duck_words()})) AS ws_tokens,
+       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS bpe_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textstats.fingerprint(d, "text", "doc_id").orderBy("id")
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id AS id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents ORDER BY id
+"""
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column plumbing: utf-8 bytes of text as the opaque blob."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    return multimodal.extract_media_meta(d, "blob", "doc_id").orderBy("id")
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id AS id,
+       octet_length(encode(text)) AS n_bytes,
+       'unknown' AS kind,
+       1 + ascii(substr(text, 1, 1)) % 64 AS width,
+       1 + ascii(substr(text, -1, 1)) % 64 AS height
+FROM documents ORDER BY id
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Windowed aggregation (streaming-shaped, batch-evaluated)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+ORDER BY event_type, hour
+"""
+
+
+def q_agg_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_window(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "rnk", "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+        .orderBy("o_orderpriority", "rnk")
+    )
+
+
+SQL_TOPK_WINDOW = """
+SELECT o_orderpriority, rnk, o_orderkey, round(o_totalprice, 4) AS o_totalprice
+FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders)
+WHERE rnk <= 3 ORDER BY o_orderpriority, rnk
+"""
+
+
+def q_join_dims(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_JOIN_DIMS = """
+SELECT r_name, n_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES = {
+    # esbulk-parity operators (SURVEY.md §2.A)
+    "ingest_count_by_lang": (q_ingest_count, SQL_INGEST_COUNT),
+    "linescan_nonblank": (q_linescan_nonblank, SQL_LINESCAN),
+    "skip_broken_filter": (q_skip_broken, SQL_SKIP_BROKEN),
+    "id_extract_concat": (q_id_extract, SQL_ID_EXTRACT),
+    "bulk_assembly_ndjson": (q_bulk_assembly, SQL_BULK_ASSEMBLY),
+    "optype_index_lww": (q_optype_index, SQL_OPTYPE_INDEX),
+    "optype_create_insert_only": (q_optype_create, SQL_OPTYPE_CREATE),
+    "optype_update_upsert": (q_optype_update, SQL_OPTYPE_UPDATE),
+    "content_sha_invariant": (q_content_sha, SQL_CONTENT_SHA),
+    # index/search contract (SURVEY.md §2.B)
+    "doc_norms": (q_doc_norms, SQL_DOC_NORMS),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "dictionary_top100": (q_dictionary, SQL_DICTIONARY),
+    "postings_for_term": (q_postings_for_term, SQL_POSTINGS_FOR_TERM),
+    "bm25_topk_wand": (q_bm25_wand, _sql_bm25(FLAGSHIP_QUERY)),
+    "bm25_topk_fullscan": (q_bm25_fullscan, _sql_bm25(QUERY_FULLSCAN)),
+    "bm25_topk_hot_term": (q_bm25_hot, _sql_bm25(QUERY_HOT)),
+    "conjunctive_and_topk": (q_conjunctive, _sql_bm25(QUERY_AND, require_all=True)),
+    # training-data pipeline operators
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_jaccard_pairs, SQL_JACCARD),
+    "dedup_minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
+    "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh, None),  # approximate: rows-only check
+    "lang_id_heuristic": (q_lang_id, SQL_LANG_ID),
+    "quality_score": (q_quality, SQL_QUALITY),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
+    # generic relational coverage (window/agg/join/sort/limit)
+    "events_hourly_window": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "agg_lineitem_pricing": (q_agg_pricing, SQL_AGG_PRICING),
+    "topk_orders_window": (q_topk_window, SQL_TOPK_WINDOW),
+    "join_customer_nation_region": (q_join_dims, SQL_JOIN_DIMS),
+}

@@ -1,0 +1,205 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (esbulk's nearest analog is op-type ``create``,
+insert-only per id, indexing.go:305-307); these are the corpus-hygiene
+operators a 100 TB ingest needs before indexing. All are expressed as
+shuffles on content-derived keys — embarrassingly scalable, no driver
+state, no per-row Python.
+
+  exact_dedup      — hash-groupBy on content digest
+  ngram_shingles   — word n-gram shingle sets (shared primitive)
+  jaccard_pairs    — exact n-gram Jaccard via shingle-inverted join
+  minhash_lsh_pairs— MinHash signatures + LSH banding (candidate pairs
+                     with ~O(n) join volume instead of O(n^2))
+  simhash          — bitwise majority fingerprint (Charikar 2002)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic 64-bit-ish hash both Spark and DuckDB can reproduce:
+# first 15 hex chars of md5 -> int (60 bits, fits signed int64)
+def md5_int(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+DUCK_MD5_INT = "CAST(('0x' || substr(md5({0}),1,15)) AS UBIGINT)::BIGINT"
+
+# MinHash permutation parameters: h_i(x) = (a_i * (x mod p) + b_i) mod p.
+# p = 2^31-1 (Mersenne) keeps a*(x mod p)+b < 2^62: no int64 overflow in
+# either Spark or the DuckDB oracle.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_params(n_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n_perm):
+        a = int(rng.randint(1, MINHASH_PRIME))
+        b = int(rng.randint(0, MINHASH_PRIME))
+        out.append((a, b))
+    return out
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content digest: one surviving (min id) row per
+    distinct content + duplicate count. (doc-id replace semantics of
+    op-type ``index`` applied to content instead of _id.)"""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc -> (id, shingle_hash).
+
+    Tokenization here is simple whitespace split (dedup shingling is
+    orthogonal to the search analyzer)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .select("id", md5_int(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= t).
+
+    Inverted shingle join: pairs sharing >=1 shingle; hot shingles
+    (appearing in > max_shingle_df docs) are dropped from CANDIDATE
+    GENERATION only — the standard skew guard for web-scale corpora —
+    but intersection counts remain exact for surviving pairs because
+    they are computed from full shingle sets."""
+    sh = ngram_shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cand_src = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > max_shingle_df)
+            .select("sh")
+        )
+        cand_src = sh.join(F.broadcast(hot), "sh", "left_anti")
+    a = cand_src.select(F.col("id").alias("id_a"), "sh")
+    b = cand_src.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_perm: int = 16, n: int = 3, seed: int = 42
+) -> DataFrame:
+    """(id, perm, minhash) — n_perm universal-hash minima over shingles."""
+    params = minhash_params(n_perm, seed)
+    sh = ngram_shingles(df, text_col, id_col, n)
+    x = F.pmod(F.col("sh"), F.lit(MINHASH_PRIME))
+    perms = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("perm"),
+                F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_PRIME)).alias("h"),
+            )
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    exploded = sh.select("id", F.explode(perms).alias("p")).select(
+        "id", F.col("p.perm").alias("perm"), F.col("p.h").alias("h")
+    )
+    return exploded.groupBy("id", "perm").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_perm: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs: ids agreeing on ALL rows of >=1 band.
+
+    bands = n_perm / band_size; a pair with Jaccard j collides with
+    probability 1-(1-j^band_size)^bands — the classic S-curve."""
+    sig = minhash_signatures(df, text_col, id_col, n_perm, n, seed)
+    banded = (
+        sig.withColumn("band", (F.col("perm") / band_size).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("perm", "minhash"))).alias("sig"))
+        .withColumn(
+            "band_key",
+            F.concat_ws(
+                ":",
+                F.col("band").cast("string"),
+                F.array_join(
+                    F.transform(F.col("sig"), lambda s: s["minhash"].cast("string")), ","
+                ),
+            ),
+        )
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band_key")
+    b = banded.select(F.col("id").alias("id_b"), "band_key")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per bit position, majority vote of token
+    hashes (+1 if bit set, -1 otherwise), weighted by term frequency."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = toks.select("id", md5_int(F.col("tok")).alias("h"))
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy("id").agg(*bit_cols)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("id", fp.cast("long").alias("simhash"))

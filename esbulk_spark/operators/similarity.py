@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (training-data pipeline op).
+
+Brute-force cosine top-k as the exact baseline; random-hyperplane LSH
+bucketing as the scale path (candidates drop from O(n) per query to the
+query's bucket ± multiprobe neighbors). Dot products stay JVM-side via
+zip_with/aggregate — no Python in the scan. An IVF variant (k-means
+coarse quantizer) is the natural next step; LSH chosen first because it
+needs no training pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    exclude_id: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    out = df.select(
+        F.col(id_col).alias("id"),
+        (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))).alias("cosine"),
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col("id") != exclude_id)
+    if round_to is not None:
+        out = out.withColumn("cosine", F.round("cosine", round_to))
+    return out.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+
+
+def hyperplane_signature(
+    df: DataFrame, vec_col: str, id_col: str, n_planes: int = 8, dim: int = 64, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane LSH: sign bits of <v, r_i> -> integer bucket."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    sig = None
+    for i in range(n_planes):
+        r = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = F.when(_dot(F.col(vec_col), r) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("bucket"))
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vecs: dict[str, list[float]],
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate NN: score only vectors in the query's LSH bucket or
+    buckets at Hamming distance <= multiprobe. Returns (qid, id, cosine).
+
+    At cluster scale the table side would be WRITTEN partitioned by
+    bucket, so each query touches only its probe partitions."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    table = hyperplane_signature(df, vec_col, id_col, n_planes, dim, seed)
+
+    rows = []
+    for qid, v in query_vecs.items():
+        vec = np.asarray(v, dtype=np.float64)
+        bucket = 0
+        for i in range(n_planes):
+            if float(planes[i] @ vec) >= 0:
+                bucket |= 1 << i
+        probes = {bucket}
+        if multiprobe >= 1:
+            for i in range(n_planes):
+                probes.add(bucket ^ (1 << i))
+        for p in sorted(probes):
+            rows.append((qid, int(p), [float(x) for x in v]))
+    qdf = df.sparkSession.createDataFrame(
+        rows, "qid string, bucket long, qvec array<double>"
+    )
+    joined = table.join(F.broadcast(qdf), "bucket").select(
+        "qid",
+        "id",
+        (_dot(F.col("vec"), F.col("qvec")) / (_norm(F.col("vec")) * _norm(F.col("qvec")))).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("qid", F.desc("cosine"), F.asc("id"))
+    )
