@@ -54,7 +54,9 @@ def _doc_content(doc_i: int, seed: int, pool: list[str]) -> str:
     import numpy as np
 
     rng = np.random.RandomState((seed * 1_000_003 + doc_i) % (2**31 - 1))
-    n_lines = 20 + int(rng.randint(381))  # 20..400 lines
+    # 10..120 lines ~ 2.5 KB avg: the size shape of real source files and
+    # of the reference's 2 KB-doc headline workload (measurements.csv:2)
+    n_lines = 10 + int(rng.randint(111))
     # Zipf over the pool: rank-skewed identifier frequency (hot terms)
     ranks = rng.zipf(1.3, size=n_lines * 6) % len(pool)
     lines = []

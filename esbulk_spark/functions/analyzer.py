@@ -115,32 +115,53 @@ def tf_map_in_pandas(id_col: str, text_col: str):
     second tokenize and no extra shuffle. This is the Arrow-vectorized
     analog of the reference's per-worker batcher (indexing.go:364-394).
     """
+    import numpy as np
     import pandas as pd
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from collections import Counter
+        from itertools import chain
 
         for pdf in batches:
-            ids: list[int] = []
-            terms: list[str | None] = []
-            tfs: list[int] = []
-            dls: list[int] = []
-            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
-                toks = tokenize_text(text)
-                dl = len(toks)
-                ids.append(doc_id)
-                terms.append(None)
-                tfs.append(0)
-                dls.append(dl)
-                if toks:
-                    for term, tf in Counter(toks).items():
-                        ids.append(doc_id)
-                        terms.append(term)
-                        tfs.append(tf)
-                        dls.append(dl)
-            yield pd.DataFrame(
-                {"doc_id": ids, "term": terms, "tf": tfs, "dl": dls}
+            ids_arr = pdf[id_col].values.astype(np.int64)
+            texts = pdf[text_col].values
+            tok_lists = [tokenize_text(t) for t in texts]
+            n_per_doc = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
             )
+            sentinels = pd.DataFrame(
+                {
+                    "doc_id": ids_arr,
+                    "term": np.full(ids_arr.size, None, dtype=object),
+                    "tf": np.zeros(ids_arr.size, dtype=np.int32),
+                    "dl": n_per_doc.astype(np.int32),
+                }
+            )
+            total = int(n_per_doc.sum())
+            if total == 0:
+                yield sentinels
+                continue
+            # vectorized per-(doc, term) counting: factorize terms to ints,
+            # then one np.unique over a composite (doc, term) key — no
+            # per-posting python objects, no Counter churn
+            all_terms = np.array(
+                list(chain.from_iterable(tok_lists)), dtype=object
+            )
+            codes, uniques = pd.factorize(all_terms, sort=False)
+            doc_idx = np.repeat(np.arange(ids_arr.size, dtype=np.int64), n_per_doc)
+            n_u = int(len(uniques))
+            key = doc_idx * n_u + codes
+            ukey, tf = np.unique(key, return_counts=True)
+            u_doc = ukey // n_u
+            u_term = ukey % n_u
+            body = pd.DataFrame(
+                {
+                    "doc_id": ids_arr[u_doc],
+                    "term": np.asarray(uniques, dtype=object)[u_term],
+                    "tf": tf.astype(np.int32),
+                    "dl": n_per_doc[u_doc].astype(np.int32),
+                }
+            )
+            yield pd.concat([sentinels, body], ignore_index=True)
 
     return fn
 

@@ -36,9 +36,15 @@ def _varint_widths(v: np.ndarray) -> np.ndarray:
 
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a non-negative int array. Vectorized over numpy."""
+    return varint_encode_with_widths(values)[0]
+
+
+def varint_encode_with_widths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """(encoded bytes, per-value byte widths) — widths let callers slice
+    the stream at arbitrary value boundaries without re-encoding."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     nbytes = _varint_widths(v)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
@@ -50,7 +56,7 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * i)) & np.uint64(0x7F)
         cont = (nbytes[mask] > i + 1).astype(np.uint8) << 7
         out[pos] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
 
 
 def varint_decode(buf: bytes | np.ndarray, offset: int = 0, count: int | None = None) -> np.ndarray:
@@ -111,8 +117,7 @@ def varint_encode_blocks(values: np.ndarray, block_size: int = BLOCK_SIZE) -> tu
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.zeros(0, dtype=np.int64)
-    blob = varint_encode(v)
-    widths = _varint_widths(v)
+    blob, widths = varint_encode_with_widths(v)
     byte_pos = np.concatenate(([0], np.cumsum(widths)[:-1]))
     starts = np.arange(0, v.size, block_size, dtype=np.int64)
     return blob, byte_pos[starts]
@@ -132,8 +137,7 @@ def encode_postings(ids: np.ndarray, block_size: int = BLOCK_SIZE) -> tuple[byte
     # The sequential delta stream is already blockwise-rebased: the delta at
     # a block's first position is ids[lo] - ids[lo-1] = ids[lo] - block_last[b-1].
     # So one encode pass suffices; block byte offsets fall out of the widths.
-    blob = varint_encode(deltas)
-    widths = _varint_widths(deltas)
+    blob, widths = varint_encode_with_widths(deltas)
     byte_pos = np.concatenate(([0], np.cumsum(widths)[:-1]))
     starts = np.arange(0, n, block_size, dtype=np.int64)
     block_ends = np.minimum(starts + block_size, n) - 1

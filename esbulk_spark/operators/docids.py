@@ -38,6 +38,17 @@ def assign_doc_ids(
     """Add a dense 0-based long ``out_col`` following the total order of
     ``sort_keys``. Deterministic across runs and parallelism levels
     (assuming ``sort_keys`` is a total order, i.e. no duplicate keys)."""
+    return assign_doc_ids_with_count(df, sort_keys, out_col, num_partitions)[0]
+
+
+def assign_doc_ids_with_count(
+    df: DataFrame,
+    sort_keys: Sequence[str],
+    out_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """assign_doc_ids + the total row count, which the prefix-sum pass
+    computes anyway — callers save one count() action."""
     import pandas as pd
 
     keys = [F.col(k) for k in sort_keys]
@@ -82,4 +93,4 @@ def assign_doc_ids(
             seen += len(pdf)
             yield pdf
 
-    return parted.mapInPandas(add_ids, out_schema)
+    return parted.mapInPandas(add_ids, out_schema), acc

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from esbulk_spark.config import IndexConfig
 from esbulk_spark.functions.analyzer import TF_SCHEMA, tf_map_in_pandas
 from esbulk_spark.functions.codec import encode_postings, varint_encode_blocks
-from esbulk_spark.operators.docids import assign_doc_ids
+from esbulk_spark.operators.docids import assign_doc_ids_with_count
 from esbulk_spark.plans.checkpoint import Manifest, StageTimer
 
 POSTINGS_SCHEMA = (
@@ -75,29 +75,73 @@ _CHUNK_COLS = [
 ]
 
 
-def _encode_group(term, shard, ids, tfs, dls, tfn, cap, bs, out_rows):
-    """Encode one (term, shard) posting run (already doc_id-sorted)."""
+def _encode_batch_groups(terms, shards, ids, tfs, dls, tfn, starts, ends, cap, bs):
+    """Encode MANY (term, shard) groups in one vectorized pass.
+
+    Per-group python work is reduced to slicing: the three varint streams
+    are encoded once for the whole batch (chunk boundaries re-base the
+    delta stream, so slices of the batch encoding are byte-identical to
+    per-chunk encodings); block metadata comes from reduceat over global
+    block starts. ~10x faster than per-group encoding when groups are
+    small (rare terms scattered over shards)."""
+    from esbulk_spark.functions.codec import varint_encode_with_widths
+
     n = ids.size
-    for ci, lo in enumerate(range(0, n, cap)):
-        hi = min(lo + cap, n)
-        cid, ctf, cdl, ctfn = ids[lo:hi], tfs[lo:hi], dls[lo:hi], tfn[lo:hi]
-        blob_ids, off_ids, block_last = encode_postings(cid.astype(np.uint64), bs)
-        blob_tfs, off_tfs = varint_encode_blocks(ctf.astype(np.uint64), bs)
-        blob_dls, off_dls = varint_encode_blocks(cdl.astype(np.uint64), bs)
-        n_blocks = len(off_ids)
-        # block maxes without a python loop: pad to block multiple, reshape
-        padded = np.full(n_blocks * bs, -np.inf)
-        padded[: ctfn.size] = ctfn
-        bmax = padded.reshape(n_blocks, bs).max(axis=1)
-        out_rows.append(
+    # --- split groups into chunks of <= cap postings ---
+    glen = ends - starts
+    n_chunks_per = (glen + cap - 1) // cap
+    chunk_group = np.repeat(np.arange(starts.size), n_chunks_per)
+    # index of each chunk within its group
+    cum = np.concatenate(([0], np.cumsum(n_chunks_per)))
+    chunk_idx = np.arange(cum[-1]) - cum[chunk_group]
+    c_start = starts[chunk_group] + chunk_idx * cap
+    c_end = np.minimum(c_start + cap, ends[chunk_group])
+
+    # --- delta stream with re-base at every chunk start ---
+    deltas = np.empty(n, dtype=np.uint64)
+    u_ids = ids.astype(np.uint64)
+    deltas[0] = u_ids[0]
+    np.subtract(u_ids[1:], u_ids[:-1], out=deltas[1:])
+    deltas[c_start] = u_ids[c_start]
+
+    blob_d, w_d = varint_encode_with_widths(deltas)
+    blob_t, w_t = varint_encode_with_widths(tfs.astype(np.uint64))
+    blob_l, w_l = varint_encode_with_widths(dls.astype(np.uint64))
+    pos_d = np.concatenate(([0], np.cumsum(w_d)))
+    pos_t = np.concatenate(([0], np.cumsum(w_t)))
+    pos_l = np.concatenate(([0], np.cumsum(w_l)))
+
+    # --- global block starts (for reduceat maxes) ---
+    clen = c_end - c_start
+    nblocks_per = (clen + bs - 1) // bs
+    blk_chunk = np.repeat(np.arange(c_start.size), nblocks_per)
+    bcum = np.concatenate(([0], np.cumsum(nblocks_per)))
+    blk_idx = np.arange(bcum[-1]) - bcum[blk_chunk]
+    b_start = c_start[blk_chunk] + blk_idx * bs
+    b_end = np.minimum(b_start + bs, c_end[blk_chunk])
+    blk_max = np.maximum.reduceat(tfn, b_start)
+    blk_last = ids[b_end - 1]
+    chunk_max = np.maximum.reduceat(tfn, c_start)
+
+    rows = []
+    for k in range(c_start.size):
+        s, e = int(c_start[k]), int(c_end[k])
+        g = int(chunk_group[k])
+        b0, b1 = int(bcum[k]), int(bcum[k + 1])
+        rows.append(
             (
-                term, int(shard), ci, int(cid[0]), int(cid[-1]), int(hi - lo),
-                float(ctfn.max()), blob_ids, blob_tfs, blob_dls,
-                block_last.astype(np.int64), bmax,
-                off_ids.astype(np.int32), off_tfs.astype(np.int32),
-                off_dls.astype(np.int32),
+                terms[starts[g]], int(shards[starts[g]]), int(chunk_idx[k]),
+                int(ids[s]), int(ids[e - 1]), int(e - s),
+                float(chunk_max[k]),
+                blob_d[pos_d[s]:pos_d[e]], blob_t[pos_t[s]:pos_t[e]],
+                blob_l[pos_l[s]:pos_l[e]],
+                blk_last[b0:b1].astype(np.int64), blk_max[b0:b1],
+                (pos_d[b_start[b0:b1]] - pos_d[s]).astype(np.int32),
+                (pos_t[b_start[b0:b1]] - pos_t[s]).astype(np.int32),
+                (pos_l[b_start[b0:b1]] - pos_l[s]).astype(np.int32),
             )
         )
+    return rows
 
 
 def make_chunk_builder(cfg: IndexConfig, avgdl: float):
@@ -133,13 +177,12 @@ def make_chunk_builder(cfg: IndexConfig, avgdl: float):
                     tfs[starts[-1]:], dls[starts[-1]:],
                 )
                 starts, ends = starts[:-1], ends[:-1]
-            rows: list = []
+            if starts.size == 0:
+                return None
             tfn_all = _tfnorm(tfs, dls, k1, b, avgdl)
-            for s, e in zip(starts, ends):
-                _encode_group(
-                    terms[s], shards[s], ids[s:e], tfs[s:e], dls[s:e],
-                    tfn_all[s:e], cap, bs, rows,
-                )
+            rows = _encode_batch_groups(
+                terms, shards, ids, tfs, dls, tfn_all, starts, ends, cap, bs
+            )
             if rows:
                 return pd.DataFrame(rows, columns=_CHUNK_COLS)
             return None
@@ -203,10 +246,11 @@ def build_index(
     docs_path = os.path.join(d, "docs")
     if not man.is_done("docs", docs_path):
         with StageTimer() as t:
+            n_written = None
             if cfg.id_col:
                 with_ids = docs.withColumn("doc_id", F.col(cfg.id_col).cast("long"))
             else:
-                with_ids = assign_doc_ids(docs, cfg.sort_keys)
+                with_ids, n_written = assign_doc_ids_with_count(docs, cfg.sort_keys)
             # content stays in the docs table: the tf stage reads it, and it
             # serves _source at query time. (At 10^12-file scale you would
             # point the tf stage at the source Iceberg table instead and keep
@@ -215,9 +259,17 @@ def build_index(
                 "content_sha", F.sha2(F.col(cfg.text_col), 256)
             )
             _atomic_write(with_ids, docs_path)
-        n_docs = spark.read.parquet(docs_path).count()
-        man.record("docs", rows=n_docs, secs=t.secs)
-    n_docs = spark.read.parquet(docs_path).count()
+            # drop the range-partitioned cache assign_doc_ids pinned: leaving
+            # 100s of MB in JVM storage measurably slows the Arrow-heavy tf
+            # stage (3x observed at 50k docs)
+            spark.catalog.clearCache()
+            if n_written is None:
+                n_written = spark.read.parquet(docs_path).count()
+        man.record("docs", rows=n_written, secs=t.secs)
+    n_docs = next(
+        e["rows"] for e in reversed(man.entries)
+        if e["stage"] == "docs" and e["status"] == "done"
+    )
 
     n_shards = cfg.n_shards or max(1, math.ceil(n_docs / cfg.target_shard_docs))
     shard_size = math.ceil(n_docs / n_shards) if n_docs else 1
@@ -233,7 +285,10 @@ def build_index(
             tf = tf.withColumn(
                 "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
             )
-            _atomic_write(tf, tf_path, partition_by=["shard"])
+            # no partitionBy: shard is recomputable from doc_id, and dynamic
+            # partition writes fan out into tiny files; downstream stages
+            # re-shuffle anyway
+            _atomic_write(tf, tf_path)
         man.record("tf", secs=t.secs)
 
     tf = spark.read.parquet(tf_path)
@@ -288,13 +343,18 @@ def build_index(
                 .withColumn("bucket", bucket_col(F.col("term"), cfg.n_buckets))
             )
             _atomic_write(dictionary, dict_path, partition_by=["bucket"])
-        n_terms = spark.read.parquet(dict_path).count()
-        man.record("dictionary", rows=n_terms, secs=t.secs)
+        man.record("dictionary", secs=t.secs)
 
     # ---- stage: postings chunks by bucket ----
     post_path = os.path.join(d, "postings")
     if not man.is_done("postings", post_path):
         with StageTimer() as t:
+            # postings rows are ~30 B: large Arrow batches amortize the
+            # Python round trip (the tf stage, with multi-KB docs per row,
+            # needs the small session default instead)
+            arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+            prev_batch = spark.conf.get(arrow_key)
+            spark.conf.set(arrow_key, "131072")
             chunks = (
                 postings_in.select("term", "shard", "doc_id", "tf", "dl")
                 .repartition(
@@ -306,6 +366,7 @@ def build_index(
                 .withColumn("bucket", bucket_col(F.col("term"), cfg.n_buckets))
             )
             _atomic_write(chunks, post_path, partition_by=["bucket"])
+            spark.conf.set(arrow_key, prev_batch)
         # skew metric: postings per (term,shard) group max vs mean
         pc = spark.read.parquet(post_path)
         srow = pc.agg(

@@ -77,14 +77,13 @@ class IndexReader:
         return {r["term"]: int(r["df"]) for r in d.select("term", "df").collect()}
 
     def _buckets(self, terms: list[str]) -> list[int]:
-        # same hash as build-side bucket_col: xxhash64, computed via Spark
-        # to guarantee bit-identity with the write path
-        rows = (
-            self.spark.createDataFrame([(t,) for t in terms], "term string")
-            .select(bucket_col(F.col("term"), self.stats["n_buckets"]).alias("b"))
-            .collect()
-        )
-        return sorted({int(r["b"]) for r in rows})
+        # pure-Python XXH64 with verified bit-parity to the write path's
+        # bucket_col (tests/test_bucket_hash.py): bucket ids become
+        # plan-time literals -> static partition pruning, no Spark job
+        from esbulk_spark.functions.xxhash import term_bucket
+
+        n = self.stats["n_buckets"]
+        return sorted({term_bucket(t, n) for t in terms})
 
     def _pruned_postings(self, terms: list[str]) -> DataFrame:
         return self.postings().filter(

@@ -33,6 +33,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # text-heavy tables + Python-stage scans: default 128MB input splits
+        # starve a 32-core box (a 300MB corpus becomes 3 tasks). 16MB keeps
+        # every core busy; on a real cluster this is the same knob you'd
+        # size to executor count x cores.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "4m")
         # Arrow is the micro-batch analog of esbulk's -size flag
         # (reference: indexing.go:364-394): vectorized Python<->JVM transfer.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
