@@ -76,16 +76,20 @@ def lsh_ann_topk(
     id_col: str,
     query_vecs: dict[str, list[float]],
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 4,
     dim: int = 64,
     seed: int = 42,
-    multiprobe: int = 1,
+    multiprobe: int = 2,
 ) -> DataFrame:
     """Approximate NN: score only vectors in the query's LSH bucket or
     buckets at Hamming distance <= multiprobe. Returns (qid, id, cosine).
 
-    At cluster scale the table side would be WRITTEN partitioned by
-    bucket, so each query touches only its probe partitions."""
+    Plane count trades recall vs candidate volume: 2^n_planes buckets
+    should be ~sqrt-ish of corpus size for weakly-clustered embeddings
+    (near-orthogonal random vectors hash almost uniformly). Defaults suit
+    10^2-10^5 vectors; at cluster scale raise n_planes and WRITE the
+    table partitioned by bucket so each query scans only its probe
+    partitions."""
     import numpy as np
     from pyspark.sql.window import Window
 
@@ -105,6 +109,10 @@ def lsh_ann_topk(
         if multiprobe >= 1:
             for i in range(n_planes):
                 probes.add(bucket ^ (1 << i))
+        if multiprobe >= 2:
+            for i in range(n_planes):
+                for j in range(i + 1, n_planes):
+                    probes.add(bucket ^ (1 << i) ^ (1 << j))
         for p in sorted(probes):
             rows.append((qid, int(p), [float(x) for x in v]))
     qdf = df.sparkSession.createDataFrame(

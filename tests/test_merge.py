@@ -1,0 +1,91 @@
+"""Segment merge (B7): merging two half-corpus segments must reproduce
+the single-pass index byte-identically (same postings blobs, same
+dictionary, same stats) — the strongest form of Lucene's merge
+invariant, which the reference exercises only via `_flush`
+(/root/reference/administration.go:32-48)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from esbulk_spark.config import IndexConfig
+from esbulk_spark.operators.merge import merge_segments
+from esbulk_spark.plans.build import build_index
+
+
+def _postings_map(spark, d):
+    rows = spark.read.parquet(os.path.join(d, "postings")).collect()
+    return {
+        (r.term, r.shard, r.chunk): (
+            bytes(r.blob_ids), bytes(r.blob_tfs), bytes(r.blob_dls),
+            list(r.block_last), [round(x, 12) for x in r.block_max_tfnorm],
+        )
+        for r in rows
+    }
+
+
+def test_merge_two_segments_equals_full_build(spark, corpus, tmp_path):
+    base = str(tmp_path)
+    full_cfg = IndexConfig(index_dir=f"{base}/full", n_buckets=8, n_shards=4, chunk_cap=256)
+    build_index(spark, corpus, full_cfg, input_sig="m150")
+    full_docs = spark.read.parquet(f"{base}/full/docs")
+    n = full_docs.count()
+    cut = n // 2
+
+    # two ingest waves with globally-unique pre-assigned ids
+    for name, pred in [("seg1", F.col("doc_id") < cut), ("seg2", F.col("doc_id") >= cut)]:
+        cfg = IndexConfig(
+            index_dir=f"{base}/{name}", id_col="doc_id",
+            n_buckets=8, n_shards=4, chunk_cap=256,
+        )
+        build_index(
+            spark,
+            full_docs.filter(pred).drop("content_sha"),
+            cfg,
+            input_sig=name,
+        )
+
+    merged_cfg = IndexConfig(
+        index_dir=f"{base}/merged", id_col="doc_id",
+        n_buckets=8, n_shards=4, chunk_cap=256,
+    )
+    stats = merge_segments(spark, [f"{base}/seg1", f"{base}/seg2"], merged_cfg)
+
+    full_stats = json.load(open(f"{base}/full/stats.json"))
+    assert stats["n_docs"] == full_stats["n_docs"]
+    assert stats["total_postings"] == full_stats["total_postings"]
+    assert abs(stats["avgdl"] - full_stats["avgdl"]) < 1e-12
+
+    # byte-identical postings (blobs + block metadata)
+    assert _postings_map(spark, f"{base}/merged") == _postings_map(spark, f"{base}/full")
+
+    # identical dictionary
+    d_full = {(r.term): (r.df, r.cf) for r in spark.read.parquet(f"{base}/full/dictionary").collect()}
+    d_merged = {(r.term): (r.df, r.cf) for r in spark.read.parquet(f"{base}/merged/dictionary").collect()}
+    assert d_full == d_merged
+
+
+def test_merged_index_answers_queries(spark, corpus, tmp_path):
+    from esbulk_spark.plans.reader import IndexReader
+    from esbulk_spark.plans.score import bm25_fullscan
+
+    base = str(tmp_path)
+    full_cfg = IndexConfig(index_dir=f"{base}/full", n_buckets=8, n_shards=4, chunk_cap=256)
+    build_index(spark, corpus, full_cfg, input_sig="m150")
+    full_docs = spark.read.parquet(f"{base}/full/docs")
+    cut = full_docs.count() // 3
+    for name, pred in [("s1", F.col("doc_id") < cut), ("s2", F.col("doc_id") >= cut)]:
+        cfg = IndexConfig(index_dir=f"{base}/{name}", id_col="doc_id", n_buckets=8, n_shards=4, chunk_cap=256)
+        build_index(spark, full_docs.filter(pred).drop("content_sha"), cfg, input_sig=name)
+    mcfg = IndexConfig(index_dir=f"{base}/m", id_col="doc_id", n_buckets=8, n_shards=4, chunk_cap=256)
+    merge_segments(spark, [f"{base}/s1", f"{base}/s2"], mcfg)
+
+    r = IndexReader(spark, f"{base}/m")
+    for q in ["getUserName", "flushBuffer retry score"]:
+        oracle = [
+            (x.doc_id, round(x.score, 6))
+            for x in bm25_fullscan(full_docs, q, text_col="content", k=10).collect()
+        ]
+        wand = [(x.doc_id, round(x.score, 6)) for x in r.search(q, k=10).collect()]
+        assert oracle == wand, q

@@ -1,0 +1,125 @@
+"""Op-type MERGE semantics (F5), dedup recall properties, ANN recall,
+multimodal plumbing shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from esbulk_spark.operators import dedup, multimodal, optype, similarity
+
+
+# ---- F5: op-type semantics (cmd/esbulk/main.go:41, indexing.go:305-307)
+
+@pytest.fixture()
+def waves(spark):
+    w1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, v string, seq long"
+    )
+    w2 = spark.createDataFrame(
+        [(1, "b2", 30), (3, "c", 40)], "id long, v string, seq long"
+    )
+    return w1, w2
+
+
+def test_optype_index_replace(spark, waves):
+    w1, w2 = waves
+    got = {r.id: r.v for r in optype.optype_index(w1, w2, ["id"], "seq").collect()}
+    assert got == {1: "b2", 2: "b", 3: "c"}  # last write wins
+
+
+def test_optype_create_insert_only(spark, waves):
+    w1, w2 = waves
+    got = {r.id: r.v for r in optype.optype_create(w1, w2, ["id"]).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # id=1 keeps wave1 value
+
+
+def test_optype_update_upsert_merges_fields(spark):
+    ex = spark.createDataFrame([(1, "x", None), (2, "y", 7)], "id long, a string, b int")
+    inc = spark.createDataFrame([(1, None, 5), (3, "z", 9)], "id long, a string, b int")
+    got = {r.id: (r.a, r.b) for r in optype.optype_update(ex, inc, ["id"]).collect()}
+    # doc_as_upsert: incoming non-null fields overwrite, others kept
+    assert got == {1: ("x", 5), 2: ("y", 7), 3: ("z", 9)}
+
+
+# ---- dedup family
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank now"
+    other = "completely different content about spark inverted index construction pipeline"
+    rows = [(0, base), (1, base), (2, near), (3, other), (4, other + " x")]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_exact_dedup(spark, dup_docs):
+    got = {r.keep_id: r.n_copies for r in dedup.exact_dedup(dup_docs, "text", "id").collect()}
+    assert got[0] == 2          # ids 0,1 identical -> keep 0
+    assert sum(got.values()) == 5
+
+
+def test_jaccard_pairs_finds_near_dups(spark, dup_docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(dup_docs, "text", "id", n=3, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0            # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5  # near dup
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_candidates_superset_of_high_jaccard(spark, dup_docs):
+    cands = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(dup_docs, "text", "id", n_perm=16, band_size=4).collect()
+    }
+    # jaccard 1.0 pairs MUST collide in every band
+    assert (0, 1) in cands
+    # dissimilar pair should (with these params) not collide
+    assert (0, 3) not in cands
+
+
+def test_simhash_similar_docs_close(spark, dup_docs):
+    fps = {r.id: r.simhash for r in dedup.simhash(dup_docs, "text", "id", bits=16).collect()}
+    assert fps[0] == fps[1]
+    ham_near = bin(fps[0] ^ fps[2]).count("1")
+    ham_far = bin(fps[0] ^ fps[3]).count("1")
+    assert ham_near < ham_far
+
+
+# ---- similarity search
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    exact = [
+        r.id for r in similarity.cosine_topk(emb, "embedding", "vec_id", q, k=10, exclude_id=0).collect()
+    ]
+    approx = similarity.lsh_ann_topk(emb, "embedding", "vec_id", {"q": q}, k=11)
+    got = [r.id for r in approx.collect() if r.id != 0]
+    recall = len(set(exact) & set(got)) / 10
+    # uniform-random embeddings are the LSH worst case (no cluster
+    # structure); defaults still must beat random candidate selection
+    # (expected recall ~probe_fraction ~0.3) by a clear margin
+    assert recall >= 0.5, (recall, exact, got)
+
+
+# ---- multimodal plumbing
+
+def test_media_meta_stub(spark):
+    rows = [
+        (0, b"\x89PNG\r\n" + b"x" * 10),
+        (1, b"\xff\xd8\xff\xe0jpegdata"),
+        (2, b"plain bytes"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    got = {r.id: (r.kind, r.n_bytes) for r in multimodal.extract_media_meta(df, "blob", "id").collect()}
+    assert got[0][0] == "png" and got[1][0] == "jpeg"
+    assert got[2] == ("unknown", 11)
+    assert got[3] == ("unknown", 0)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(0, b"x" * 25000)], "id long, blob binary")
+    frames = [r.frame_no for r in multimodal.frame_sample_plan(df, "blob", "id", every_n=10).collect()]
+    assert frames == [0, 10, 20]  # 25 stub-frames, every 10th

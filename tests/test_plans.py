@@ -1,0 +1,78 @@
+"""Physical-plan assertions: the optimizations SURVEY.md §4 claims must
+be visible in `.explain` output — partition pruning on term buckets,
+parquet predicate pushdown, broadcast joins for tiny dimensions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from esbulk_spark.plans.reader import IndexReader
+
+
+@pytest.fixture(scope="module")
+def reader(spark, index_dir):
+    return IndexReader(spark, index_dir)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_postings_scan_is_bucket_pruned(reader):
+    """A query's postings scan must touch only its terms' bucket
+    directories (PartitionFilters) and push the term equality into the
+    parquet reader (PushedFilters)."""
+    terms = ["getusername"]
+    pruned = reader._pruned_postings(terms)
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan
+    # the bucket IN (...) literal list must appear inside PartitionFilters
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf
+    assert "PushedFilters" in plan and "term" in plan.split("PushedFilters", 1)[1]
+
+
+def test_dictionary_lookup_reads_only_needed_columns(reader):
+    d = reader.dictionary().select("term", "df")
+    plan = _plan(d)
+    # ReadSchema must not include cf (column pruning)
+    rs = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "df" in rs and "cf" not in rs
+
+
+def test_query_pairs_join_is_broadcast(reader):
+    res = reader.search_many({"q": "return score"}, k=5)
+    plan = _plan(res)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_fullscan_oracle_filter_before_aggregate(spark, corpus):
+    """The term filter must sit below the aggregate in the optimized
+    plan (filter pushdown through explode), so the groupBy only sees
+    matching tokens."""
+    from esbulk_spark.plans.score import bm25_fullscan
+
+    docs = corpus.withColumn("doc_id", F.xxhash64("commit"))
+    df = bm25_fullscan(docs, "getUserName", text_col="content", k=5)
+    opt = _optimized(df)
+    agg_pos = opt.find("Aggregate")
+    filt_pos = opt.rfind("Filter")
+    assert agg_pos != -1 and filt_pos != -1 and filt_pos > agg_pos
+
+
+def test_whole_stage_codegen_on_native_tokenizer(spark, corpus):
+    """The native-expression analyzer path must stay inside whole-stage
+    codegen (no Python in the hot loop)."""
+    from esbulk_spark.functions.analyzer import tokens_col
+
+    df = corpus.select(F.explode(tokens_col("content")).alias("t")).groupBy("t").count()
+    df.collect()  # finalize the AQE plan
+    plan = _plan(df)
+    # codegen stages print as "*(n)" in executedPlan.toString
+    assert "WholeStageCodegen" in plan or "*(" in plan
+    # the analyzer adds NO Python evaluation (corpus generation is
+    # MapInPandas, which is fine — it is the synthetic source, not the path)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
