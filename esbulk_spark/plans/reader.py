@@ -40,22 +40,42 @@ class IndexReader:
         self.index_dir = index_dir
         with open(os.path.join(index_dir, STATS_FILE)) as f:
             self.stats = json.load(f)
+        self._tables: dict[str, DataFrame] = {}
 
     @property
     def n_docs(self) -> int:
         return self.stats["n_docs"]
 
+    def _table(self, name: str) -> DataFrame:
+        # memoized: re-creating the relation re-lists every partition
+        # directory (100s of ms on a bucketed postings table) per query.
+        # After an external rebuild of a stage directory call refresh().
+        df = self._tables.get(name)
+        if df is None:
+            df = self.spark.read.parquet(os.path.join(self.index_dir, name))
+            self._tables[name] = df
+        return df
+
+    def refresh(self) -> None:
+        """Invalidate memoized relations + Spark's file-listing caches
+        (needed after a stage directory is rebuilt in place)."""
+        self._tables.clear()
+        for name in ("docs", "dictionary", "postings", "norms"):
+            p = os.path.join(self.index_dir, name)
+            if os.path.exists(p):
+                self.spark.catalog.refreshByPath(p)
+
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        return self._table("docs")
 
     def dictionary(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "dictionary"))
+        return self._table("dictionary")
 
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        return self._table("postings")
 
     def norms(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "norms"))
+        return self._table("norms")
 
     def doc_count(self) -> int:
         """Post-ingest verification count (run_test.go:318-320 analog)."""
@@ -99,32 +119,34 @@ class IndexReader:
         prune: bool = True,
         round_to: int | None = None,
     ) -> DataFrame:
-        """Batch top-k: one postings scan + one shuffle for ALL queries.
+        """Batch top-k: ONE Spark job for all queries.
 
-        Returns (qid, doc_id, score) with per-qid top-k, ordered within
-        qid by (score desc, doc_id asc)."""
+        The per-term df (for idf) rides in via a broadcast join with the
+        bucket-pruned dictionary instead of a separate driver-side lookup
+        job; the scorer computes idf inline. Returns (qid, doc_id, score)
+        with per-qid top-k, ordered within qid by (score desc, doc_id asc)."""
         analyzed = {qid: analyze_query(q) for qid, q in queries.items()}
         all_terms = sorted({t for ts in analyzed.values() for t in ts})
-        dfs = self.lookup_terms(all_terms)
-        meta_by_qid = {
-            qid: {t: float(idf_fn(dfs[t], self.n_docs)) for t in ts if t in dfs}
-            for qid, ts in analyzed.items()
-        }
-        live_terms = sorted({t for m in meta_by_qid.values() for t in m})
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
-        if not live_terms:
+        if not all_terms:
             return empty
 
-        # (qid, term) pairs: broadcast-joined onto the pruned postings scan
+        # (qid, term) pairs: tiny, broadcast onto the pruned postings scan
         pairs = self.spark.createDataFrame(
-            [(qid, t) for qid, m in meta_by_qid.items() for t in m],
+            [(qid, t) for qid, ts in analyzed.items() for t in ts],
             "qid string, term string",
         )
-        posts = self._pruned_postings(live_terms)
-        tagged = posts.join(F.broadcast(pairs), "term")
+        buckets = self._buckets(all_terms)
+        dictionary = self.dictionary().filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+        ).select("term", "df")
+        posts = self._pruned_postings(all_terms)
+        tagged = posts.join(F.broadcast(pairs), "term").join(
+            F.broadcast(dictionary), "term"
+        )
 
         scorer = make_group_scorer(
-            meta_by_qid,
+            self.n_docs,
             k,
             self.stats["k1"],
             self.stats["b"],

@@ -110,7 +110,7 @@ class _TermCursor:
 
 def score_group(
     pdf,
-    idfs: dict[str, float],
+    n_docs: int,
     k: int,
     k1: float,
     b: float,
@@ -121,13 +121,12 @@ def score_group(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one (query, shard) group of postings-chunk rows.
 
-    Returns (top_doc_ids, top_scores), sorted by (score desc, doc_id asc),
-    at most k entries."""
+    Per-term df rides in as a column (broadcast-joined from the
+    dictionary); idf is computed here. Returns (top_doc_ids, top_scores),
+    sorted by (score desc, doc_id asc), at most k entries."""
     cursors: list[_TermCursor] = []
     for term, grp in pdf.groupby("term", sort=True):
-        t_idf = idfs.get(term)
-        if t_idf is None:
-            continue
+        t_idf = float(idf(int(grp["df"].iloc[0]), n_docs))
         rows = [grp.iloc[i] for i in np.argsort(grp["min_doc"].values, kind="stable")]
         cursors.append(_TermCursor(t_idf, rows, block_size, k1, b, avgdl))
     if not cursors:
@@ -215,7 +214,7 @@ def score_group(
 
 
 def make_group_scorer(
-    meta_by_qid: dict[str, dict[str, float]],
+    n_docs: int,
     k: int,
     k1: float,
     b: float,
@@ -228,8 +227,7 @@ def make_group_scorer(
 
     def fn(key, pdf):
         qid = key[0]
-        idfs = meta_by_qid.get(qid, {})
-        ids, scores = score_group(pdf, idfs, k, k1, b, avgdl, block_size, prune)
+        ids, scores = score_group(pdf, n_docs, k, k1, b, avgdl, block_size, prune)
         return pd.DataFrame({"qid": qid, "doc_id": ids, "score": scores})
 
     return fn

@@ -147,6 +147,7 @@ def test_resume_rebuilds_lost_stage(spark, corpus, index_dir, reader):
     shutil.rmtree(os.path.join(index_dir, "postings"))
     cfg = IndexConfig(index_dir=index_dir, n_buckets=8, n_shards=4, chunk_cap=256)
     build_index(spark, corpus, cfg, input_sig="test150")
+    reader.refresh()  # postings dir was rebuilt in place
     after = {
         (r.term, r.shard, r.chunk): bytes(r.blob_ids)
         for r in reader.postings().collect()
