@@ -61,14 +61,15 @@ def main() -> None:
     # ---- 1. index build throughput (synthetic input_hint corpus) ----
     # corpus materialization is NOT timed: the reference reads an existing
     # file (run.go:269-283); we index an existing parquet table.
-    corpus_dir = f"/tmp/esbulk_bench_corpus_{n_docs}"
+    tmpdir = os.environ.get("BENCH_TMPDIR", "/tmp")
+    corpus_dir = f"{tmpdir}/esbulk_bench_corpus_{n_docs}"
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
         synth_corpus(spark, n_docs, seed=42).write.mode("overwrite").parquet(corpus_dir)
     corpus = spark.read.parquet(corpus_dir)
     out["corpus_bytes"] = sum(
         f.stat().st_size for f in os.scandir(corpus_dir) if f.is_file()
     )
-    idx_dir = f"/tmp/esbulk_bench_index_{cpus}_{n_docs}"
+    idx_dir = f"{tmpdir}/esbulk_bench_index_{cpus}_{n_docs}"
     shutil.rmtree(idx_dir, ignore_errors=True)
     cfg = IndexConfig(index_dir=idx_dir, n_buckets=32, n_shards=8, chunk_cap=1 << 17)
     t0 = time.monotonic()

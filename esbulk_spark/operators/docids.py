@@ -22,7 +22,7 @@ bottleneck, no single reducer.
 
 from __future__ import annotations
 
-from collections.abc import Iterator, Sequence
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -48,9 +48,15 @@ def assign_doc_ids_with_count(
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, int]:
     """assign_doc_ids + the total row count, which the prefix-sum pass
-    computes anyway — callers save one count() action."""
-    import pandas as pd
+    computes anyway — callers save one count() action.
 
+    Entirely JVM-side: ``monotonically_increasing_id`` after a range
+    partition + within-partition sort is ``(pid << 33) + local_index``
+    (documented contract), so dense ids are ``partition_offset +
+    local_index`` with offsets from a one-row-per-partition count. No
+    document content ever crosses into Python — routing multi-KB rows
+    through Arrow just to number them measurably bloats the reused
+    Python workers and slows every later Python stage."""
     keys = [F.col(k) for k in sort_keys]
     if num_partitions:
         parted = df.repartitionByRange(num_partitions, *keys)
@@ -62,8 +68,7 @@ def assign_doc_ids_with_count(
     # pass 1: per-partition counts -> exclusive prefix sums (driver-side,
     # one row per partition — this is metadata, not data)
     counts = (
-        parted.withColumn("__pid", F.spark_partition_id())
-        .groupBy("__pid")
+        parted.groupBy(F.spark_partition_id().alias("__pid"))
         .count()
         .collect()
     )
@@ -74,23 +79,24 @@ def assign_doc_ids_with_count(
         offsets[pid] = acc
         acc += by_pid[pid]
 
-    # pass 2: local running index + partition offset
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    out_schema = StructType(
-        list(parted.schema.fields) + [StructField(out_col, LongType(), False)]
+    # pass 2 (pure expressions): offset[pid] + (mono - (pid << 33))
+    spark = df.sparkSession
+    offset_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+        "__pid int, __offset long",
     )
-
-    def add_ids(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        base = offsets.get(pid, 0)
-        seen = 0
-        for pdf in pdfs:
-            pdf = pdf.copy()
-            pdf[out_col] = range(base + seen, base + seen + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    return parted.mapInPandas(add_ids, out_schema), acc
+    with_mono = parted.withColumn(
+        "__pid", F.spark_partition_id()
+    ).withColumn("__mono", F.monotonically_increasing_id())
+    out = (
+        with_mono.join(F.broadcast(offset_df), "__pid", "left")
+        .withColumn(
+            out_col,
+            (
+                F.coalesce(F.col("__offset"), F.lit(0))
+                + (F.col("__mono") - (F.col("__pid").cast("long") * F.lit(1 << 33)))
+            ).cast("long"),
+        )
+        .drop("__pid", "__mono", "__offset")
+    )
+    return out, acc

@@ -3,35 +3,41 @@
 The reference delegates segment merging to Elasticsearch/Lucene and only
 triggers the commit point (`_flush`, /root/reference/administration.go:32-48,
 invoked run.go:256). Here segments are INDEPENDENT INDEX DIRECTORIES
-built over disjoint doc-id ranges (e.g. per ingest wave, or the
-incremental batches of streaming/); merging produces one index that is
-byte-identical to a single-pass build over the union.
+built over disjoint doc-id ranges (per ingest wave, or the incremental
+batches of streaming/); merging produces one index byte-identical to a
+single-pass build over the union.
 
 Correctness subtlety: per-block max_tfnorm bakes in the GLOBAL avgdl at
 build time, and avgdl changes when segments merge. The raw tf/dl streams
 are stored per posting, so the merge decodes (term, doc_id, tf, dl) rows
-from every segment and re-runs the standard postings/dictionary/stats
-stages with the merged statistics — block metadata comes out right by
-construction. (A metadata-only rewrite that keeps blobs and recomputes
-just the max columns is the planned optimization; re-encode is the
-simple provably-identical baseline.)
+from every segment and re-runs the postings/dictionary stages with the
+merged statistics — content is never re-tokenized, and block metadata
+comes out right by construction. Global stats are ADDITIVE across
+segments (N, total tokens, total postings), so no corpus pass happens at
+all. (A metadata-only rewrite that keeps blobs and recomputes just the
+max columns is the planned optimization; re-encode is the simple
+provably-identical baseline.)
 """
 
 from __future__ import annotations
 
+import json
+import math
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from esbulk_spark.config import IndexConfig
-from esbulk_spark.plans.build import build_index
+from esbulk_spark.plans.build import STATS_FILE, _atomic_write, build_index
+from esbulk_spark.plans.checkpoint import Manifest
 
 
 def segment_tf_rows(spark: SparkSession, index_dir: str) -> DataFrame:
     """Decode one segment's postings back to (doc_id, term, tf, dl) rows
-    plus the per-doc sentinel rows (from norms) — the exact shape of the
-    tf stage, so the standard build stages can re-run on the union."""
+    — the exact shape of the postings-stage input, so the standard build
+    stages re-run on the union without re-tokenizing content."""
     import numpy as np
     import pandas as pd
 
@@ -55,17 +61,7 @@ def segment_tf_rows(spark: SparkSession, index_dir: str) -> DataFrame:
                 {"doc_id": [], "term": [], "tf": [], "dl": []}
             )
 
-    body = posts.mapInPandas(decode, "doc_id long, term string, tf int, dl int")
-    sentinels = (
-        spark.read.parquet(os.path.join(index_dir, "norms"))
-        .select(
-            "doc_id",
-            F.lit(None).cast("string").alias("term"),
-            F.lit(0).cast("int").alias("tf"),
-            F.col("dl").cast("int").alias("dl"),
-        )
-    )
-    return body.unionByName(sentinels)
+    return posts.mapInPandas(decode, "doc_id long, term string, tf int, dl int")
 
 
 def merge_segments(
@@ -76,45 +72,56 @@ def merge_segments(
     """Merge segment indexes into one index at out_cfg.index_dir.
 
     Doc ids must be globally unique across segments (disjoint ranges —
-    the incremental-ingest contract). The merged docs table is the
-    union; tf rows are decoded from segment postings and re-staged, so
-    tokenization does NOT re-run (contents are not re-analyzed)."""
-    docs = None
-    for d in segment_dirs:
-        seg_docs = spark.read.parquet(os.path.join(d, "docs"))
-        docs = seg_docs if docs is None else docs.unionByName(seg_docs)
-
-    tf = None
-    for d in segment_dirs:
-        rows = segment_tf_rows(spark, d)
-        tf = rows if tf is None else tf.unionByName(rows)
-
-    # re-run the standard build with the pre-computed tf rows injected:
-    # write docs + tf staging in the layout build_index expects, then let
-    # it resume from the stats stage onward.
-    import shutil
-
-    from esbulk_spark.plans.build import _atomic_write
-    from esbulk_spark.plans.checkpoint import Manifest
-    import math
-
+    the incremental-ingest contract, streaming/incremental.py)."""
+    input_sig = "merge:" + "|".join(sorted(segment_dirs))
     out = out_cfg.index_dir
-    fp = out_cfg.fingerprint("merge:" + "|".join(sorted(segment_dirs)))
+    fp = out_cfg.fingerprint(input_sig)
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     man = Manifest(out, fp)
 
+    # docs: plain union (disjoint ids; norms columns ride in the docs table)
+    docs = None
+    seg_stats = []
+    for sd in segment_dirs:
+        d = spark.read.parquet(os.path.join(sd, "docs"))
+        docs = d if docs is None else docs.unionByName(d)
+        seg_stats.append(json.load(open(os.path.join(sd, STATS_FILE))))
+
     _atomic_write(docs, os.path.join(out, "docs"))
-    n_docs = spark.read.parquet(os.path.join(out, "docs")).count()
+    n_docs = sum(s["n_docs"] for s in seg_stats)
     man.record("docs", rows=n_docs)
 
-    n_shards = out_cfg.n_shards or max(1, math.ceil(n_docs / out_cfg.target_shard_docs))
+    # global stats are additive across segments — no corpus pass
+    n_shards = out_cfg.n_shards or max(
+        1, math.ceil(n_docs / out_cfg.target_shard_docs)
+    )
     shard_size = math.ceil(n_docs / n_shards) if n_docs else 1
-    tf = tf.withColumn("shard", (F.col("doc_id") / F.lit(shard_size)).cast("int"))
-    _atomic_write(tf, os.path.join(out, "tf"))
-    man.record("tf")
+    total_tokens = sum(s["total_tokens"] for s in seg_stats)
+    stats = {
+        "n_docs": int(n_docs),
+        "avgdl": (total_tokens / n_docs) if n_docs else 1.0,
+        "total_tokens": total_tokens,
+        "total_postings": sum(s["total_postings"] for s in seg_stats),
+        "k1": out_cfg.k1,
+        "b": out_cfg.b,
+        "analyzer": out_cfg.analyzer,
+        "n_shards": int(n_shards),
+        "shard_size": int(shard_size),
+        "n_buckets": out_cfg.n_buckets,
+        "chunk_cap": out_cfg.chunk_cap,
+        "block_size": out_cfg.block_size,
+        "fingerprint": fp,
+    }
+    with open(os.path.join(out, STATS_FILE), "w") as f:
+        json.dump(stats, f, indent=1)
+    man.record("stats", **{k: v for k, v in stats.items() if k != "fingerprint"})
 
-    # remaining stages (stats/norms/dictionary/postings) run inside
-    # build_index, which sees docs+tf done and resumes
+    # postings + dictionary re-run on decoded rows with merged stats
+    tf = None
+    for sd in segment_dirs:
+        rows = segment_tf_rows(spark, sd)
+        tf = rows if tf is None else tf.unionByName(rows)
+
     dummy_docs = spark.read.parquet(os.path.join(out, "docs"))
-    return build_index(spark, dummy_docs, out_cfg, input_sig="merge:" + "|".join(sorted(segment_dirs)))
+    return build_index(spark, dummy_docs, out_cfg, input_sig=input_sig, tf_source=tf)

@@ -1,19 +1,20 @@
 """Index build driver (SURVEY.md B2-B7; reference lifecycle run.go:90-367).
 
-Spark-first dataflow, one shuffle per stage, every stage a materialized
-checkpoint (plans/checkpoint.py):
+Spark-first dataflow, every stage a materialized checkpoint
+(plans/checkpoint.py):
 
-  docs   : input -> [pipeline] -> doc_id assignment -> parquet
-           (the DDL prologue analog: purge/create, run.go:160-198)
-  tf     : one Arrow pass (mapInPandas) tokenize+count ->
-           (doc_id, term, tf, dl) + per-doc sentinel rows, written
-           partitioned by doc-range shard. THE big intermediate; no
-           exploded raw-token table ever exists.
-  stats  : N, avgdl, total postings (tiny aggregates) -> stats.json
-  dict   : groupBy(term) -> (term, df, cf), partitioned by term bucket
-  postings: groupBy(term, shard) -> applyInPandas chunk builder ->
-           delta+varint blobs + per-block (last_doc, max_tfnorm, byte
-           offsets), partitioned by term bucket.
+  docs    : input -> [pipeline] -> JVM-only doc-id assignment + sha256
+            + document norms (dl, n_terms via the native-expression
+            analyzer in whole-stage codegen) -> parquet, ONE pass
+            (the DDL prologue analog, run.go:160-198)
+  stats   : tiny aggregates over the docs norm columns -> stats.json
+  postings: THE Python pass — Arrow tokenize+count flows directly into
+            the (term, shard) shuffle and the vectorized chunk encoder
+            (delta+varint blobs + per-block max-tfnorm + byte offsets),
+            partitioned by term bucket. No tf staging table: writing and
+            re-reading ~2 tf rows per posting costs more than recomputing.
+  dict    : (term, df, cf) aggregated from postings CHUNK METADATA
+            (chunk row counts + chunk_cf), partitioned by term bucket.
 
 Scale design:
   * doc-range shards bound every (term, shard) group — even a stopword
@@ -44,13 +45,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from esbulk_spark.config import IndexConfig
-from esbulk_spark.functions.analyzer import TF_SCHEMA, tf_map_in_pandas
+from esbulk_spark.functions.analyzer import TF_SCHEMA, tf_map_in_pandas, tokens_col
 from esbulk_spark.functions.codec import encode_postings, varint_encode_blocks
 from esbulk_spark.operators.docids import assign_doc_ids_with_count
 from esbulk_spark.plans.checkpoint import Manifest, StageTimer
 
 POSTINGS_SCHEMA = (
     "term string, shard int, chunk int, min_doc long, max_doc long, n int, "
+    "chunk_cf long, "
     "max_tfnorm double, blob_ids binary, blob_tfs binary, blob_dls binary, "
     "block_last array<long>, block_max_tfnorm array<double>, "
     "off_ids array<int>, off_tfs array<int>, off_dls array<int>"
@@ -69,7 +71,7 @@ def _tfnorm(tf: np.ndarray, dl: np.ndarray, k1: float, b: float, avgdl: float) -
 
 
 _CHUNK_COLS = [
-    "term", "shard", "chunk", "min_doc", "max_doc", "n",
+    "term", "shard", "chunk", "min_doc", "max_doc", "n", "chunk_cf",
     "max_tfnorm", "blob_ids", "blob_tfs", "blob_dls",
     "block_last", "block_max_tfnorm", "off_ids", "off_tfs", "off_dls",
 ]
@@ -122,6 +124,9 @@ def _encode_batch_groups(terms, shards, ids, tfs, dls, tfn, starts, ends, cap, b
     blk_max = np.maximum.reduceat(tfn, b_start)
     blk_last = ids[b_end - 1]
     chunk_max = np.maximum.reduceat(tfn, c_start)
+    # per-chunk collection frequency: lets the dictionary (df, cf) derive
+    # from chunk metadata alone — no second pass over raw tf rows
+    chunk_cf = np.add.reduceat(tfs, c_start)
 
     rows = []
     for k in range(c_start.size):
@@ -131,7 +136,7 @@ def _encode_batch_groups(terms, shards, ids, tfs, dls, tfn, starts, ends, cap, b
         rows.append(
             (
                 terms[starts[g]], int(shards[starts[g]]), int(chunk_idx[k]),
-                int(ids[s]), int(ids[e - 1]), int(e - s),
+                int(ids[s]), int(ids[e - 1]), int(e - s), int(chunk_cf[k]),
                 float(chunk_max[k]),
                 blob_d[pos_d[s]:pos_d[e]], blob_t[pos_t[s]:pos_t[e]],
                 blob_l[pos_l[s]:pos_l[e]],
@@ -229,8 +234,14 @@ def build_index(
     docs: DataFrame,
     cfg: IndexConfig,
     input_sig: str = "",
+    tf_source: DataFrame | None = None,
 ) -> dict:
-    """Build (or resume) the full index table set under cfg.index_dir."""
+    """Build (or resume) the full index table set under cfg.index_dir.
+
+    ``tf_source``: pre-computed (doc_id, term, tf, dl) rows — the segment
+    merge path provides these (decoded from segment postings) so content
+    is never re-tokenized; such callers must pre-populate the docs and
+    stats stages in the manifest."""
     d = cfg.index_dir
     fp = cfg.fingerprint(input_sig)
     man = Manifest(d, fp)
@@ -255,8 +266,18 @@ def build_index(
             # serves _source at query time. (At 10^12-file scale you would
             # point the tf stage at the source Iceberg table instead and keep
             # only content_sha here — the per-row invariant, BASELINE.json.)
-            with_ids = with_ids.withColumn(
-                "content_sha", F.sha2(F.col(cfg.text_col), 256)
+            # dl/n_terms (document norms) ride along in the same pass: the
+            # native-expression analyzer runs JVM-side inside this write,
+            # so no separate norms pass over the corpus exists at all.
+            toks_tmp = "__toks"
+            with_ids = (
+                with_ids.withColumn(
+                    "content_sha", F.sha2(F.col(cfg.text_col), 256)
+                )
+                .withColumn(toks_tmp, tokens_col(F.col(cfg.text_col)))
+                .withColumn("dl", F.size(F.col(toks_tmp)))
+                .withColumn("n_terms", F.size(F.array_distinct(F.col(toks_tmp))))
+                .drop(toks_tmp)
             )
             _atomic_write(with_ids, docs_path)
             # drop the range-partitioned cache assign_doc_ids pinned: leaving
@@ -274,33 +295,17 @@ def build_index(
     n_shards = cfg.n_shards or max(1, math.ceil(n_docs / cfg.target_shard_docs))
     shard_size = math.ceil(n_docs / n_shards) if n_docs else 1
 
-    # ---- stage: tf (single Arrow pass; sentinel rows carry dl) ----
-    tf_path = os.path.join(d, "tf")
-    if not man.is_done("tf", tf_path):
-        with StageTimer() as t:
-            dd = spark.read.parquet(docs_path)
-            tf = dd.select("doc_id", cfg.text_col).mapInPandas(
-                tf_map_in_pandas("doc_id", cfg.text_col), TF_SCHEMA
-            )
-            tf = tf.withColumn(
-                "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
-            )
-            # no partitionBy: shard is recomputable from doc_id, and dynamic
-            # partition writes fan out into tiny files; downstream stages
-            # re-shuffle anyway
-            _atomic_write(tf, tf_path)
-        man.record("tf", secs=t.secs)
-
-    tf = spark.read.parquet(tf_path)
-    postings_in = tf.filter(F.col("term").isNotNull())
-
-    # ---- stage: stats (tiny aggregates -> stats.json) ----
+    # ---- stage: stats (tiny aggregates over docs norm columns) ----
+    # norms (doc_id, dl, n_terms) live IN the docs table, computed by the
+    # native-expression analyzer (byte-identical to the Arrow UDF,
+    # tests/test_analyzer.py) during the docs write — the corpus is never
+    # re-read just for norms; this aggregate scans two small columns.
     stats_path = os.path.join(d, STATS_FILE)
     if not man.is_done("stats", stats_path):
         with StageTimer() as t:
-            agg = postings_in.agg(
-                F.sum("tf").alias("total_tokens"),
-                F.count(F.lit(1)).alias("total_postings"),
+            agg = spark.read.parquet(docs_path).agg(
+                F.sum("dl").alias("total_tokens"),
+                F.sum("n_terms").alias("total_postings"),
             ).collect()[0]
             total_tokens = int(agg["total_tokens"] or 0)
             total_postings = int(agg["total_postings"] or 0)
@@ -325,38 +330,34 @@ def build_index(
         man.record("stats", secs=t.secs, **{k: v for k, v in stats.items() if k != "fingerprint"})
     stats = json.load(open(stats_path))
 
-    # ---- stage: norms (doc_id, dl) — oracle/test support ----
-    norms_path = os.path.join(d, "norms")
-    if not man.is_done("norms", norms_path):
-        with StageTimer() as t:
-            norms = tf.filter(F.col("term").isNull()).select("doc_id", "dl")
-            _atomic_write(norms, norms_path)
-        man.record("norms", secs=t.secs)
-
-    # ---- stage: dictionary (term, df, cf) by bucket ----
-    dict_path = os.path.join(d, "dictionary")
-    if not man.is_done("dictionary", dict_path):
-        with StageTimer() as t:
-            dictionary = (
-                postings_in.groupBy("term")
-                .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
-                .withColumn("bucket", bucket_col(F.col("term"), cfg.n_buckets))
-            )
-            _atomic_write(dictionary, dict_path, partition_by=["bucket"])
-        man.record("dictionary", secs=t.secs)
-
     # ---- stage: postings chunks by bucket ----
+    # The only Python pass over content: tokenize+count flows DIRECTLY into
+    # the (term, shard) shuffle and the chunk encoder — no tf staging table
+    # (writing + re-reading 90M+ rows of tf cost more than recomputing).
     post_path = os.path.join(d, "postings")
     if not man.is_done("postings", post_path):
         with StageTimer() as t:
+            if tf_source is not None:
+                body = tf_source
+            else:
+                body = (
+                    spark.read.parquet(docs_path)
+                    .select("doc_id", cfg.text_col)
+                    .mapInPandas(
+                        tf_map_in_pandas("doc_id", cfg.text_col, emit_sentinels=False),
+                        TF_SCHEMA,
+                    )
+                )
+            body = body.withColumn(
+                "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
+            )
             # postings rows are ~30 B: large Arrow batches amortize the
-            # Python round trip (the tf stage, with multi-KB docs per row,
-            # needs the small session default instead)
+            # Python round trip of the chunk encoder
             arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
             prev_batch = spark.conf.get(arrow_key)
             spark.conf.set(arrow_key, "131072")
             chunks = (
-                postings_in.select("term", "shard", "doc_id", "tf", "dl")
+                body.select("term", "shard", "doc_id", "tf", "dl")
                 .repartition(
                     int(spark.conf.get("spark.sql.shuffle.partitions")),
                     "term", "shard",
@@ -379,6 +380,37 @@ def build_index(
             "postings", secs=t.secs, chunks=int(srow["chunks"]),
             skew_ratio=skew,
             postings_per_sec=(stats["total_postings"] / t.secs if t.secs else 0),
+        )
+
+    # ---- stage: dictionary (term, df, cf) from postings chunk metadata ----
+    dict_path = os.path.join(d, "dictionary")
+    if not man.is_done("dictionary", dict_path):
+        with StageTimer() as t:
+            dictionary = (
+                spark.read.parquet(post_path)
+                .groupBy("term")
+                .agg(F.sum("n").alias("df"), F.sum("chunk_cf").alias("cf"))
+                .withColumn("bucket", bucket_col(F.col("term"), cfg.n_buckets))
+            )
+            _atomic_write(dictionary, dict_path, partition_by=["bucket"])
+            # explicit hot-term accounting (north rule): terms whose df
+            # exceeds one shard's doc capacity are the skew drivers — the
+            # doc-range shard is their salt; record them per build
+            hot = (
+                spark.read.parquet(dict_path)
+                .orderBy(F.desc("df"))
+                .limit(20)
+                .collect()
+            )
+        man.record(
+            "dictionary",
+            secs=t.secs,
+            hot_terms=[
+                {"term": r["term"], "df": int(r["df"]),
+                 "salted_into_shards": min(int(n_shards), int(r["df"]))}
+                for r in hot
+                if r["df"] > shard_size
+            ],
         )
     return stats
 

@@ -60,7 +60,7 @@ class IndexReader:
         """Invalidate memoized relations + Spark's file-listing caches
         (needed after a stage directory is rebuilt in place)."""
         self._tables.clear()
-        for name in ("docs", "dictionary", "postings", "norms"):
+        for name in ("docs", "dictionary", "postings"):
             p = os.path.join(self.index_dir, name)
             if os.path.exists(p):
                 self.spark.catalog.refreshByPath(p)
@@ -75,7 +75,9 @@ class IndexReader:
         return self._table("postings")
 
     def norms(self) -> DataFrame:
-        return self._table("norms")
+        # document norms live in the docs table (computed during the docs
+        # write); parquet column pruning makes this projection cheap
+        return self._table("docs").select("doc_id", "dl")
 
     def doc_count(self) -> int:
         """Post-ingest verification count (run_test.go:318-320 analog)."""

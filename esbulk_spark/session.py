@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # shuffle spill space on tmpfs: on a real cluster every executor
+        # brings its own local NVMe (scales with N); the sandbox's single
+        # shared virtual disk is an artificial serial resource
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -59,6 +59,22 @@ def test_duckdb_sql_matches_python():
         assert got == tokenize_text(t), t
 
 
+def test_fast_path_equals_reference_pipeline():
+    """The findall fast path must match the sub/split spec exactly."""
+    import random
+    import string
+
+    from esbulk_spark.functions.analyzer import tokenize_text_reference
+
+    rng = random.Random(7)
+    alphabet = string.ascii_letters + string.digits + "_ .-{}();\n" + "é漢"
+    for _ in range(5000):
+        s = "".join(rng.choices(alphabet, k=rng.randint(0, 150)))
+        assert tokenize_text(s) == tokenize_text_reference(s), repr(s)
+    for s, _ in GOLDENS:
+        assert tokenize_text(s) == tokenize_text_reference(s)
+
+
 def test_stopwords_are_lowercase_ascii():
     for w in STOPWORDS:
         assert w == w.lower() and w.isascii()

@@ -103,6 +103,20 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, (recall, exact, got)
 
 
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    exact = [
+        r.id for r in similarity.cosine_topk(emb, "embedding", "vec_id", q, k=10, exclude_id=0).collect()
+    ]
+    approx = similarity.ivf_ann_topk(
+        emb, "embedding", "vec_id", {"q": q}, k=11, n_lists=8, n_probe=3
+    )
+    got = [r.id for r in approx.collect() if r.id != 0]
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.5, (recall, exact, got)
+
+
 # ---- multimodal plumbing
 
 def test_media_meta_stub(spark):

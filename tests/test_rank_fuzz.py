@@ -1,0 +1,80 @@
+"""Rank-identity hardening: ties and randomized corpora.
+
+The hard parts list (SURVEY.md §7): rank-identical scores under ties and
+equal block maxes. Duplicate documents produce bit-equal BM25 scores;
+the pruned path must keep them all and tie-break by doc_id exactly like
+the oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from esbulk_spark.config import IndexConfig
+from esbulk_spark.plans.build import build_index
+from esbulk_spark.plans.reader import IndexReader
+from esbulk_spark.plans.score import bm25_fullscan
+
+
+def _check_queries(spark, docs, reader, queries, k=10):
+    for q in queries:
+        oracle = [
+            (r.doc_id, round(r.score, 6))
+            for r in bm25_fullscan(docs, q, text_col="content", k=k).collect()
+        ]
+        wand = [(r.doc_id, round(r.score, 6)) for r in reader.search(q, k=k).collect()]
+        full = [
+            (r.doc_id, round(r.score, 6))
+            for r in reader.search(q, k=k, prune=False).collect()
+        ]
+        assert oracle == wand == full, q
+
+
+def test_tied_scores_break_by_doc_id(spark, tmp_path):
+    """Many identical docs -> identical scores -> top-k must be the k
+    smallest doc_ids among the tied, in both paths."""
+    rows = (
+        [(f"r/{i}", f"p{i}", f"c{i}", "py", "alpha beta gamma") for i in range(20)]
+        + [(f"r/{i}", f"p{i}", f"c{i}", "py", "alpha delta") for i in range(20, 30)]
+        + [(f"r/{i}", f"p{i}", f"c{i}", "py", "unrelated words here") for i in range(30, 40)]
+    )
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(index_dir=d, n_buckets=4, n_shards=3, chunk_cap=8, block_size=4)
+    build_index(spark, docs, cfg, input_sig="ties")
+    r = IndexReader(spark, d)
+    built_docs = r.docs()
+    _check_queries(spark, built_docs, r, ["alpha", "alpha beta", "gamma delta", "beta"])
+    # explicit: with 20 identical docs, top-10 for "beta" = 10 smallest ids
+    res = [x.doc_id for x in r.search("beta", k=10).collect()]
+    assert res == sorted(res) and len(res) == 10
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_fuzz_rank_identity_random_corpus(spark, tmp_path, seed):
+    """Randomized corpora with tiny blocks/chunks (to force many block
+    boundaries and prune decisions) must stay rank-identical."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(120):
+        n = rng.randint(1, 60)
+        # zipf-ish: low-index words hot
+        words = [vocab[min(int(rng.expovariate(0.12)), 49)] for _ in range(n)]
+        rows.append((f"r{i % 5}", f"p{i}", f"c{i}", "py", " ".join(words)))
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    d = str(tmp_path / f"idx{seed}")
+    cfg = IndexConfig(index_dir=d, n_buckets=4, n_shards=5, chunk_cap=16, block_size=4)
+    build_index(spark, docs, cfg, input_sig=f"fuzz{seed}")
+    r = IndexReader(spark, d)
+    built_docs = r.docs()
+    queries = [
+        "w0", "w1 w2", "w0 w5 w9", "w49", "w0 w49",
+        " ".join(f"w{rng.randint(0, 49)}" for _ in range(4)),
+        " ".join(f"w{rng.randint(0, 49)}" for _ in range(4)),
+    ]
+    _check_queries(spark, built_docs, r, queries, k=15)
