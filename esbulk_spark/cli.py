@@ -17,7 +17,9 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import tempfile
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -32,8 +34,10 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p_index = sub.add_parser("index", help="build the inverted index")
-    p_index.add_argument("--input", required=True,
-                         help="parquet dir (corpus table) or .jsonl/.ldj file")
+    p_index.add_argument("--input", default="-",
+                         help="parquet dir (corpus table), .jsonl/.ldj file, "
+                              "or '-' for NDJSON on stdin (the reference's "
+                              "default input, cmd/esbulk/main.go:75-85)")
     p_index.add_argument("--index-dir", required=True, help="esbulk -index")
     p_index.add_argument("--purge", action=argparse.BooleanOptionalAction,
                          default=False, help="esbulk -purge (drop + recreate)")
@@ -87,17 +91,82 @@ def main(argv: list[str] | None = None) -> int:
     return rc
 
 
+def _spool_stdin() -> str:
+    """esbulk reads NDJSON from stdin by default (cmd/esbulk/main.go:75-85).
+    Spark reads files, so stdin is spooled to a temp file first — the
+    same single-reader bottleneck the reference has (run.go:284-299);
+    real deployments point --input at many files for a splittable scan."""
+    fd, path = tempfile.mkstemp(suffix=".jsonl", prefix="esbulk_stdin_")
+    with os.fdopen(fd, "w") as f:
+        for line in sys.stdin:
+            f.write(line)
+    return path
+
+
 def _load_input(spark, args):
+    """-> (docs_df, is_ndjson, quarantine_df|None).
+
+    NDJSON path parity: blank filter -> broken-JSON handling (skip or
+    quarantine, run.go:304-311 / our stronger split) -> id extraction
+    (-id a.b,c) -> missing-id quarantine (the reference FAILS such docs,
+    indexing.go:223,229) -> _id scrub when the spec names it
+    (indexing.go:245-256)."""
+    from pyspark.sql import functions as F
+
     from esbulk_spark.sources import ndjson
 
-    if args.input.endswith((".jsonl", ".ldj", ".json", ".ndjson", ".gz")):
-        lines = ndjson.drop_blank(ndjson.read_ndjson_lines(spark, args.input))
-        if args.skip_broken:
-            lines = ndjson.skip_broken(lines)
-        if args.id_spec:
-            lines = ndjson.extract_id(lines, args.id_spec, out_col="_doc_key")
-        return lines.withColumnRenamed("value", args.text_col), True
-    return spark.read.parquet(args.input), False
+    path = args.input
+    if path == "-":
+        path = _spool_stdin()
+    is_ndjson = path.endswith((".jsonl", ".ldj", ".json", ".ndjson", ".gz")) or args.input == "-"
+    if not is_ndjson:
+        return spark.read.parquet(path), False, None
+
+    lines = ndjson.drop_blank(ndjson.read_ndjson_lines(spark, path))
+    quarantine = None
+    if args.skip_broken:
+        lines = ndjson.skip_broken(lines)
+    else:
+        lines, bad = ndjson.quarantine_broken(lines)
+        quarantine = bad.select(
+            F.col("value").alias("line"), F.lit("broken_json").alias("reason")
+        )
+    if args.id_spec:
+        lines = ndjson.extract_id(lines, args.id_spec, out_col="_doc_key")
+        missing = lines.filter(F.col("_doc_key").isNull()).select(
+            F.col("value").alias("line"), F.lit("missing_id_field").alias("reason")
+        )
+        quarantine = missing if quarantine is None else quarantine.unionByName(missing)
+        lines = lines.filter(F.col("_doc_key").isNotNull())
+        if "_id" in ndjson.parse_id_spec(args.id_spec):
+            lines = ndjson.scrub_id_field(lines)
+    return lines.withColumnRenamed("value", args.text_col), True, quarantine
+
+
+def _apply_optype(spark, args, docs, key_col: str):
+    """Route -optype through the MERGE operators when indexing into an
+    EXISTING index (reference semantics: indexing.go:305-307). Returns
+    the merged (key, text) corpus to rebuild from."""
+    from pyspark.sql import functions as F
+
+    from esbulk_spark.operators import optype
+
+    existing = spark.read.parquet(os.path.join(args.index_dir, "docs")).select(
+        key_col, args.text_col
+    )
+    incoming = docs.select(key_col, args.text_col)
+    if args.optype == "index":
+        merged = optype.optype_index(
+            existing.withColumn("__seq", F.lit(0)),
+            incoming.withColumn("__seq", F.lit(1)),
+            [key_col],
+            "__seq",
+        ).drop("__seq")
+    elif args.optype == "create":
+        merged = optype.optype_create(existing, incoming, [key_col])
+    else:  # update: with only (key, text) columns this is upsert of text
+        merged = optype.optype_update(existing, incoming, [key_col])
+    return merged
 
 
 def _cmd_index(spark, args) -> int:
@@ -106,26 +175,60 @@ def _cmd_index(spark, args) -> int:
     from esbulk_spark.config import IndexConfig
     from esbulk_spark.plans.build import build_index
 
-    docs, is_ndjson = _load_input(spark, args)
+    docs, is_ndjson, quarantine = _load_input(spark, args)
+    key_col = "_doc_key" if (is_ndjson and args.id_spec) else args.id_col
+    if is_ndjson:
+        sort_keys = ("_doc_key",) if args.id_spec else (args.text_col,)
+    else:
+        sort_keys = tuple(args.sort_keys.split(","))
+
+    overwrite = args.purge
+    input_sig = args.input
+    existing_docs = os.path.join(args.index_dir, "docs")
+    if (
+        not args.purge
+        and key_col
+        and os.path.exists(existing_docs)
+    ):
+        # re-index into an existing index: merge by op-type, then rebuild.
+        # The merged corpus must be MATERIALIZED before the old index dir
+        # is purged (DataFrames are lazy; deleting their source first
+        # would read nothing).
+        merged = _apply_optype(spark, args, docs, key_col)
+        staging = tempfile.mkdtemp(prefix="esbulk_optype_")
+        merged.write.mode("overwrite").parquet(staging)
+        docs = spark.read.parquet(staging)
+        sort_keys = (key_col,)
+        overwrite = True
+        input_sig = f"{args.input}:optype={args.optype}:{time.time_ns()}"
+
     cfg = IndexConfig(
         index_dir=args.index_dir,
         id_col=args.id_col,
-        sort_keys=tuple(args.sort_keys.split(",")) if not is_ndjson else (args.text_col,),
+        sort_keys=sort_keys,
         text_col=args.text_col,
         n_buckets=args.n_buckets,
         n_shards=args.n_shards,
-        overwrite=args.purge,
+        overwrite=overwrite,
     )
     t0 = time.monotonic()
-    stats = build_index(spark, docs, cfg, input_sig=args.input)
+    stats = build_index(spark, docs, cfg, input_sig=input_sig)
+    n_quarantined = 0
+    if quarantine is not None:
+        # the error side-channel (run.go:202-220): nothing silently lost;
+        # written after the build so an overwrite purge can't delete it
+        qpath = os.path.join(args.index_dir, "quarantine")
+        quarantine.write.mode("overwrite").parquet(qpath)
+        n_quarantined = spark.read.parquet(qpath).count()
     dt = time.monotonic() - t0
     # esbulk's throughput epilogue (run.go:358-365)
     rate = stats["n_docs"] / dt if dt else 0.0
     print(
         f"{stats['n_docs']} docs in {dt:.1f}s at {rate:.1f} docs/s "
-        f"({stats['total_postings']} postings)",
+        f"({stats['total_postings']} postings, {n_quarantined} quarantined)",
         file=sys.stderr,
     )
+    stats = dict(stats, n_quarantined=n_quarantined)
     print(json.dumps(stats))
     return 0
 

@@ -155,8 +155,8 @@ def q_skip_broken(spark, sf_dir):
 
 SQL_SKIP_BROKEN = """
 SELECT event_type,
-       sum(CASE WHEN json_valid(line) THEN 1 ELSE 0 END) AS n_valid,
-       sum(CASE WHEN json_valid(line) THEN 0 ELSE 1 END) AS n_broken
+       CAST(sum(CASE WHEN json_valid(line) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(sum(CASE WHEN json_valid(line) THEN 0 ELSE 1 END) AS BIGINT) AS n_broken
 FROM (SELECT event_type,
              CASE WHEN event_id % 7 = 0 THEN 'x' || props ELSE props END AS line
       FROM events)
@@ -306,7 +306,7 @@ def q_corpus_stats(spark, sf_dir):
 
 
 SQL_CORPUS_STATS = f"""
-SELECT count(*) AS n_docs, sum(dl) AS total_tokens,
+SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens,
        round(sum(dl) * 1.0 / count(*), 6) AS avgdl
 FROM (SELECT len({TOKS}) AS dl FROM documents)
 """
@@ -334,7 +334,7 @@ WITH tf AS (
   FROM (SELECT doc_id, unnest({TOKS}) AS t FROM documents)
   GROUP BY doc_id, t
 )
-SELECT term, count(*) AS df, sum(tf) AS cf
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
 FROM tf GROUP BY term
 ORDER BY df DESC, cf DESC, term ASC LIMIT 100
 """
@@ -430,10 +430,13 @@ FROM documents GROUP BY sha256(text) ORDER BY keep_id
 """
 
 
+_JACC_MAX_DF = 1000  # hot-shingle skew guard ON in the graded entry: the
+# scale-safe configuration (candidate join fan-out bounded per shingle)
+
 def q_jaccard_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.jaccard_pairs(
-        d, "text", "doc_id", n=3, threshold=0.08, max_shingle_df=None
+        d, "text", "doc_id", n=3, threshold=0.08, max_shingle_df=_JACC_MAX_DF
     ).orderBy("id_a", "id_b")
 
 
@@ -444,6 +447,12 @@ WITH sh AS (
   WHERE s <> ''
 ), sizes AS (
   SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+), guarded AS (
+  SELECT * FROM sh
+  WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) > {_JACC_MAX_DF})
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM guarded a JOIN guarded b ON a.sh = b.sh AND a.id < b.id
 ), inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
   FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
@@ -451,7 +460,7 @@ WITH sh AS (
 )
 SELECT id_a, id_b,
        round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-FROM inter
+FROM cand JOIN inter USING (id_a, id_b)
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.08
@@ -504,7 +513,7 @@ WITH toks AS (
   FROM toks CROSS JOIN (SELECT unnest(range(16)) AS b)
   GROUP BY id, b
 )
-SELECT id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+SELECT id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY id ORDER BY id
 """
 
@@ -533,14 +542,66 @@ ORDER BY cosine DESC, id ASC LIMIT 10
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Approximate NN (LSH-bucketed) — no SQL oracle (approximate op);
-    driver records rows-only. Recall vs brute force is pytest-checked."""
+    """Approximate NN (LSH-bucketed). The op is approximate but fully
+    DETERMINISTIC given the seed, so an exact oracle exists: the DuckDB
+    SQL below recomputes the same hyperplane buckets (plane literals
+    inlined from the same seeded RNG) and brute-forces cosine over
+    exactly the Hamming<=2 probe buckets."""
     e = _t(spark, sf_dir, "embeddings")
     qs = {
         str(r.vec_id): [float(x) for x in r.embedding]
         for r in e.filter(F.col("vec_id") < 3).collect()
     }
     return similarity.lsh_ann_topk(e, "embedding", "vec_id", qs, k=10)
+
+
+def _ann_planes_values(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """The SAME seeded hyperplanes lsh_ann_topk draws, as SQL literals.
+    repr() round-trips float64 exactly, so both engines see identical
+    doubles."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    return ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in planes[i]))
+        for i in range(n_planes)
+    )
+
+
+SQL_ANN_LSH = f"""
+WITH planes(p, pv) AS (VALUES {_ann_planes_values()}),
+dots AS (
+  SELECT e.vec_id, pl.p,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> e.embedding[i]::DOUBLE * pl.pv[i])) AS dot
+  FROM embeddings e CROSS JOIN planes pl
+), sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+), q AS (
+  SELECT e.vec_id AS qvid, e.embedding AS qv, s.bucket AS qb
+  FROM embeddings e JOIN sig s ON s.vec_id = e.vec_id
+  WHERE e.vec_id < 3
+), cand AS (
+  SELECT CAST(q.qvid AS VARCHAR) AS qid, e.vec_id AS id,
+         round(
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(e.embedding, v -> v::DOUBLE * v::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv, v -> v::DOUBLE * v::DOUBLE)))),
+           6) AS cosine
+  FROM embeddings e
+  JOIN sig s ON s.vec_id = e.vec_id
+  JOIN q ON bit_count(xor(s.bucket, q.qb)) <= 2
+)
+SELECT qid, id, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rn
+      FROM cand)
+WHERE rn <= 10
+ORDER BY qid, cosine DESC, id ASC
+"""
 
 
 def q_lang_id(spark, sf_dir):
@@ -626,8 +687,8 @@ def q_token_counts(spark, sf_dir):
 
 SQL_TOKEN_COUNTS = f"""
 SELECT lang,
-       sum(len({_duck_words()})) AS ws_tokens,
-       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS bpe_tokens
+       CAST(sum(len({_duck_words()})) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -651,12 +712,17 @@ def q_multimodal_meta(spark, sf_dir):
     return multimodal.extract_media_meta(d, "blob", "doc_id").orderBy("id")
 
 
+# width/height derive from the first/last UTF-8 BYTE (hex of the blob),
+# matching the Spark stub's buf[0]/buf[-1] — ascii() would give the first
+# CHARACTER's code point, which diverges on any non-ASCII document
 SQL_MULTIMODAL = """
 SELECT doc_id AS id,
        octet_length(encode(text)) AS n_bytes,
        'unknown' AS kind,
-       1 + ascii(substr(text, 1, 1)) % 64 AS width,
-       1 + ascii(substr(text, -1, 1)) % 64 AS height
+       CASE WHEN octet_length(encode(text)) = 0 THEN 0
+            ELSE 1 + CAST('0x' || left(hex(encode(text)), 2) AS INTEGER) % 64 END AS width,
+       CASE WHEN octet_length(encode(text)) = 0 THEN 0
+            ELSE 1 + CAST('0x' || right(hex(encode(text)), 2) AS INTEGER) % 64 END AS height
 FROM documents ORDER BY id
 """
 
@@ -783,7 +849,7 @@ QUERIES = {
     "dedup_minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
     "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "ann_lsh_topk": (q_ann_lsh, None),  # approximate: rows-only check
+    "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
     "lang_id_heuristic": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality, SQL_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),

@@ -92,7 +92,6 @@ def jaccard_pairs(
     but intersection counts remain exact for surviving pairs because
     they are computed from full shingle sets."""
     sh = ngram_shingles(df, text_col, id_col, n).cache()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     cand_src = sh
     if max_shingle_df is not None:
         hot = (
@@ -103,18 +102,31 @@ def jaccard_pairs(
         cand_src = sh.join(F.broadcast(hot), "sh", "left_anti")
     a = cand_src.select(F.col("id").alias("id_a"), "sh")
     b = cand_src.select(F.col("id").alias("id_b"), "sh")
-    inter = (
+    # candidate pairs: share >=1 NON-HOT shingle (the guard bounds this
+    # join's per-key fan-out; only pairs whose sole overlap is hot
+    # shingles lose recall)
+    cand = (
         a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select("id_a", "id_b")
+        .distinct()
     )
+    # exact intersection from FULL shingle sets, computed only for the
+    # candidate pairs: per-doc set arrays joined in, array_intersect
+    # JVM-side — the guard never distorts surviving pairs' jaccard
+    sets = sh.groupBy("id").agg(F.collect_set("sh").alias("shs"))
     out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        cand.join(
+            sets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a"
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b")), "id_b"
+        )
+        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
             "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            F.col("n_common")
+            / (F.size("shs_a") + F.size("shs_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

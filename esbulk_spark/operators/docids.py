@@ -41,6 +41,18 @@ def assign_doc_ids(
     return assign_doc_ids_with_count(df, sort_keys, out_col, num_partitions)[0]
 
 
+def assign_doc_ids_pinned(
+    df: DataFrame,
+    sort_keys: Sequence[str],
+    out_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int, DataFrame]:
+    """assign_doc_ids_with_count + the internally persisted range-partitioned
+    DataFrame, so the caller can ``unpersist()`` exactly that cache once the
+    ids are materialized (instead of nuking the whole process cache)."""
+    return _assign(df, sort_keys, out_col, num_partitions)
+
+
 def assign_doc_ids_with_count(
     df: DataFrame,
     sort_keys: Sequence[str],
@@ -48,7 +60,18 @@ def assign_doc_ids_with_count(
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, int]:
     """assign_doc_ids + the total row count, which the prefix-sum pass
-    computes anyway — callers save one count() action.
+    computes anyway — callers save one count() action."""
+    out, acc, _ = _assign(df, sort_keys, out_col, num_partitions)
+    return out, acc
+
+
+def _assign(
+    df: DataFrame,
+    sort_keys: Sequence[str],
+    out_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int, DataFrame]:
+    """Two-pass prefix-sum id assignment; returns (df_with_ids, count, pinned).
 
     Entirely JVM-side: ``monotonically_increasing_id`` after a range
     partition + within-partition sort is ``(pid << 33) + local_index``
@@ -99,4 +122,4 @@ def assign_doc_ids_with_count(
         )
         .drop("__pid", "__mono", "__offset")
     )
-    return out, acc
+    return out, acc, parted

@@ -102,7 +102,9 @@ def ivf_ann_topk(
     )
     km = KMeans(k=n_lists, seed=seed, initMode="k-means||").fit(feat)
     assigned = km.transform(feat).withColumnRenamed("prediction", "list_id")
-    centroids = np.vstack([c.toArray() for c in km.clusterCenters()])
+    # clusterCenters() returns numpy arrays on this PySpark; np.asarray
+    # also tolerates older versions that return ml Vectors
+    centroids = np.vstack([np.asarray(c) for c in km.clusterCenters()])
 
     rows = []
     for qid, v in query_vecs.items():
@@ -116,11 +118,14 @@ def ivf_ann_topk(
         "id",
         (_dot(F.col("vec"), F.col("qvec")) / (_norm(F.col("vec")) * _norm(F.col("qvec")))).alias("cosine"),
     )
+    # rank by the ROUNDED cosine so the k-th boundary selection is stable
+    # across engines (same contract as plans/score.topk_deterministic)
+    joined = joined.withColumn("cosine", F.round("cosine", 6))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
     return (
         joined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("qid", "id", F.round("cosine", 6).alias("cosine"))
+        .select("qid", "id", "cosine")
         .orderBy("qid", F.desc("cosine"), F.asc("id"))
     )
 
@@ -178,10 +183,13 @@ def lsh_ann_topk(
         "id",
         (_dot(F.col("vec"), F.col("qvec")) / (_norm(F.col("vec")) * _norm(F.col("qvec")))).alias("cosine"),
     )
+    # rank by the ROUNDED cosine: boundary-stable cross-engine (the DuckDB
+    # oracle in entry_queries orders by the same rounded key)
+    joined = joined.withColumn("cosine", F.round("cosine", 6))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
     return (
         joined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("qid", "id", F.round("cosine", 6).alias("cosine"))
+        .select("qid", "id", "cosine")
         .orderBy("qid", F.desc("cosine"), F.asc("id"))
     )

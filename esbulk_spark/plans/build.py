@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from esbulk_spark.config import IndexConfig
 from esbulk_spark.functions.analyzer import TF_SCHEMA, tf_map_in_pandas, tokens_col
 from esbulk_spark.functions.codec import encode_postings, varint_encode_blocks
-from esbulk_spark.operators.docids import assign_doc_ids_with_count
+from esbulk_spark.operators.docids import assign_doc_ids_pinned
 from esbulk_spark.plans.checkpoint import Manifest, StageTimer
 
 POSTINGS_SCHEMA = (
@@ -184,6 +184,14 @@ def make_chunk_builder(cfg: IndexConfig, avgdl: float):
                 starts, ends = starts[:-1], ends[:-1]
             if starts.size == 0:
                 return None
+            # reduceat segments run to the END of the input arrays, so the
+            # encoder must never see the held-over tail rows: slicing to
+            # ends[-1] keeps the last emitted chunk's cf / max_tfnorm /
+            # block maxes from absorbing rows of the next (term, shard)
+            # group (they re-enter via `pend` on the next batch).
+            cut = int(ends[-1])
+            terms, shards, ids = terms[:cut], shards[:cut], ids[:cut]
+            tfs, dls = tfs[:cut], dls[:cut]
             tfn_all = _tfnorm(tfs, dls, k1, b, avgdl)
             rows = _encode_batch_groups(
                 terms, shards, ids, tfs, dls, tfn_all, starts, ends, cap, bs
@@ -258,10 +266,11 @@ def build_index(
     if not man.is_done("docs", docs_path):
         with StageTimer() as t:
             n_written = None
+            pinned = None
             if cfg.id_col:
                 with_ids = docs.withColumn("doc_id", F.col(cfg.id_col).cast("long"))
             else:
-                with_ids, n_written = assign_doc_ids_with_count(docs, cfg.sort_keys)
+                with_ids, n_written, pinned = assign_doc_ids_pinned(docs, cfg.sort_keys)
             # content stays in the docs table: the tf stage reads it, and it
             # serves _source at query time. (At 10^12-file scale you would
             # point the tf stage at the source Iceberg table instead and keep
@@ -282,8 +291,10 @@ def build_index(
             _atomic_write(with_ids, docs_path)
             # drop the range-partitioned cache assign_doc_ids pinned: leaving
             # 100s of MB in JVM storage measurably slows the Arrow-heavy tf
-            # stage (3x observed at 50k docs)
-            spark.catalog.clearCache()
+            # stage (3x observed at 50k docs). Unpersist exactly that
+            # DataFrame — a global clearCache() would nuke caller caches.
+            if pinned is not None:
+                pinned.unpersist()
             if n_written is None:
                 n_written = spark.read.parquet(docs_path).count()
         man.record("docs", rows=n_written, secs=t.secs)

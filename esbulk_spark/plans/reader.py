@@ -175,8 +175,14 @@ class IndexReader:
         prune: bool = True,
         round_to: int | None = None,
     ) -> DataFrame:
-        """Single-query top-k -> (doc_id, score)."""
-        res = self.search_many({"q": query}, k=k, prune=prune).drop("qid")
+        """Single-query top-k -> (doc_id, score).
+
+        round_to is forwarded so the k-th boundary inside search_many's
+        window-rank merge is selected on the ROUNDED score — the same
+        ordering key the full-scan and DuckDB oracles use."""
+        res = self.search_many(
+            {"q": query}, k=k, prune=prune, round_to=round_to
+        ).drop("qid")
         return topk_deterministic(res, k, round_to)
 
     def search_and(self, query: str, k: int = 10) -> DataFrame:

@@ -80,6 +80,21 @@ def test_id_scrub(spark):
     assert '"v":"x"' in row["value"].replace(" ", "")
 
 
+def test_id_scrub_preserves_types(spark):
+    # the scrub must delete ONLY _id: numbers stay numbers, nested
+    # objects stay objects (a map<string,string> re-parse would coerce
+    # both to strings) — reference semantics, indexing.go:245-256
+    import json
+
+    doc = '{"_id": "k7", "n": 1, "f": 2.5, "o": {"x": [1, 2]}, "b": true, "z": null}'
+    df = spark.createDataFrame([(doc,)], "value string")
+    out = json.loads(ndjson.scrub_id_field(df).collect()[0]["value"])
+    assert out == {"n": 1, "f": 2.5, "o": {"x": [1, 2]}, "b": True, "z": None}
+    # malformed lines pass through untouched
+    bad = spark.createDataFrame([("{not json",)], "value string")
+    assert ndjson.scrub_id_field(bad).collect()[0]["value"] == "{not json"
+
+
 def test_bulk_actions(spark):
     # indexing.go:279-312 header synthesis
     df = spark.createDataFrame([('{"v": "0"}', "id0")], "value string, xid string")
