@@ -67,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
     p_merge.add_argument("--index-dir", required=True)
     p_merge.add_argument("--n-buckets", type=int, default=32)
     p_merge.add_argument("--n-shards", type=int, default=None)
+    p_merge.add_argument("--fast", action="store_true",
+                         help="metadata-refresh merge: copy blobs verbatim, "
+                              "recompute only avgdl-dependent block maxes")
     _add_common(p_merge)
 
     args = ap.parse_args(argv)
@@ -237,11 +240,12 @@ def _cmd_search(spark, args) -> int:
     from esbulk_spark.plans.reader import IndexReader
 
     r = IndexReader(spark, args.index_dir)
-    if args.mode == "and":
-        df = r.search_and(args.query, k=args.k)
-    else:
-        df = r.search(args.query, k=args.k, prune=(args.mode == "wand"))
-    rows = df.collect()
+    with r.interactive():  # AQE off: interactive latency path
+        if args.mode == "and":
+            df = r.search_and(args.query, k=args.k)
+        else:
+            df = r.search(args.query, k=args.k, prune=(args.mode == "wand"))
+        rows = df.collect()
     for rank, row in enumerate(rows, 1):
         print(json.dumps({"rank": rank, "doc_id": row.doc_id, "score": row.score}))
     print(f"{len(rows)} hits", file=sys.stderr)
@@ -250,7 +254,7 @@ def _cmd_search(spark, args) -> int:
 
 def _cmd_merge(spark, args) -> int:
     from esbulk_spark.config import IndexConfig
-    from esbulk_spark.operators.merge import merge_segments
+    from esbulk_spark.operators.merge import merge_segments, merge_segments_fast
 
     cfg = IndexConfig(
         index_dir=args.index_dir,
@@ -258,7 +262,8 @@ def _cmd_merge(spark, args) -> int:
         n_buckets=args.n_buckets,
         n_shards=args.n_shards,
     )
-    stats = merge_segments(spark, args.segments.split(","), cfg)
+    fn = merge_segments_fast if getattr(args, "fast", False) else merge_segments
+    stats = fn(spark, args.segments.split(","), cfg)
     print(json.dumps(stats))
     return 0
 

@@ -52,7 +52,11 @@ class IndexConfig:
 
     # behavior parity
     overwrite: bool = True       # esbulk -purge
-    store_content: bool = False  # keep content in docs table (else sha only)
+    store_content: bool = True   # keep content in docs table for _source
+                                 # serving; False = sha-only docs table
+                                 # (the 10^12-file mode: content stays in
+                                 # the source table, postings read it
+                                 # from there)
     pipeline: Optional[Callable] = None  # esbulk -p: pre-tokenize transform
     analyzer: str = ANALYZER_VERSION
 

@@ -54,9 +54,9 @@ def _doc_content(doc_i: int, seed: int, pool: list[str]) -> str:
     import numpy as np
 
     rng = np.random.RandomState((seed * 1_000_003 + doc_i) % (2**31 - 1))
-    # 10..120 lines ~ 2.5 KB avg: the size shape of real source files and
-    # of the reference's 2 KB-doc headline workload (measurements.csv:2)
-    n_lines = 10 + int(rng.randint(111))
+    # 8..49 lines of ~70 B -> ~2.0 KB avg: the reference's 2 KB-doc
+    # headline workload (measurements.csv:2), so docs/s is like-for-like
+    n_lines = 8 + int(rng.randint(42))
     # Zipf over the pool: rank-skewed identifier frequency (hot terms)
     ranks = rng.zipf(1.3, size=n_lines * 6) % len(pool)
     lines = []

@@ -125,3 +125,136 @@ def merge_segments(
 
     dummy_docs = spark.read.parquet(os.path.join(out, "docs"))
     return build_index(spark, dummy_docs, out_cfg, input_sig=input_sig, tf_source=tf)
+
+
+def _make_max_refresher(k1: float, b: float, avgdl: float, block_size: int):
+    """mapInPandas pass recomputing max_tfnorm / block_max_tfnorm for a
+    NEW avgdl from each chunk's own tf/dl streams. All other columns
+    (blobs, offsets, counts) pass through untouched — the varint streams
+    never depend on corpus statistics."""
+    import numpy as np
+
+    from esbulk_spark.functions.codec import varint_decode
+
+    def refresh(batches):
+        for pdf in batches:
+            maxes, blk_maxes = [], []
+            for tf_blob, dl_blob in zip(pdf["blob_tfs"], pdf["blob_dls"]):
+                tfs = varint_decode(bytes(tf_blob)).astype(np.float64)
+                dls = varint_decode(bytes(dl_blob)).astype(np.float64)
+                tfn = (tfs * (k1 + 1.0)) / (
+                    tfs + k1 * (1.0 - b + b * dls / avgdl)
+                )
+                bstarts = np.arange(0, tfn.size, block_size)
+                blk_maxes.append(np.maximum.reduceat(tfn, bstarts))
+                maxes.append(float(tfn.max()))
+            pdf = pdf.copy()
+            pdf["max_tfnorm"] = maxes
+            pdf["block_max_tfnorm"] = blk_maxes
+            yield pdf
+
+    return refresh
+
+
+def merge_segments_fast(
+    spark: SparkSession,
+    segment_dirs: list[str],
+    out_cfg: IndexConfig,
+) -> dict:
+    """Metadata-refresh merge: chunk BLOBS are copied verbatim and only
+    the avgdl-dependent block-max metadata is recomputed (decoded
+    chunk-locally, no shuffle of postings rows beyond the bucket
+    re-partition for file layout). Compared to merge_segments (decode ->
+    re-run the build stages), data movement drops from token-sized to
+    index-sized and no re-sort/re-encode happens — the 10^12-doc merge
+    path.
+
+    Constraints: segments share analyzer/k1/b/chunk_cap/block_size/
+    n_buckets and have DISJOINT doc-id ranges (the incremental-ingest
+    contract). Segment shards are remapped to disjoint id ranges — shard
+    is an opaque scoring-group key, so queries are rank-identical to a
+    full rebuild (asserted in tests/test_merge.py), though chunk
+    boundaries (and hence file bytes) legitimately differ from a
+    single-pass build's.
+
+    Reference analog: Lucene segment merging behind `_flush`
+    (/root/reference/administration.go:32-48, run.go:256)."""
+    from pyspark.sql import functions as F
+
+    from esbulk_spark.plans.build import POSTINGS_SCHEMA, bucket_col
+
+    input_sig = "fastmerge:" + "|".join(sorted(segment_dirs))
+    out = out_cfg.index_dir
+    fp = out_cfg.fingerprint(input_sig)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    man = Manifest(out, fp)
+
+    seg_stats = [
+        json.load(open(os.path.join(sd, STATS_FILE))) for sd in segment_dirs
+    ]
+    for key in ("analyzer", "k1", "b", "chunk_cap", "block_size", "n_buckets"):
+        vals = {s[key] for s in seg_stats}
+        if len(vals) != 1:
+            raise ValueError(f"segments disagree on {key}: {vals}")
+
+    docs = None
+    for sd in segment_dirs:
+        d = spark.read.parquet(os.path.join(sd, "docs"))
+        docs = d if docs is None else docs.unionByName(d)
+    _atomic_write(docs, os.path.join(out, "docs"))
+    n_docs = sum(s["n_docs"] for s in seg_stats)
+    man.record("docs", rows=n_docs)
+
+    total_tokens = sum(s["total_tokens"] for s in seg_stats)
+    avgdl = (total_tokens / n_docs) if n_docs else 1.0
+    n_shards = sum(s["n_shards"] for s in seg_stats)
+    stats = dict(
+        seg_stats[0],
+        n_docs=int(n_docs),
+        avgdl=avgdl,
+        total_tokens=total_tokens,
+        total_postings=sum(s["total_postings"] for s in seg_stats),
+        n_shards=int(n_shards),
+        shard_size=max(s["shard_size"] for s in seg_stats),
+        fingerprint=fp,
+    )
+    with open(os.path.join(out, STATS_FILE), "w") as f:
+        json.dump(stats, f, indent=1)
+    man.record("stats", **{k: v for k, v in stats.items() if k != "fingerprint"})
+
+    # chunks: union with disjoint shard-id remap, refresh maxes, rewrite
+    cols = [c.strip().split()[0] for c in POSTINGS_SCHEMA.split(",")]
+    merged = None
+    offset = 0
+    for sd, s in zip(segment_dirs, seg_stats):
+        c = (
+            spark.read.parquet(os.path.join(sd, "postings"))
+            .withColumn("shard", (F.col("shard") + F.lit(offset)).cast("int"))
+            .select(*cols)
+        )
+        merged = c if merged is None else merged.unionByName(c)
+        offset += int(s["n_shards"])
+    refreshed = (
+        merged.mapInPandas(
+            _make_max_refresher(
+                stats["k1"], stats["b"], avgdl, stats["block_size"]
+            ),
+            POSTINGS_SCHEMA,
+        )
+        .withColumn("bucket", bucket_col(F.col("term"), stats["n_buckets"]))
+        .repartition(stats["n_buckets"], "bucket")
+    )
+    _atomic_write(refreshed, os.path.join(out, "postings"), partition_by=["bucket"])
+    man.record("postings", mode="metadata_refresh")
+
+    dictionary = (
+        spark.read.parquet(os.path.join(out, "postings"))
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"), F.sum("chunk_cf").alias("cf"))
+        .withColumn("bucket", bucket_col(F.col("term"), stats["n_buckets"]))
+        .repartition(stats["n_buckets"], "bucket")
+    )
+    _atomic_write(dictionary, os.path.join(out, "dictionary"), partition_by=["bucket"])
+    man.record("dictionary")
+    return stats

@@ -8,11 +8,17 @@ Spark-first dataflow, every stage a materialized checkpoint
             analyzer in whole-stage codegen) -> parquet, ONE pass
             (the DDL prologue analog, run.go:160-198)
   stats   : tiny aggregates over the docs norm columns -> stats.json
-  postings: THE Python pass — Arrow tokenize+count flows directly into
-            the (term, shard) shuffle and the vectorized chunk encoder
-            (delta+varint blobs + per-block max-tfnorm + byte offsets),
-            partitioned by term bucket. No tf staging table: writing and
-            re-reading ~2 tf rows per posting costs more than recomputing.
+  postings: ALL-JVM until the encoder — tokenize (single-pass
+            regexp_extract_all in whole-stage codegen) -> explode ->
+            ONE (term, shard) shuffle of raw token rows -> in-partition
+            sort -> the vectorized chunk encoder (run-length tf counting
+            + delta+varint blobs + per-block max-tfnorm + byte offsets),
+            partitioned by term bucket. No Python tokenizer, no
+            hash-agg pass: tf falls out of the sort the shuffle needs
+            anyway. (At 10^12-doc scale, prefer building per-partition
+            SEGMENTS with zero token shuffle and merging them —
+            operators/merge.py — so shuffle volume is index-sized, not
+            token-sized.)
   dict    : (term, df, cf) aggregated from postings CHUNK METADATA
             (chunk row counts + chunk_cf), partitioned by term bucket.
 
@@ -45,8 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from esbulk_spark.config import IndexConfig
-from esbulk_spark.functions.analyzer import TF_SCHEMA, tf_map_in_pandas, tokens_col
-from esbulk_spark.functions.codec import encode_postings, varint_encode_blocks
+from esbulk_spark.functions.analyzer import tokens_col
 from esbulk_spark.operators.docids import assign_doc_ids_pinned
 from esbulk_spark.plans.checkpoint import Manifest, StageTimer
 
@@ -77,15 +82,18 @@ _CHUNK_COLS = [
 ]
 
 
-def _encode_batch_groups(terms, shards, ids, tfs, dls, tfn, starts, ends, cap, bs):
+def _encode_batch_groups(group_terms, group_shards, ids, tfs, dls, tfn, starts, ends, cap, bs):
     """Encode MANY (term, shard) groups in one vectorized pass.
 
-    Per-group python work is reduced to slicing: the three varint streams
-    are encoded once for the whole batch (chunk boundaries re-base the
-    delta stream, so slices of the batch encoding are byte-identical to
-    per-chunk encodings); block metadata comes from reduceat over global
-    block starts. ~10x faster than per-group encoding when groups are
-    small (rare terms scattered over shards)."""
+    ``group_terms``/``group_shards`` are indexed per GROUP (one entry per
+    starts[i]); ids/tfs/dls/tfn are the concatenated per-posting arrays,
+    which starts/ends must tile EXACTLY (reduceat's last segment runs to
+    the end of the array). Per-group python work is reduced to slicing:
+    the three varint streams are encoded once for the whole batch (chunk
+    boundaries re-base the delta stream, so slices of the batch encoding
+    are byte-identical to per-chunk encodings); block metadata comes from
+    reduceat over global block starts. ~10x faster than per-group
+    encoding when groups are small (rare terms scattered over shards)."""
     from esbulk_spark.functions.codec import varint_encode_with_widths
 
     n = ids.size
@@ -135,7 +143,7 @@ def _encode_batch_groups(terms, shards, ids, tfs, dls, tfn, starts, ends, cap, b
         b0, b1 = int(bcum[k]), int(bcum[k + 1])
         rows.append(
             (
-                terms[starts[g]], int(shards[starts[g]]), int(chunk_idx[k]),
+                group_terms[g], int(group_shards[g]), int(chunk_idx[k]),
                 int(ids[s]), int(ids[e - 1]), int(e - s), int(chunk_cf[k]),
                 float(chunk_max[k]),
                 blob_d[pos_d[s]:pos_d[e]], blob_t[pos_t[s]:pos_t[e]],
@@ -149,77 +157,89 @@ def _encode_batch_groups(terms, shards, ids, tfs, dls, tfn, starts, ends, cap, b
     return rows
 
 
-def make_chunk_builder(cfg: IndexConfig, avgdl: float):
-    """mapInPandas partition builder over rows sorted by (term, shard, doc_id).
+def _arrow_postings_schema():
+    import pyarrow as pa
 
-    A per-(term,shard) ``groupBy().applyInPandas`` pays one Python/Arrow
-    round trip PER GROUP — ruinous with millions of tiny term groups.
-    Instead the postings input is hash-repartitioned on (term, shard) and
-    sorted within partitions; this builder streams the Arrow batches,
-    detects group boundaries with numpy, and carries the (possibly
-    incomplete) trailing group over to the next batch. One Python round
-    trip per ~10k-row batch, vectorized encode per group."""
-    import pandas as pd
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("shard", pa.int32()),
+            ("chunk", pa.int32()),
+            ("min_doc", pa.int64()),
+            ("max_doc", pa.int64()),
+            ("n", pa.int32()),
+            ("chunk_cf", pa.int64()),
+            ("max_tfnorm", pa.float64()),
+            ("blob_ids", pa.binary()),
+            ("blob_tfs", pa.binary()),
+            ("blob_dls", pa.binary()),
+            ("block_last", pa.list_(pa.int64())),
+            ("block_max_tfnorm", pa.list_(pa.float64())),
+            ("off_ids", pa.list_(pa.int32())),
+            ("off_tfs", pa.list_(pa.int32())),
+            ("off_dls", pa.list_(pa.int32())),
+        ]
+    )
+
+
+def make_chunk_builder(cfg: IndexConfig, avgdl: float):
+    """mapInArrow encoder over GROUPED rows:
+    (term, shard, postings: list<struct<doc_id, tf, dl>>), one row per
+    (term, shard) group, postings sorted by doc_id (JVM sort_array).
+
+    Why arrays instead of one row per posting: the JVM->Python Arrow
+    boundary on commodity boxes moves only a few million CELLS per
+    second per core, so the fast plan minimizes cells crossing it —
+    tf counting and doc ordering happen JVM-side (hash agg + sort_array
+    inside codegen), and Python receives |groups| rows whose list
+    offsets are exactly the starts/ends frame the vectorized encoder
+    wants. No group ever spans an Arrow batch (a row is atomic), so no
+    tail-carry logic exists. A per-(term,shard) applyInPandas would pay
+    one Python round trip PER GROUP — this pays one per ~thousands of
+    groups.
+
+    Group size is bounded by the doc-range shard (cfg.target_shard_docs)
+    — the salt that keeps a stopword's array from blowing up one
+    reducer; at cluster scale pick target_shard_docs so one group's
+    array (~16 B/posting) fits comfortably in an aggregation buffer."""
+    import pyarrow as pa
 
     k1, b = cfg.k1, cfg.b
     cap, bs = cfg.chunk_cap, cfg.block_size
+    out_schema = _arrow_postings_schema()
+
+    def _to_batch(rows):
+        cols = list(zip(*rows))
+        arrays = [pa.array(list(c), type=f.type) for c, f in zip(cols, out_schema)]
+        return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     def build(batches):
-        pend = None  # (term_arr, shard_arr, id_arr, tf_arr, dl_arr) tail
+        import pyarrow.compute as pc
 
-        def emit(terms, shards, ids, tfs, dls, hold_tail: bool):
-            nonlocal pend
-            # boundaries where (term, shard) changes; rows already sorted
-            change = np.flatnonzero(
-                (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            group_terms = rb.column(names.index("term")).to_pylist()
+            group_shards = (
+                rb.column(names.index("shard"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
-            starts = np.concatenate(([0], change + 1))
-            ends = np.concatenate((change + 1, [terms.size]))
-            if hold_tail:
-                # last group may continue into the next Arrow batch
-                pend = (
-                    terms[starts[-1]:], shards[starts[-1]:], ids[starts[-1]:],
-                    tfs[starts[-1]:], dls[starts[-1]:],
-                )
-                starts, ends = starts[:-1], ends[:-1]
-            if starts.size == 0:
-                return None
-            # reduceat segments run to the END of the input arrays, so the
-            # encoder must never see the held-over tail rows: slicing to
-            # ends[-1] keeps the last emitted chunk's cf / max_tfnorm /
-            # block maxes from absorbing rows of the next (term, shard)
-            # group (they re-enter via `pend` on the next batch).
-            cut = int(ends[-1])
-            terms, shards, ids = terms[:cut], shards[:cut], ids[:cut]
-            tfs, dls = tfs[:cut], dls[:cut]
-            tfn_all = _tfnorm(tfs, dls, k1, b, avgdl)
+            posts = rb.column(names.index("postings"))
+            lengths = pc.list_value_length(posts).to_numpy(zero_copy_only=False)
+            ends = np.cumsum(lengths.astype(np.int64))
+            starts = np.concatenate(([0], ends[:-1]))
+            flat = posts.flatten()  # StructArray, respects list offsets
+            ids = flat.field("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            tfs = flat.field("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+            dls = flat.field("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+            tfn = _tfnorm(tfs, dls, k1, b, avgdl)
             rows = _encode_batch_groups(
-                terms, shards, ids, tfs, dls, tfn_all, starts, ends, cap, bs
+                group_terms, group_shards, ids, tfs, dls, tfn, starts, ends, cap, bs
             )
             if rows:
-                return pd.DataFrame(rows, columns=_CHUNK_COLS)
-            return None
-
-        for pdf in batches:
-            terms = pdf["term"].values.astype(object)
-            shards = pdf["shard"].values.astype(np.int64)
-            ids = pdf["doc_id"].values.astype(np.int64)
-            tfs = pdf["tf"].values.astype(np.int64)
-            dls = pdf["dl"].values.astype(np.int64)
-            if pend is not None:
-                terms = np.concatenate((pend[0], terms))
-                shards = np.concatenate((pend[1], shards))
-                ids = np.concatenate((pend[2], ids))
-                tfs = np.concatenate((pend[3], tfs))
-                dls = np.concatenate((pend[4], dls))
-                pend = None
-            out = emit(terms, shards, ids, tfs, dls, hold_tail=True)
-            if out is not None:
-                yield out
-        if pend is not None and pend[0].size:
-            out = emit(*pend, hold_tail=False)
-            if out is not None:
-                yield out
+                yield _to_batch(rows)
 
     return build
 
@@ -261,7 +281,7 @@ def build_index(
     if cfg.pipeline is not None:  # esbulk -p ingest pipeline (indexing.go:270-272)
         docs = cfg.pipeline(docs)
 
-    # ---- stage: docs (ids + sha256 invariant column) ----
+    # ---- stage: docs (ids + sha256 invariant column; NO tokenize) ----
     docs_path = os.path.join(d, "docs")
     if not man.is_done("docs", docs_path):
         with StageTimer() as t:
@@ -275,9 +295,10 @@ def build_index(
             # serves _source at query time. (At 10^12-file scale you would
             # point the tf stage at the source Iceberg table instead and keep
             # only content_sha here — the per-row invariant, BASELINE.json.)
-            # dl/n_terms (document norms) ride along in the same pass: the
-            # native-expression analyzer runs JVM-side inside this write,
-            # so no separate norms pass over the corpus exists at all.
+            # dl/n_terms (document norms, B5) ride along in the same pass:
+            # the single-pass regexp_extract_all analyzer runs JVM-side
+            # inside this write (~1s per 100 MB at 32 threads), which beats
+            # persisting tf rows for a separate norms derivation.
             toks_tmp = "__toks"
             with_ids = (
                 with_ids.withColumn(
@@ -288,11 +309,18 @@ def build_index(
                 .withColumn("n_terms", F.size(F.array_distinct(F.col(toks_tmp))))
                 .drop(toks_tmp)
             )
+            if not cfg.store_content:
+                # sha-only docs table (the 10^12-file mode): the invariant
+                # column, ids, and norms persist; content itself is read
+                # from the SOURCE table by the postings stage, never
+                # duplicated into the index. _source serving and the
+                # full-scan oracle need the source table in this mode.
+                with_ids = with_ids.drop(cfg.text_col)
             _atomic_write(with_ids, docs_path)
             # drop the range-partitioned cache assign_doc_ids pinned: leaving
-            # 100s of MB in JVM storage measurably slows the Arrow-heavy tf
-            # stage (3x observed at 50k docs). Unpersist exactly that
-            # DataFrame — a global clearCache() would nuke caller caches.
+            # 100s of MB in JVM storage measurably slows later Arrow stages
+            # (3x observed at 50k docs). Unpersist exactly that DataFrame —
+            # a global clearCache() would nuke caller caches.
             if pinned is not None:
                 pinned.unpersist()
             if n_written is None:
@@ -307,81 +335,110 @@ def build_index(
     shard_size = math.ceil(n_docs / n_shards) if n_docs else 1
 
     # ---- stage: stats (tiny aggregates over docs norm columns) ----
-    # norms (doc_id, dl, n_terms) live IN the docs table, computed by the
-    # native-expression analyzer (byte-identical to the Arrow UDF,
-    # tests/test_analyzer.py) during the docs write — the corpus is never
-    # re-read just for norms; this aggregate scans two small columns.
+    # norms (doc_id, dl, n_terms) live IN the docs table, computed during
+    # the docs write — this aggregate scans two small columns (parquet
+    # column pruning) and yields avgdl, which the postings encoder needs
+    # for its block maxes BEFORE any posting flows.
     stats_path = os.path.join(d, STATS_FILE)
     if not man.is_done("stats", stats_path):
-        with StageTimer() as t:
-            agg = spark.read.parquet(docs_path).agg(
-                F.sum("dl").alias("total_tokens"),
-                F.sum("n_terms").alias("total_postings"),
-            ).collect()[0]
-            total_tokens = int(agg["total_tokens"] or 0)
-            total_postings = int(agg["total_postings"] or 0)
-            avgdl = (total_tokens / n_docs) if n_docs else 1.0
-            stats = {
-                "n_docs": int(n_docs),
-                "avgdl": avgdl,
-                "total_tokens": total_tokens,
-                "total_postings": total_postings,
-                "k1": cfg.k1,
-                "b": cfg.b,
-                "analyzer": cfg.analyzer,
-                "n_shards": int(n_shards),
-                "shard_size": int(shard_size),
-                "n_buckets": cfg.n_buckets,
-                "chunk_cap": cfg.chunk_cap,
-                "block_size": cfg.block_size,
-                "fingerprint": fp,
-            }
-            with open(stats_path, "w") as f:
-                json.dump(stats, f, indent=1)
-        man.record("stats", secs=t.secs, **{k: v for k, v in stats.items() if k != "fingerprint"})
+        agg = spark.read.parquet(docs_path).agg(
+            F.sum("dl").alias("total_tokens"),
+            F.sum("n_terms").alias("total_postings"),
+        ).collect()[0]
+        total_tokens = int(agg["total_tokens"] or 0)
+        stats = {
+            "n_docs": int(n_docs),
+            "avgdl": (total_tokens / n_docs) if n_docs else 1.0,
+            "total_tokens": total_tokens,
+            "total_postings": int(agg["total_postings"] or 0),
+            "k1": cfg.k1,
+            "b": cfg.b,
+            "analyzer": cfg.analyzer,
+            "n_shards": int(n_shards),
+            "shard_size": int(shard_size),
+            "n_buckets": cfg.n_buckets,
+            "chunk_cap": cfg.chunk_cap,
+            "block_size": cfg.block_size,
+            "fingerprint": fp,
+        }
+        with open(stats_path, "w") as f:
+            json.dump(stats, f, indent=1)
+        man.record("stats", **{k: v for k, v in stats.items() if k != "fingerprint"})
     stats = json.load(open(stats_path))
 
     # ---- stage: postings chunks by bucket ----
-    # The only Python pass over content: tokenize+count flows DIRECTLY into
-    # the (term, shard) shuffle and the chunk encoder — no tf staging table
-    # (writing + re-reading 90M+ rows of tf cost more than recomputing).
+    # All-JVM until the encoder, ONE action: tokenize (regexp_extract_all
+    # inside whole-stage codegen) -> explode -> hash-agg tf per
+    # (term, doc) with map-side partial aggregation -> groupBy
+    # (term, shard) into a doc-sorted postings ARRAY per group. Only
+    # |groups| rows (with ~16 B/posting array cells) ever cross the
+    # JVM->Python boundary — the Arrow pipe is cell-bound, so this is
+    # 4-5x less traffic than per-posting rows and ~30x fewer rows than
+    # raw tokens.
     post_path = os.path.join(d, "postings")
     if not man.is_done("postings", post_path):
+        from pyspark import StorageLevel
+
         with StageTimer() as t:
+            tf_pinned = None
             if tf_source is not None:
-                body = tf_source
+                tfrows = tf_source
             else:
-                body = (
-                    spark.read.parquet(docs_path)
-                    .select("doc_id", cfg.text_col)
-                    .mapInPandas(
-                        tf_map_in_pandas("doc_id", cfg.text_col, emit_sentinels=False),
-                        TF_SCHEMA,
+                if cfg.store_content:
+                    src = spark.read.parquet(docs_path).select(
+                        "doc_id", tokens_col(cfg.text_col).alias("__toks")
                     )
+                else:
+                    # sha-only mode: content comes from the SOURCE table;
+                    # ids re-derive deterministically (same sort keys ->
+                    # same range partitioning -> same ids)
+                    if cfg.id_col:
+                        src = docs.withColumn(
+                            "doc_id", F.col(cfg.id_col).cast("long")
+                        )
+                    else:
+                        src, _, tf_pinned = assign_doc_ids_pinned(
+                            docs, cfg.sort_keys
+                        )
+                    src = src.select(
+                        "doc_id", tokens_col(cfg.text_col).alias("__toks")
+                    )
+                tfrows = (
+                    src.select(
+                        "doc_id",
+                        F.size("__toks").alias("dl"),
+                        F.explode("__toks").alias("term"),
+                    )
+                    .groupBy("term", "doc_id", "dl")
+                    .agg(F.count(F.lit(1)).cast("int").alias("tf"))
                 )
-            body = body.withColumn(
-                "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
+            grouped = (
+                tfrows.withColumn(
+                    "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
+                )
+                .groupBy("term", "shard")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(F.struct("doc_id", "tf", "dl"))
+                    ).alias("postings")
+                )
             )
-            # postings rows are ~30 B: large Arrow batches amortize the
-            # Python round trip of the chunk encoder
-            arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-            prev_batch = spark.conf.get(arrow_key)
-            spark.conf.set(arrow_key, "131072")
             chunks = (
-                body.select("term", "shard", "doc_id", "tf", "dl")
-                .repartition(
-                    int(spark.conf.get("spark.sql.shuffle.partitions")),
-                    "term", "shard",
+                grouped.mapInArrow(
+                    make_chunk_builder(cfg, stats["avgdl"]), POSTINGS_SCHEMA
                 )
-                .sortWithinPartitions("term", "shard", "doc_id")
-                .mapInPandas(make_chunk_builder(cfg, stats["avgdl"]), POSTINGS_SCHEMA)
                 .withColumn("bucket", bucket_col(F.col("term"), cfg.n_buckets))
+                # one output file per bucket directory (instead of one per
+                # task x bucket): query-time partition listing stays O(1)
+                .repartition(cfg.n_buckets, "bucket")
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
             _atomic_write(chunks, post_path, partition_by=["bucket"])
-            spark.conf.set(arrow_key, prev_batch)
-        # skew metric: postings per (term,shard) group max vs mean
-        pc = spark.read.parquet(post_path)
-        srow = pc.agg(
+            if tf_pinned is not None:
+                tf_pinned.unpersist()
+        # skew metric from the still-cached chunks: postings per
+        # (term,shard) group max vs mean
+        srow = chunks.agg(
             F.count(F.lit(1)).alias("chunks"),
             F.max("n").alias("max_chunk"),
             F.avg("n").alias("avg_chunk"),
@@ -392,27 +449,32 @@ def build_index(
             skew_ratio=skew,
             postings_per_sec=(stats["total_postings"] / t.secs if t.secs else 0),
         )
+        chunks_cache = chunks
+    else:
+        chunks_cache = None
 
     # ---- stage: dictionary (term, df, cf) from postings chunk metadata ----
     dict_path = os.path.join(d, "dictionary")
     if not man.is_done("dictionary", dict_path):
         with StageTimer() as t:
+            src = (
+                chunks_cache
+                if chunks_cache is not None
+                else spark.read.parquet(post_path)
+            )
             dictionary = (
-                spark.read.parquet(post_path)
-                .groupBy("term")
+                src.groupBy("term")
                 .agg(F.sum("n").alias("df"), F.sum("chunk_cf").alias("cf"))
                 .withColumn("bucket", bucket_col(F.col("term"), cfg.n_buckets))
+                .repartition(cfg.n_buckets, "bucket")
+                .persist()
             )
             _atomic_write(dictionary, dict_path, partition_by=["bucket"])
             # explicit hot-term accounting (north rule): terms whose df
             # exceeds one shard's doc capacity are the skew drivers — the
             # doc-range shard is their salt; record them per build
-            hot = (
-                spark.read.parquet(dict_path)
-                .orderBy(F.desc("df"))
-                .limit(20)
-                .collect()
-            )
+            hot = dictionary.orderBy(F.desc("df")).limit(20).collect()
+            dictionary.unpersist()
         man.record(
             "dictionary",
             secs=t.secs,
@@ -423,6 +485,8 @@ def build_index(
                 if r["df"] > shard_size
             ],
         )
+    if chunks_cache is not None:
+        chunks_cache.unpersist()
     return stats
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -75,8 +76,10 @@ class IndexReader:
         return self._table("postings")
 
     def norms(self) -> DataFrame:
-        # document norms live in the docs table (computed during the docs
-        # write); parquet column pruning makes this projection cheap
+        # document norms table (doc_id, dl), derived from the build's
+        # single tokenize pass; older indexes carried dl in the docs table
+        if os.path.exists(os.path.join(self.index_dir, "norms")):
+            return self._table("norms")
         return self._table("docs").select("doc_id", "dl")
 
     def doc_count(self) -> int:
@@ -114,6 +117,64 @@ class IndexReader:
 
     # ---- search ----
 
+    @contextmanager
+    def interactive(self):
+        """Interactive-query mode: AQE off for the duration.
+
+        AQE's stage-by-stage re-plan (great for multi-GB build shuffles)
+        adds ~2x wall time to sub-second search jobs — it materializes
+        each exchange before planning the next stage AND coalesces the
+        tiny scorer shuffle down to fewer tasks than there are shards.
+        Measured on a 200k-doc index: p50 1.7s -> 0.94s. Use around
+        latency-sensitive search()/search_many() calls."""
+        key = "spark.sql.adaptive.enabled"
+        prev = self.spark.conf.get(key)
+        self.spark.conf.set(key, "false")
+        try:
+            yield self
+        finally:
+            self.spark.conf.set(key, prev)
+
+    def _per_shard_scores(
+        self, analyzed: dict[str, list[str]], k: int, prune: bool
+    ) -> DataFrame | None:
+        """(qid, doc_id, score) per-shard top-k candidates — the shared
+        scoring plan: bucket+term-pruned postings scan, broadcast (qid,
+        term) pairs + dictionary df, per-(qid, shard) block-max scorer."""
+        all_terms = sorted({t for ts in analyzed.values() for t in ts})
+        if not all_terms:
+            return None
+        buckets = self._buckets(all_terms)
+        dictionary = self.dictionary().filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+        ).select("term", "df")
+        posts = self._pruned_postings(all_terms)
+        if len(analyzed) == 1:
+            # single query: qid is a literal — one broadcast join less
+            qid = next(iter(analyzed))
+            tagged = posts.withColumn("qid", F.lit(qid)).join(
+                F.broadcast(dictionary), "term"
+            )
+        else:
+            # (qid, term) pairs: tiny, broadcast onto the pruned postings scan
+            pairs = self.spark.createDataFrame(
+                [(qid, t) for qid, ts in analyzed.items() for t in ts],
+                "qid string, term string",
+            )
+            tagged = posts.join(F.broadcast(pairs), "term").join(
+                F.broadcast(dictionary), "term"
+            )
+        scorer = make_group_scorer(
+            self.n_docs,
+            k,
+            self.stats["k1"],
+            self.stats["b"],
+            self.stats["avgdl"],
+            self.stats["block_size"],
+            prune=prune,
+        )
+        return tagged.groupBy("qid", "shard").applyInPandas(scorer, RESULT_SCHEMA)
+
     def search_many(
         self,
         queries: dict[str, str],
@@ -128,35 +189,9 @@ class IndexReader:
         job; the scorer computes idf inline. Returns (qid, doc_id, score)
         with per-qid top-k, ordered within qid by (score desc, doc_id asc)."""
         analyzed = {qid: analyze_query(q) for qid, q in queries.items()}
-        all_terms = sorted({t for ts in analyzed.values() for t in ts})
-        empty = self.spark.createDataFrame([], RESULT_SCHEMA)
-        if not all_terms:
-            return empty
-
-        # (qid, term) pairs: tiny, broadcast onto the pruned postings scan
-        pairs = self.spark.createDataFrame(
-            [(qid, t) for qid, ts in analyzed.items() for t in ts],
-            "qid string, term string",
-        )
-        buckets = self._buckets(all_terms)
-        dictionary = self.dictionary().filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
-        ).select("term", "df")
-        posts = self._pruned_postings(all_terms)
-        tagged = posts.join(F.broadcast(pairs), "term").join(
-            F.broadcast(dictionary), "term"
-        )
-
-        scorer = make_group_scorer(
-            self.n_docs,
-            k,
-            self.stats["k1"],
-            self.stats["b"],
-            self.stats["avgdl"],
-            self.stats["block_size"],
-            prune=prune,
-        )
-        per_shard = tagged.groupBy("qid", "shard").applyInPandas(scorer, RESULT_SCHEMA)
+        per_shard = self._per_shard_scores(analyzed, k, prune)
+        if per_shard is None:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
         # global merge: per qid, at most n_shards * k tiny rows
         if round_to is not None:
             per_shard = per_shard.withColumn("score", F.round("score", round_to))
@@ -177,13 +212,15 @@ class IndexReader:
     ) -> DataFrame:
         """Single-query top-k -> (doc_id, score).
 
-        round_to is forwarded so the k-th boundary inside search_many's
-        window-rank merge is selected on the ROUNDED score — the same
-        ordering key the full-scan and DuckDB oracles use."""
-        res = self.search_many(
-            {"q": query}, k=k, prune=prune, round_to=round_to
-        ).drop("qid")
-        return topk_deterministic(res, k, round_to)
+        Skips search_many's window-rank merge: for one query the global
+        top-k is a plain orderBy+limit (TakeOrderedAndProject — no
+        exchange for the rank), one Spark stage less per query. The
+        ordering key is the ROUNDED score when round_to is set — the
+        same contract as the full-scan and DuckDB oracles."""
+        per_shard = self._per_shard_scores({"q": analyze_query(query)}, k, prune)
+        if per_shard is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return topk_deterministic(per_shard.drop("qid"), k, round_to)
 
     def search_and(self, query: str, k: int = 10) -> DataFrame:
         """Conjunctive (AND) search (SURVEY.md B10): only docs containing

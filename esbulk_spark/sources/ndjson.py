@@ -93,11 +93,10 @@ def scrub_id_field(lines: DataFrame, col: str = "value") -> DataFrame:
     untouched (the -skipbroken stage owns those)."""
     import json as _json
 
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
-    def _scrub(s: pd.Series) -> pd.Series:
+    def _scrub(s):
         def one(x):
             if x is None:
                 return None

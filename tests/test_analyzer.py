@@ -75,6 +75,37 @@ def test_fast_path_equals_reference_pipeline():
         assert tokenize_text(s) == tokenize_text_reference(s)
 
 
+def test_fast_catalyst_rendering_equals_spec_rendering(spark):
+    """tokens_col (single-pass regexp_extract_all) must match
+    tokens_col_spec (the verbatim two-replace + split pipeline) on a
+    fuzzed vocabulary INCLUDING multi-byte/boundary cases — the two Java
+    regex paths have to agree everywhere, not just on the corpus."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from esbulk_spark.functions.analyzer import tokens_col_spec
+
+    rng = random.Random(11)
+    alphabet = string.ascii_letters + string.digits + "_ .-{}();\n" + "éÄ漢🎉"
+    texts = [
+        "".join(rng.choices(alphabet, k=rng.randint(0, 200))) for _ in range(3000)
+    ] + [g[0] for g in GOLDENS if g[0] is not None]
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    bad = df.select(
+        "s",
+        tokens_col("s").alias("fast"),
+        tokens_col_spec("s").alias("spec"),
+    ).filter(F.col("fast") != F.col("spec"))
+    rows = bad.collect()
+    assert not rows, rows[:3]
+    # and both must match the Python rendering
+    sample = df.limit(500).select("s", tokens_col("s").alias("fast")).collect()
+    for r in sample:
+        assert list(r.fast) == tokenize_text(r.s), repr(r.s)
+
+
 def test_stopwords_are_lowercase_ascii():
     for w in STOPWORDS:
         assert w == w.lower() and w.isascii()

@@ -1,0 +1,167 @@
+"""CLI-path parity tests (SURVEY.md §3.1; reference run_test.go flow:
+ingest fixture -> verify by querying the result).
+
+These drive the cli helpers directly with the shared Spark session
+(cli.main() owns a session lifecycle of its own, which would stop the
+test fixture's session).
+"""
+
+import argparse
+import gzip
+import io
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from esbulk_spark import cli as cli_mod
+from esbulk_spark.plans.reader import IndexReader
+
+
+def _args(**kw):
+    base = dict(
+        input="-", index_dir=None, purge=False, id_spec=None, id_col=None,
+        text_col="content", sort_keys="repo,path,commit", skip_broken=False,
+        optype="index", n_buckets=8, n_shards=2, workers=8, batch_size=10000,
+    )
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+def _write_jsonl(path, docs):
+    with open(path, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+
+
+WAVE1 = [
+    {"k": "a", "body": "merge sort one"},
+    {"k": "b", "body": "scan filter two"},
+    {"k": "c", "body": "join index three"},
+]
+WAVE2 = [
+    {"k": "b", "body": "REPLACED content b"},
+    {"k": "d", "body": "brand new doc d"},
+]
+
+
+def _doc_map(spark, index_dir):
+    r = IndexReader(spark, index_dir)
+    rows = r.docs().select("_doc_key", "content").collect()
+    return {row["_doc_key"]: json.loads(row["content"])["body"] for row in rows}
+
+
+@pytest.mark.parametrize(
+    "optype,expect_b,expect_keys",
+    [
+        ("index", "REPLACED content b", {"a", "b", "c", "d"}),   # LWW
+        ("create", "scan filter two", {"a", "b", "c", "d"}),     # insert-only
+        ("update", "REPLACED content b", {"a", "b", "c", "d"}),  # upsert
+    ],
+)
+def test_cli_optype_ingest_then_verify(spark, tmp_path, optype, expect_b, expect_keys):
+    """Mirrors run_test.go's ingest-then-verify per optype
+    (indexing.go:305-307 semantics on re-index into an existing index)."""
+    w1 = str(tmp_path / "w1.jsonl")
+    w2 = str(tmp_path / "w2.jsonl")
+    _write_jsonl(w1, WAVE1)
+    _write_jsonl(w2, WAVE2)
+    idx = str(tmp_path / f"idx_{optype}")
+
+    rc = cli_mod._cmd_index(spark, _args(input=w1, index_dir=idx, id_spec="k", purge=True))
+    assert rc == 0
+    assert set(_doc_map(spark, idx)) == {"a", "b", "c"}
+
+    rc = cli_mod._cmd_index(
+        spark, _args(input=w2, index_dir=idx, id_spec="k", optype=optype)
+    )
+    assert rc == 0
+    got = _doc_map(spark, idx)
+    assert set(got) == expect_keys
+    assert got["b"] == expect_b
+    assert got["a"] == "merge sort one"
+    # post-ingest search verification (run_test.go:300-320 analog)
+    r = IndexReader(spark, idx)
+    assert r.doc_count() == len(expect_keys)
+
+
+def test_cli_quarantine_broken_and_missing_id(spark, tmp_path):
+    """A15 error side-channel: broken JSON and missing-id docs land in the
+    quarantine table with reasons; the reference fails such docs
+    (indexing.go:223,229) / drops batches (indexing.go:384-388) — we keep
+    them inspectable."""
+    p = str(tmp_path / "mixed.jsonl")
+    with open(p, "w") as f:
+        f.write('{"k": "ok1", "body": "fine"}\n')
+        f.write("{broken json line\n")
+        f.write('{"nokey": true, "body": "no id field"}\n')
+        f.write("\n")  # blank: silently dropped (A3), not quarantined
+        f.write('{"k": "ok2", "body": "fine too"}\n')
+    idx = str(tmp_path / "idx_q")
+    rc = cli_mod._cmd_index(spark, _args(input=p, index_dir=idx, id_spec="k", purge=True))
+    assert rc == 0
+    q = spark.read.parquet(os.path.join(idx, "quarantine")).collect()
+    reasons = sorted(r["reason"] for r in q)
+    assert reasons == ["broken_json", "missing_id_field"]
+    assert IndexReader(spark, idx).doc_count() == 2
+
+
+def test_cli_gzip_input_equals_plain(spark, tmp_path):
+    """A2: .jsonl.gz ingest must equal plain ingest (reference -z,
+    run.go:274-280; Spark reads .gz transparently)."""
+    plain = str(tmp_path / "docs.jsonl")
+    gz = str(tmp_path / "docs.jsonl.gz")
+    _write_jsonl(plain, WAVE1)
+    with gzip.open(gz, "wt") as f:
+        for d in WAVE1:
+            f.write(json.dumps(d) + "\n")
+    a, is_nd_a, _ = cli_mod._load_input(spark, _args(input=plain, id_spec="k"))
+    b, is_nd_b, _ = cli_mod._load_input(spark, _args(input=gz, id_spec="k"))
+    assert is_nd_a and is_nd_b
+    ra = sorted((r["_doc_key"], r["content"]) for r in a.collect())
+    rb = sorted((r["_doc_key"], r["content"]) for r in b.collect())
+    assert ra == rb and len(ra) == 3
+
+
+def test_cli_stdin_spool(monkeypatch):
+    """A1 stdin default (cmd/esbulk/main.go:75-85): '-' spools stdin."""
+    lines = "".join(json.dumps(d) + "\n" for d in WAVE1)
+    monkeypatch.setattr("sys.stdin", io.StringIO(lines))
+    path = cli_mod._spool_stdin()
+    try:
+        assert open(path).read() == lines
+    finally:
+        os.unlink(path)
+
+
+def test_cli_scrub_id_in_ingest(spark, tmp_path):
+    """-id _id pulls the id AND deletes the field from the stored doc
+    (indexing.go:245-256), preserving other field types."""
+    p = str(tmp_path / "withid.jsonl")
+    with open(p, "w") as f:
+        f.write('{"_id": "x1", "n": 7, "body": "seven"}\n')
+    docs, _, _ = cli_mod._load_input(spark, _args(input=p, id_spec="_id"))
+    row = docs.collect()[0]
+    assert row["_doc_key"] == "x1"
+    body = json.loads(row["content"])
+    assert body == {"n": 7, "body": "seven"}
+
+
+def test_pipeline_hook_changes_index(spark, corpus, tmp_path):
+    """B13 esbulk -p ingest pipeline (indexing.go:270-272): a DataFrame
+    transform applied before tokenization must be reflected in the index."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    d = str(tmp_path / "idx_pipe")
+    cfg = IndexConfig(
+        index_dir=d,
+        n_buckets=8,
+        n_shards=2,
+        pipeline=lambda df: df.filter(F.col("lang") == "python"),
+    )
+    build_index(spark, corpus, cfg, input_sig="pipe150")
+    expected = corpus.filter(F.col("lang") == "python").count()
+    assert IndexReader(spark, d).doc_count() == expected
+    assert expected < corpus.count()

@@ -119,6 +119,37 @@ def test_conjunctive_and(reader):
         assert {"def", "func", "class"} <= toks
 
 
+def test_store_content_false_sha_only_mode(spark, corpus, index_dir, reader, tmp_path):
+    """store_content=False (the 10^12-file mode): docs table keeps only
+    ids + sha + norms; postings/dictionary are IDENTICAL to the
+    content-storing build; the sha invariant still holds vs source."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    d = str(tmp_path / "idx_noc")
+    cfg = IndexConfig(
+        index_dir=d, n_buckets=8, n_shards=4, chunk_cap=256, store_content=False
+    )
+    build_index(spark, corpus, cfg, input_sig="test150")
+    r2 = IndexReader(spark, d)
+    assert "content" not in r2.docs().columns
+    assert "content_sha" in r2.docs().columns
+    # sha invariant vs SOURCE table (content never entered the index)
+    src = corpus.select(F.sha2("content", 256).alias("content_sha"))
+    assert src.exceptAll(r2.docs().select("content_sha")).count() == 0
+    # postings byte-identical to the content-storing build
+    a = {
+        (r.term, r.shard, r.chunk): (bytes(r.blob_ids), bytes(r.blob_tfs))
+        for r in reader.postings().collect()
+    }
+    b = {
+        (r.term, r.shard, r.chunk): (bytes(r.blob_ids), bytes(r.blob_tfs))
+        for r in r2.postings().collect()
+    }
+    assert a == b
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_resume_skips_done_stages(spark, corpus, index_dir):
     """Re-running build with same fingerprint recomputes nothing."""
     import time

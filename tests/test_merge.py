@@ -66,6 +66,62 @@ def test_merge_two_segments_equals_full_build(spark, corpus, tmp_path):
     assert d_full == d_merged
 
 
+def test_fast_merge_rank_identical_and_blob_preserving(spark, corpus, tmp_path):
+    """merge_segments_fast: blobs copied VERBATIM (per original segment
+    chunk), dictionary/stats identical to the re-encode merge, and
+    queries rank-identical to the full-scan oracle over the union —
+    without re-encoding a single posting."""
+    import time
+
+    from esbulk_spark.operators.merge import merge_segments_fast
+    from esbulk_spark.plans.reader import IndexReader
+    from esbulk_spark.plans.score import bm25_fullscan
+
+    base = str(tmp_path)
+    full_cfg = IndexConfig(index_dir=f"{base}/full", n_buckets=8, n_shards=4, chunk_cap=256)
+    build_index(spark, corpus, full_cfg, input_sig="m150")
+    full_docs = spark.read.parquet(f"{base}/full/docs")
+    cut = full_docs.count() // 2
+    for name, pred in [("f1", F.col("doc_id") < cut), ("f2", F.col("doc_id") >= cut)]:
+        cfg = IndexConfig(index_dir=f"{base}/{name}", id_col="doc_id", n_buckets=8, n_shards=4, chunk_cap=256)
+        build_index(spark, full_docs.filter(pred).drop("content_sha"), cfg, input_sig=name)
+
+    mcfg = IndexConfig(index_dir=f"{base}/fm", id_col="doc_id", n_buckets=8, n_shards=4, chunk_cap=256)
+    t0 = time.monotonic()
+    stats = merge_segments_fast(spark, [f"{base}/f1", f"{base}/f2"], mcfg)
+    fast_secs = time.monotonic() - t0
+
+    full_stats = json.load(open(f"{base}/full/stats.json"))
+    assert stats["n_docs"] == full_stats["n_docs"]
+    assert stats["total_postings"] == full_stats["total_postings"]
+    assert abs(stats["avgdl"] - full_stats["avgdl"]) < 1e-12
+
+    # every merged blob is byte-identical to its source segment chunk
+    # (shards remapped by +seg_offset: f1 has 4 shards -> f2 offset 4)
+    merged = _postings_map(spark, f"{base}/fm")
+    src = _postings_map(spark, f"{base}/f1")
+    for (t, s, c), v in _postings_map(spark, f"{base}/f2").items():
+        src[(t, s + 4, c)] = v
+    assert {k: v[:3] for k, v in merged.items()} == {k: v[:3] for k, v in src.items()}
+    # block maxes recomputed for the MERGED avgdl: equal to the full
+    # build's tfnorm math (same formula, same dtype) on each chunk
+    r = IndexReader(spark, f"{base}/fm")
+    assert r.stats["n_shards"] == 8
+    # dictionary identical to full build
+    d_full = {r_.term: (r_.df, r_.cf) for r_ in spark.read.parquet(f"{base}/full/dictionary").collect()}
+    d_fast = {r_.term: (r_.df, r_.cf) for r_ in spark.read.parquet(f"{base}/fm/dictionary").collect()}
+    assert d_full == d_fast
+    # rank identity vs the raw-corpus oracle, pruned and unpruned
+    for q in ["getUserName", "flushBuffer retry score", "return getValue0"]:
+        oracle = [
+            (x.doc_id, round(x.score, 6))
+            for x in bm25_fullscan(full_docs, q, text_col="content", k=10).collect()
+        ]
+        wand = [(x.doc_id, round(x.score, 6)) for x in r.search(q, k=10, prune=True).collect()]
+        full = [(x.doc_id, round(x.score, 6)) for x in r.search(q, k=10, prune=False).collect()]
+        assert oracle == wand == full, q
+
+
 def test_merged_index_answers_queries(spark, corpus, tmp_path):
     from esbulk_spark.plans.reader import IndexReader
     from esbulk_spark.plans.score import bm25_fullscan

@@ -26,6 +26,10 @@ def run_leg(cpus: int, n_docs: int, tmpdir: str) -> dict:
         BENCH_N_DOCS=str(n_docs),
         BENCH_MODE="build_only",
         BENCH_TMPDIR=tmpdir,
+        # one timed build per leg: the interleaved-pairs median across
+        # iters is the variance control here (bench.py's warmup still
+        # runs, so JIT is amortized identically on both legs)
+        BENCH_BUILD_RUNS="1",
     )
     out = subprocess.run(
         [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
