@@ -604,6 +604,149 @@ ORDER BY qid, cosine DESC, id ASC
 """
 
 
+_NEARDUP_T = 0.3
+
+
+def q_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH (Hamming<=1) candidates +
+    exact cosine >= t. Deterministic — the oracle reproduces the same
+    hyperplane buckets from inlined plane literals."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(
+        e, "embedding", "vec_id", threshold=_NEARDUP_T
+    ).orderBy("id_a", "id_b")
+
+
+SQL_COSINE_NEARDUP = f"""
+WITH planes(p, pv) AS (VALUES {_ann_planes_values()}),
+dots AS (
+  SELECT e.vec_id, pl.p,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> e.embedding[i]::DOUBLE * pl.pv[i])) AS dot
+  FROM embeddings e CROSS JOIN planes pl
+), sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+), cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
+)
+SELECT id_a, id_b,
+       round(
+         list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                  i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(ea.embedding, v -> v::DOUBLE * v::DOUBLE)))
+            * sqrt(list_sum(list_transform(eb.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+         6) AS cosine
+FROM cand
+JOIN embeddings ea ON ea.vec_id = id_a
+JOIN embeddings eb ON eb.vec_id = id_b
+WHERE round(
+         list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                  i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(ea.embedding, v -> v::DOUBLE * v::DOUBLE)))
+            * sqrt(list_sum(list_transform(eb.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+         6) >= {_NEARDUP_T}
+ORDER BY id_a, id_b
+"""
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF (k-means coarse quantizer) ANN — rows-only check: the
+    training pass (k-means||) is not SQL-reproducible, so no exact
+    oracle exists; recall vs brute force is pytest-asserted
+    (tests/test_operators.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qs = {
+        str(r.vec_id): [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 3).collect()
+    }
+    return similarity.ivf_ann_topk(e, "embedding", "vec_id", qs, k=10)
+
+
+def q_sessionize(spark, sf_dir):
+    """Session windows (streaming-shaped, batch-evaluated): per user,
+    a >30 min gap starts a new session; one row per session."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ casts to long only via timestamp (session TZ is UTC);
+    # the cast floors to whole seconds, mirrored in the DuckDB oracle
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(w)
+    sess = (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn(
+            "session_idx",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                -- floor to whole seconds: Spark's ts.cast(long) floors,
+                -- DuckDB's epoch() keeps fractional seconds
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM numbered GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+def q_rollup_pricing(spark, sf_dir):
+    """ROLLUP grouping sets over lineitem (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+SQL_ROLLUP_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
 def q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pred = textstats.lang_id(d, "text", "doc_id")
@@ -850,6 +993,8 @@ QUERIES = {
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
     "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_ivf_topk": (q_ann_ivf, None),  # k-means training: no SQL oracle
+    "dedup_embedding_cosine": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "lang_id_heuristic": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality, SQL_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
@@ -857,6 +1002,8 @@ QUERIES = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
     # generic relational coverage (window/agg/join/sort/limit)
     "events_hourly_window": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "rollup_pricing_sets": (q_rollup_pricing, SQL_ROLLUP_PRICING),
     "agg_lineitem_pricing": (q_agg_pricing, SQL_AGG_PRICING),
     "topk_orders_window": (q_topk_window, SQL_TOPK_WINDOW),
     "join_customer_nation_region": (q_join_dims, SQL_JOIN_DIMS),

@@ -70,6 +70,66 @@ def hyperplane_signature(
     return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("bucket"))
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.3,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b,
+    round(cosine, 6) >= threshold), LSH-bucketed candidate generation.
+
+    Candidates = pairs whose hyperplane buckets are within Hamming
+    distance 1 (probe-bucket equi-join, NOT an all-pairs product — the
+    join key is the probed bucket id, so fan-out per key is bucket
+    population). Exact cosine is then computed JVM-side for candidates
+    only. Deterministic given the seed: the DuckDB oracle reproduces the
+    same buckets from the same inlined hyperplanes. At cluster scale,
+    write the signature table partitioned by bucket and raise n_planes
+    so bucket population stays bounded."""
+    table = hyperplane_signature(df, vec_col, id_col, n_planes, dim, seed)
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+    )
+    probes = table.select(
+        F.col("id").alias("id_a"), F.explode(probe_buckets).alias("pb")
+    )
+    cand = (
+        probes.join(
+            table.select(F.col("id").alias("id_b"), F.col("bucket").alias("pb")),
+            "pb",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = table.select("id", "vec")
+    out = (
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a"
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b"
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ),
+        )
+        # threshold on the ROUNDED cosine: boundary-stable cross-engine
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    return out
+
+
 def ivf_ann_topk(
     df: DataFrame,
     vec_col: str,

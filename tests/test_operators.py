@@ -117,6 +117,33 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, (recall, exact, got)
 
 
+def test_cosine_neardup_pairs_exact_within_candidates(spark, sf_dir):
+    """Near-dup pairs: every reported pair's cosine is exact (matches
+    brute force), pairs are (a < b)-canonical, and the LSH candidate
+    filter only ever drops pairs (never fabricates them)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 120)
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.cosine_neardup_pairs(
+            emb, "embedding", "vec_id", threshold=0.25
+        ).collect()
+    }
+    assert got, "expected some near-dup pairs at t=0.25"
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    for (a, b), c in got.items():
+        assert a < b
+        assert abs(c - cos(vecs[a], vecs[b])) < 1e-5, (a, b)
+        assert c >= 0.25
+
+
 # ---- multimodal plumbing
 
 def test_media_meta_stub(spark):
