@@ -870,6 +870,28 @@ FROM documents ORDER BY id
 """
 
 
+def q_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling PLAN shape: one row per frame a decoder
+    would extract (every 10th of the stub's bytes//1000 frames, max
+    100) — the partition-explosion pattern of real video pipelines."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    return multimodal.frame_sample_plan(d, "blob", "doc_id", every_n=10).orderBy(
+        "id", "frame_no"
+    )
+
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id AS id,
+       unnest(generate_series(
+         0,
+         greatest(least(octet_length(encode(text)) // 1000, 100) - 1, 0),
+         10)) AS frame_no
+FROM documents ORDER BY id, frame_no
+"""
+
+
 def q_events_hourly(spark, sf_dir):
     """Windowed aggregation (streaming-shaped, batch-evaluated)."""
     e = _t(spark, sf_dir, "events")
@@ -1000,6 +1022,7 @@ QUERIES = {
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
+    "multimodal_frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     # generic relational coverage (window/agg/join/sort/limit)
     "events_hourly_window": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessionize": (q_sessionize, SQL_SESSIONIZE),

@@ -222,6 +222,54 @@ class IndexReader:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return topk_deterministic(per_shard.drop("qid"), k, round_to)
 
+    def search_response(
+        self,
+        query: str,
+        k: int = 10,
+        prune: bool = True,
+        round_to: int | None = None,
+        with_source: bool = True,
+        track_total_hits: bool = False,
+    ) -> dict:
+        """ES-shaped search response — the exact field set the
+        reference's tests consume (run_test.go:416-465: ``took``,
+        ``hits.total.value``, ``hits.max_score``, per-hit ``_id`` /
+        ``_score`` / ``_source``).
+
+        ``track_total_hits``: like ES's flag — the true total (docs
+        matching >= 1 term) costs an extra distinct-count job, so it is
+        opt-in; otherwise total reports the returned hit count."""
+        import time as _time
+
+        t0 = _time.monotonic()
+        rows = self.search(query, k=k, prune=prune, round_to=round_to).collect()
+        hits = [{"_id": r.doc_id, "_score": float(r.score)} for r in rows]
+        if with_source and hits:
+            ids = [h["_id"] for h in hits]
+            src = {
+                r["doc_id"]: r.asDict()
+                for r in self.docs().filter(F.col("doc_id").isin(ids)).collect()
+            }
+            for h in hits:
+                s = dict(src.get(h["_id"], {}))
+                s.pop("doc_id", None)
+                h["_source"] = s
+        total = len(hits)
+        if track_total_hits:
+            terms = analyze_query(query)
+            if terms:
+                total = (
+                    self._decode_to_rows(terms).select("doc_id").distinct().count()
+                )
+        return {
+            "took": int((_time.monotonic() - t0) * 1000),
+            "hits": {
+                "total": {"value": int(total), "relation": "eq" if track_total_hits or total < k else "gte"},
+                "max_score": float(rows[0].score) if rows else None,
+                "hits": hits,
+            },
+        }
+
     def search_and(self, query: str, k: int = 10) -> DataFrame:
         """Conjunctive (AND) search (SURVEY.md B10): only docs containing
         ALL query terms, BM25-ranked. Posting-list intersection expressed

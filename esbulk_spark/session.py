@@ -43,6 +43,11 @@ def get_spark(
         # (reference: indexing.go:364-394): vectorized Python<->JVM transfer.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # the postings build aggregates doc-sorted ARRAYS per (term,shard)
+        # via collect_list (ObjectHashAggregate); the default sort-based
+        # fallback kicks in at 128 keys/partition — keep the hash path for
+        # the ~10k group keys a build partition actually holds
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # shuffle spill space on tmpfs: on a real cluster every executor

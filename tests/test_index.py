@@ -119,6 +119,79 @@ def test_conjunctive_and(reader):
         assert {"def", "func", "class"} <= toks
 
 
+def test_search_response_es_shape(reader):
+    """ES-parity response fields the reference's tests consume
+    (run_test.go:416-465): took, hits.total.value, max_score, per-hit
+    _id/_score/_source."""
+    resp = reader.search_response("getUserName", k=5, track_total_hits=True)
+    assert isinstance(resp["took"], int)
+    h = resp["hits"]
+    assert h["hits"], "expected hits"
+    assert h["max_score"] == h["hits"][0]["_score"]
+    scores = [x["_score"] for x in h["hits"]]
+    assert scores == sorted(scores, reverse=True)
+    assert all("content" in x["_source"] for x in h["hits"])
+    # tracked total == number of docs containing >= 1 query term
+    from esbulk_spark.functions.analyzer import analyze_query, tokens_col
+
+    terms = analyze_query("getUserName")
+    expected_total = (
+        reader.docs()
+        .filter(F.size(F.array_intersect(tokens_col("content"), F.array(*[F.lit(t) for t in terms]))) > 0)
+        .count()
+    )
+    assert h["total"]["value"] == expected_total
+    assert h["total"]["relation"] == "eq"
+
+
+def test_cancellation_and_restart(spark, tmp_path):
+    """A17: a build cancelled mid-flight (the analog of esbulk's
+    SIGINT handling, run.go:96-108) restarts cleanly and converges to
+    the same index bytes as an uninterrupted build."""
+    import threading
+    import time
+
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.corpus import synth_corpus
+    from esbulk_spark.plans.build import build_index
+
+    d = str(tmp_path / "idx_cancel")
+    clean = str(tmp_path / "idx_clean")
+
+    def mk(path):
+        return IndexConfig(index_dir=path, n_buckets=8, n_shards=4, chunk_cap=512)
+
+    cancelled = []
+
+    def run():
+        try:
+            build_index(spark, synth_corpus(spark, 4000, seed=9), mk(d), input_sig="c4k")
+        except Exception as e:  # cancellation surfaces as a job failure
+            cancelled.append(type(e).__name__)
+
+    th = threading.Thread(target=run)
+    th.start()
+    deadline = time.time() + 60
+    while time.time() < deadline and not os.path.exists(os.path.join(d, "docs")):
+        time.sleep(0.02)
+    spark.sparkContext.cancelAllJobs()  # SIGINT analog
+    th.join(timeout=180)
+    assert not th.is_alive()
+
+    # restart resumes from the manifest and completes
+    build_index(spark, synth_corpus(spark, 4000, seed=9), mk(d), input_sig="c4k")
+    build_index(spark, synth_corpus(spark, 4000, seed=9), mk(clean), input_sig="c4k")
+    a = {
+        (r.term, r.shard, r.chunk): bytes(r.blob_ids)
+        for r in spark.read.parquet(os.path.join(d, "postings")).collect()
+    }
+    b = {
+        (r.term, r.shard, r.chunk): bytes(r.blob_ids)
+        for r in spark.read.parquet(os.path.join(clean, "postings")).collect()
+    }
+    assert a == b
+
+
 def test_store_content_false_sha_only_mode(spark, corpus, index_dir, reader, tmp_path):
     """store_content=False (the 10^12-file mode): docs table keeps only
     ids + sha + norms; postings/dictionary are IDENTICAL to the
