@@ -48,13 +48,16 @@ def segment_tf_rows(spark: SparkSession, index_dir: str) -> DataFrame:
     def decode(batches):
         for pdf in batches:
             outs = []
-            for _, r in pdf.iterrows():
-                ids = delta_decode(varint_decode(r["blob_ids"])).astype(np.int64)
-                tfs = varint_decode(r["blob_tfs"]).astype(np.int32)
-                dls = varint_decode(r["blob_dls"]).astype(np.int32)
+            for term, b_ids, b_tfs, b_dls in zip(
+                pdf["term"].values, pdf["blob_ids"].values,
+                pdf["blob_tfs"].values, pdf["blob_dls"].values,
+            ):
+                ids = delta_decode(varint_decode(b_ids)).astype(np.int64)
+                tfs = varint_decode(b_tfs).astype(np.int32)
+                dls = varint_decode(b_dls).astype(np.int32)
                 outs.append(
                     pd.DataFrame(
-                        {"doc_id": ids, "term": r["term"], "tf": tfs, "dl": dls}
+                        {"doc_id": ids, "term": term, "tf": tfs, "dl": dls}
                     )
                 )
             yield pd.concat(outs) if outs else pd.DataFrame(

@@ -2,10 +2,13 @@
 
 Images/audio/video ride through the engine as opaque ``binary`` columns
 plus typed metadata. The Spark-side machinery — schema, Arrow batch
-shape, partition sizing, UDF signatures — is real and tested; the actual
-codec calls (PIL/ffmpeg decode, resizing, frame sampling) are STUBBED
-behind ``_decode_stub`` because media libraries are not available in this
-container. Swapping the stub for a real decoder changes no plumbing.
+shape, partition sizing, UDF signatures — is real and tested.
+Dimension extraction is REAL header parsing for PNG/GIF/JPEG (pure
+Python; no media libraries required for header-level metadata). Full
+pixel decode / resize / frame extraction would need codec libraries
+this container does not ship — those calls fall back to deterministic
+content-derived placeholders, and swapping them for PIL/ffmpeg changes
+no plumbing.
 """
 
 from __future__ import annotations
@@ -33,15 +36,69 @@ def _sniff(buf: bytes) -> str:
     return "unknown"
 
 
-def _decode_stub(buf: bytes, kind: str) -> tuple[int, int]:
-    """STUB decode: deterministic fake dimensions derived from content.
+def _png_dims(buf: bytes) -> tuple[int, int] | None:
+    # IHDR is always the first chunk: width/height at bytes 16..24 (BE)
+    if len(buf) >= 24 and buf[12:16] == b"IHDR":
+        return (
+            int.from_bytes(buf[16:20], "big"),
+            int.from_bytes(buf[20:24], "big"),
+        )
+    return None
 
-    A real implementation would be e.g. PIL.Image.open(BytesIO(buf)).size;
-    unavailable in this container, and the contract (bytes in, (w, h)
-    out, called once per row inside an Arrow batch) is what matters."""
+
+def _gif_dims(buf: bytes) -> tuple[int, int] | None:
+    # logical screen descriptor: width/height at bytes 6..10 (LE)
+    if len(buf) >= 10:
+        return (
+            int.from_bytes(buf[6:8], "little"),
+            int.from_bytes(buf[8:10], "little"),
+        )
+    return None
+
+
+def _jpeg_dims(buf: bytes) -> tuple[int, int] | None:
+    # walk the marker segments to the first SOFn frame header
+    i, n = 2, len(buf)
+    while i + 9 < n:
+        if buf[i] != 0xFF:
+            i += 1
+            continue
+        marker = buf[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(buf[i + 2:i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 <= n:
+                h = int.from_bytes(buf[i + 5:i + 7], "big")
+                w = int.from_bytes(buf[i + 7:i + 9], "big")
+                return (w, h)
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def _decode_dims(buf: bytes, kind: str) -> tuple[int, int]:
+    """Header-level decode — REAL for PNG/GIF/JPEG (pure-Python header
+    parsing, no media libraries needed for dimensions); other kinds get
+    a deterministic content-derived placeholder (full pixel decode would
+    need codec libraries this container does not ship — that, and only
+    that, is the stubbed part)."""
     if not buf:
         return (0, 0)
+    parsed = None
+    if kind == "png":
+        parsed = _png_dims(buf)
+    elif kind == "gif":
+        parsed = _gif_dims(buf)
+    elif kind == "jpeg":
+        parsed = _jpeg_dims(buf)
+    if parsed is not None:
+        return parsed
     return (1 + buf[0] % 64, 1 + buf[-1] % 64)
+
+
+_decode_stub = _decode_dims  # back-compat alias
 
 
 def extract_media_meta(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
@@ -56,7 +113,7 @@ def extract_media_meta(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
             for i, buf in zip(pdf[id_col].values, pdf[blob_col].values):
                 buf = bytes(buf) if buf is not None else b""
                 kind = _sniff(buf)
-                w, h = _decode_stub(buf, kind)
+                w, h = _decode_dims(buf, kind)
                 ids.append(i)
                 nb.append(len(buf))
                 kinds.append(kind)

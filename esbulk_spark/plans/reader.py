@@ -299,14 +299,20 @@ class IndexReader:
         def decode(batches):
             for pdf in batches:
                 outs = []
-                for _, r in pdf.iterrows():
-                    ids = delta_decode(varint_decode(r["blob_ids"])).astype(np.int64)
-                    tfs = varint_decode(r["blob_tfs"]).astype(np.float64)
-                    dls = varint_decode(r["blob_dls"]).astype(np.float64)
+                # column access, not iterrows: each row is a <=128k-posting
+                # chunk, so the per-chunk python overhead is amortized but
+                # row-object materialization is still pure waste
+                for term, b_ids, b_tfs, b_dls in zip(
+                    pdf["term"].values, pdf["blob_ids"].values,
+                    pdf["blob_tfs"].values, pdf["blob_dls"].values,
+                ):
+                    ids = delta_decode(varint_decode(b_ids)).astype(np.int64)
+                    tfs = varint_decode(b_tfs).astype(np.float64)
+                    dls = varint_decode(b_dls).astype(np.float64)
                     tfn = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
                     outs.append(
                         pd.DataFrame(
-                            {"term": r["term"], "doc_id": ids, "contrib": idfs[r["term"]] * tfn}
+                            {"term": term, "doc_id": ids, "contrib": idfs[term] * tfn}
                         )
                     )
                 yield pd.concat(outs) if outs else pd.DataFrame(

@@ -160,6 +160,36 @@ def test_media_meta_stub(spark):
     assert got[3] == ("unknown", 0)
 
 
+def test_media_real_header_dims(spark):
+    """PNG/GIF/JPEG dimensions come from REAL header parsing (not the
+    placeholder): hand-built minimal headers with known sizes."""
+    import struct
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    jpeg = (
+        b"\xff\xd8"                                  # SOI
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 600, 800)               # height=600, width=800
+        + b"\x03" + b"\x00" * 9
+    )
+    df = spark.createDataFrame(
+        [(0, png), (1, gif), (2, jpeg)], "id long, blob binary"
+    )
+    got = {
+        r.id: (r.kind, r.width, r.height)
+        for r in multimodal.extract_media_meta(df, "blob", "id").collect()
+    }
+    assert got[0] == ("png", 640, 480)
+    assert got[1] == ("gif", 320, 200)
+    assert got[2] == ("jpeg", 800, 600)
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(0, b"x" * 25000)], "id long, blob binary")
     frames = [r.frame_no for r in multimodal.frame_sample_plan(df, "blob", "id", every_n=10).collect()]
