@@ -102,7 +102,7 @@ def main() -> None:
     # variance (identical builds swing 2-5x); the minimum approximates
     # the steady-state throughput a long run would measure. All runs
     # are reported.
-    n_runs = int(os.environ.get("BENCH_BUILD_RUNS", "2"))
+    n_runs = int(os.environ.get("BENCH_BUILD_RUNS", "3"))
     times = []
     for r in range(n_runs):
         shutil.rmtree(idx_dir, ignore_errors=True)
