@@ -190,6 +190,104 @@ def ivf_ann_topk(
     )
 
 
+def ivf_build(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_dir: str,
+    n_lists: int = 16,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> dict:
+    """Materialized IVF layout — the ANN scale path the in-memory
+    ivf_ann_topk only documents: k-means coarse quantizer (trained on a
+    sample when ``train_fraction`` is set — the 10^9-vector mode), then
+    the vector table WRITTEN PARTITIONED BY list_id with centroids in a
+    JSON sidecar. Queries read only their n_probe list directories:
+    static partition pruning, visible as PartitionFilters in the plan
+    (asserted in tests/test_operators.py)."""
+    import json
+    import os
+
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "features"
+        ),
+    )
+    train = feat.sample(train_fraction, seed=seed) if train_fraction else feat
+    km = KMeans(k=n_lists, seed=seed, initMode="k-means||").fit(train)
+    assigned = km.transform(feat).withColumnRenamed("prediction", "list_id")
+    (
+        assigned.select("id", "vec", "list_id")
+        .repartition(n_lists, "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(os.path.join(out_dir, "vectors"))
+    )
+    centroids = [
+        [float(x) for x in np.asarray(c)] for c in km.clusterCenters()
+    ]
+    meta = {"n_lists": n_lists, "seed": seed, "centroids": centroids}
+    with open(os.path.join(out_dir, "centroids.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_search(
+    spark,
+    out_dir: str,
+    query_vecs: dict[str, list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query the materialized IVF layout: probe lists are chosen
+    DRIVER-side from the centroid sidecar (no Spark job), so the
+    vectors scan carries ``list_id IN (...)`` literals -> partition
+    pruning; candidates join the broadcast (qid, list_id, qvec) table.
+    Returns (qid, id, cosine) per-query top-k, rounded ranking."""
+    import json
+    import os
+
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    meta = json.load(open(os.path.join(out_dir, "centroids.json")))
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    rows = []
+    for qid, v in query_vecs.items():
+        q = np.asarray(v, dtype=np.float64)
+        d2 = ((centroids - q) ** 2).sum(axis=1)
+        for li in np.argsort(d2)[:n_probe]:
+            rows.append((qid, int(li), [float(x) for x in v]))
+    qdf = spark.createDataFrame(rows, "qid string, list_id int, qvec array<double>")
+    all_lists = sorted({r[1] for r in rows})
+    vectors = spark.read.parquet(os.path.join(out_dir, "vectors")).filter(
+        F.col("list_id").isin(all_lists)
+    )
+    joined = vectors.join(F.broadcast(qdf), "list_id").select(
+        "qid",
+        "id",
+        (
+            _dot(F.col("vec"), F.col("qvec"))
+            / (_norm(F.col("vec")) * _norm(F.col("qvec")))
+        ).alias("cosine"),
+    )
+    joined = joined.withColumn("cosine", F.round("cosine", 6))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "id", "cosine")
+        .orderBy("qid", F.desc("cosine"), F.asc("id"))
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     vec_col: str,

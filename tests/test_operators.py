@@ -117,6 +117,30 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, (recall, exact, got)
 
 
+def test_ivf_materialized_layout_pruned_and_recalls(spark, sf_dir, tmp_path):
+    """ivf_build writes the vectors partitioned by list_id; ivf_search's
+    scan must be PARTITION-PRUNED to the probe lists (the 10^9-vector
+    scale path) and still recall like the in-memory IVF."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = str(tmp_path / "ivf")
+    meta = similarity.ivf_build(emb, "embedding", "vec_id", out, n_lists=8)
+    assert len(meta["centroids"]) == 8
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    res = similarity.ivf_search(spark, out, {"q": q}, k=11, n_probe=3)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "list_id" in pf
+
+    exact = [
+        r.id for r in similarity.cosine_topk(emb, "embedding", "vec_id", q, k=10, exclude_id=0).collect()
+    ]
+    got = [r.id for r in res.collect() if r.id != 0]
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.5, (recall, exact, got)
+
+
 def test_cosine_neardup_pairs_exact_within_candidates(spark, sf_dir):
     """Near-dup pairs: every reported pair's cosine is exact (matches
     brute force), pairs are (a < b)-canonical, and the LSH candidate
