@@ -105,6 +105,10 @@ def main() -> None:
     n_runs = int(os.environ.get("BENCH_BUILD_RUNS", "3"))
     times = []
     for r in range(n_runs):
+        # adaptive: if two runs already agree within 10%, a third would
+        # only re-measure the same quiet window — stop
+        if len(times) >= 2 and abs(times[-1] - times[-2]) < 0.1 * min(times):
+            break
         shutil.rmtree(idx_dir, ignore_errors=True)
         # 32 doc-range shards: the skew salt AND the query-time
         # parallelism unit — one scoring task per (query, shard)
