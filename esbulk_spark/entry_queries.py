@@ -847,6 +847,50 @@ FROM documents ORDER BY id
 """
 
 
+_WINNOW_K, _WINNOW_W = 8, 4
+
+
+def q_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (rolling k-gram hashes, per-window minima
+    — Schleimer et al. 2003): count of selected fingerprints per doc
+    (the fingerprint density the winnowing guarantee bounds)."""
+    d = _t(spark, sf_dir, "documents")
+    fps = textstats.winnowing_fingerprints(
+        d, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W
+    )
+    return (
+        fps.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_fps"), F.min("fp").alias("min_fp"))
+        .orderBy("id")
+    )
+
+
+SQL_WINNOWING = f"""
+WITH norm AS (
+  SELECT doc_id AS id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), grams AS (
+  SELECT id,
+         CASE WHEN length(t) - {_WINNOW_K} + 1 >= 1 THEN
+           list_transform(range(1, length(t) - {_WINNOW_K} + 2),
+                          i -> {_duck_md5i(f"substr(t, i, {_WINNOW_K})")})
+         ELSE [] END AS hs
+  FROM norm
+), fps AS (
+  SELECT id,
+         CASE WHEN len(hs) - {_WINNOW_W} + 1 >= 1 THEN
+           list_distinct(list_transform(range(1, len(hs) - {_WINNOW_W} + 2),
+                          j -> list_min(list_slice(hs, j, j + {_WINNOW_W} - 1))))
+         WHEN len(hs) >= 1 THEN list_distinct(hs)
+         ELSE [] END AS sel
+  FROM grams
+)
+SELECT id, CAST(len(sel) AS BIGINT) AS n_fps, CAST(list_min(sel) AS BIGINT) AS min_fp
+FROM fps WHERE len(sel) > 0 ORDER BY id
+"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column plumbing: utf-8 bytes of text as the opaque blob."""
     d = _t(spark, sf_dir, "documents").select(
@@ -1021,6 +1065,7 @@ QUERIES = {
     "quality_score": (q_quality, SQL_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "doc_winnowing": (q_winnowing, SQL_WINNOWING),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
     "multimodal_frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     # generic relational coverage (window/agg/join/sort/limit)

@@ -126,6 +126,80 @@ def extract_media_meta(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(fn, META_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "id long, kind string, src_width int, src_height int, "
+    "width int, height int, blob binary"
+)
+
+
+def resize_images(
+    df: DataFrame, blob_col: str, id_col: str, max_side: int = 256
+) -> DataFrame:
+    """Image-resize PLUMBING: the Spark-side contract — Arrow batches of
+    binary in, binary + typed metadata out, aspect-preserving target
+    geometry computed from the REAL header dimensions — is complete;
+    the pixel resample itself needs a codec library this container does
+    not ship, so the output blob is a deterministic placeholder
+    (original bytes truncated to 4 KB) clearly marked by kind suffix
+    ``+fake-pixels``. Swapping in PIL's ``Image.resize`` changes only
+    the body of the per-row call."""
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "kind", "src_width", "src_height",
+                                   "width", "height", "blob")}
+            for i, buf in zip(pdf[id_col].values, pdf[blob_col].values):
+                buf = bytes(buf) if buf is not None else b""
+                kind = _sniff(buf)
+                w, h = _decode_dims(buf, kind)
+                scale = max_side / max(w, h, 1)
+                tw, th = (min(w, round(w * scale)), min(h, round(h * scale)))
+                out["id"].append(i)
+                out["kind"].append(kind + "+fake-pixels")
+                out["src_width"].append(w)
+                out["src_height"].append(h)
+                out["width"].append(max(tw, 1) if buf else 0)
+                out["height"].append(max(th, 1) if buf else 0)
+                out["blob"].append(buf[:4096])
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def embed_media(
+    df: DataFrame, blob_col: str, id_col: str, dim: int = 16
+) -> DataFrame:
+    """Feature-extract PLUMBING: binary column -> fixed-dim float vector
+    per row, Arrow-batched (the shape a CLIP/wav2vec embedder plugs
+    into). The model call is faked deterministically — sha256 of the
+    bytes expanded to ``dim`` floats in [-1, 1) — so downstream
+    similarity/dedup operators can be tested end-to-end without model
+    weights; swapping in a real encoder changes only the per-batch
+    call."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for i, buf in zip(pdf[id_col].values, pdf[blob_col].values):
+                buf = bytes(buf) if buf is not None else b""
+                raw = b""
+                while len(raw) < dim * 4:
+                    raw = raw + hashlib.sha256(buf + len(raw).to_bytes(4, "big")).digest()
+                u = np.frombuffer(raw[: dim * 4], dtype=np.uint32).astype(np.float64)
+                vecs.append(((u / 2**31) - 1.0).astype(np.float32).tolist())
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "embedding": vecs})
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        fn, "id long, embedding array<float>"
+    )
+
+
 def frame_sample_plan(df: DataFrame, blob_col: str, id_col: str, every_n: int = 10) -> DataFrame:
     """Video frame-sampling PLAN: emits (id, frame_no) rows for frames a
     decoder would extract — the partition-explosion shape of the real op

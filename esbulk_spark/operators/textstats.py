@@ -96,3 +96,51 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     md5. Stable under reformatting — the standard near-exact dedup key."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col).alias("id"), F.md5(norm).alias("fp"))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    public): hash every char k-gram of the normalized text, then keep
+    the MINIMUM hash of each sliding window of ``window`` consecutive
+    k-grams — the selected minima are the fingerprints that make
+    partial-overlap detection robust to insertion/reordering, at
+    ~1/window the density of all k-grams.
+
+    Pure Catalyst: substr with a column offset inside transform (no
+    Python), array_min over slices for the windows. Returns one row per
+    distinct (id, fp). At corpus scale this feeds the same
+    inverted-fingerprint join as dedup.jaccard_pairs."""
+    from esbulk_spark.operators.dedup import md5_int
+
+    from functools import reduce
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    n_grams = F.length(norm) - F.lit(k) + 1
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: md5_int(norm.substr(i, F.lit(k))),
+    )
+    n_windows = n_grams - F.lit(window) + 1
+    # Sliding-window minima as an elementwise least() over `window`
+    # SHIFTED slices of the hash array. NOT array_min(slice(...)) inside
+    # a transform: Catalyst's projection collapse would inline the whole
+    # k-gram/md5 pipeline PER WINDOW ELEMENT -> O(len^2) hashing. Here
+    # `hashes` is referenced exactly `window` times (constant).
+    L = F.greatest(n_windows, F.lit(1))
+    shifted = [F.slice(hashes, i + 1, L) for i in range(window)]
+    mins = reduce(lambda a, b: F.zip_with(a, b, lambda x, y: F.least(x, y)), shifted)
+    fps = F.when(n_windows >= 1, F.array_distinct(mins)).otherwise(
+        F.when(n_grams >= 1, F.array_distinct(hashes)).otherwise(
+            F.slice(hashes, 1, 0)  # typed empty array<long>
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(fps).alias("fp"))
+        .distinct()
+    )

@@ -214,6 +214,61 @@ def test_media_real_header_dims(spark):
     assert got[2] == ("jpeg", 800, 600)
 
 
+def test_resize_plumbing_geometry(spark):
+    """resize target geometry is aspect-preserving from REAL header
+    dims; blob is the marked placeholder (plumbing contract)."""
+    import struct
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 1024, 512) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+    df = spark.createDataFrame([(7, png)], "id long, blob binary")
+    r = multimodal.resize_images(df, "blob", "id", max_side=256).collect()[0]
+    assert (r.src_width, r.src_height) == (1024, 512)
+    assert (r.width, r.height) == (256, 128)  # aspect preserved
+    assert r.kind == "png+fake-pixels"
+    assert bytes(r.blob) == png[:4096]
+
+
+def test_embed_media_deterministic_fixed_dim(spark):
+    df = spark.createDataFrame(
+        [(0, b"abc"), (1, b"abc"), (2, b"xyz")], "id long, blob binary"
+    )
+    rows = {r.id: list(r.embedding) for r in multimodal.embed_media(df, "blob", "id", dim=16).collect()}
+    assert len(rows[0]) == 16
+    assert rows[0] == rows[1]          # same bytes -> same vector
+    assert rows[0] != rows[2]
+    assert all(-1.0 <= x < 1.0 for r in rows.values() for x in r)
+    # plugs into the similarity operators end-to-end
+    emb_df = spark.createDataFrame(
+        [(k, v) for k, v in rows.items()], "vec_id long, embedding array<float>"
+    )
+    top = similarity.cosine_topk(emb_df, "embedding", "vec_id", rows[0], k=2, exclude_id=0).collect()
+    assert top[0].id == 1 and abs(top[0].cosine - 1.0) < 1e-6
+
+
+def test_winnowing_fingerprints_properties(spark):
+    """Winnowing invariants: deterministic; a contained substring shares
+    fingerprints with its container (the partial-overlap guarantee);
+    disjoint texts share ~none."""
+    from esbulk_spark.operators import textstats
+
+    a = "the quick brown fox jumps over the lazy dog near the river bank " * 3
+    b = "PREFIX PAD " * 4 + a + " SUFFIX PAD"
+    c = "zz completely unrelated content qq " * 6
+    df = spark.createDataFrame([(0, a), (1, b), (2, c)], "id long, text string")
+    fps = textstats.winnowing_fingerprints(df, "text", "id", k=8, window=4)
+    by_id = {}
+    for r in fps.collect():
+        by_id.setdefault(r.id, set()).add(r.fp)
+    overlap_ab = len(by_id[0] & by_id[1]) / len(by_id[0])
+    overlap_ac = len(by_id[0] & by_id[2]) / len(by_id[0])
+    assert overlap_ab > 0.6, overlap_ab
+    assert overlap_ac < 0.1, overlap_ac
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(0, b"x" * 25000)], "id long, blob binary")
     frames = [r.frame_no for r in multimodal.frame_sample_plan(df, "blob", "id", every_n=10).collect()]
