@@ -53,6 +53,9 @@ def main(argv: list[str] | None = None) -> int:
                          default="index", help="esbulk -optype")
     p_index.add_argument("--n-buckets", type=int, default=32)
     p_index.add_argument("--n-shards", type=int, default=None)
+    p_index.add_argument("--no-store-content", action="store_true",
+                         help="sha-only docs table (content stays in the "
+                              "source table; the 10^12-file mode)")
     _add_common(p_index)
 
     p_search = sub.add_parser("search", help="BM25 top-k query")
@@ -60,6 +63,9 @@ def main(argv: list[str] | None = None) -> int:
     p_search.add_argument("--query", required=True)
     p_search.add_argument("-k", type=int, default=10)
     p_search.add_argument("--mode", choices=["wand", "fullscan", "and"], default="wand")
+    p_search.add_argument("--format", choices=["jsonl", "es"], default="jsonl",
+                          help="es = Elasticsearch-shaped response object "
+                               "(took / hits.total / max_score / _source)")
     _add_common(p_search)
 
     p_merge = sub.add_parser("merge", help="merge segment indexes")
@@ -213,6 +219,7 @@ def _cmd_index(spark, args) -> int:
         n_buckets=args.n_buckets,
         n_shards=args.n_shards,
         overwrite=overwrite,
+        store_content=not getattr(args, "no_store_content", False),
     )
     t0 = time.monotonic()
     stats = build_index(spark, docs, cfg, input_sig=input_sig)
@@ -241,6 +248,11 @@ def _cmd_search(spark, args) -> int:
 
     r = IndexReader(spark, args.index_dir)
     with r.interactive():  # AQE off: interactive latency path
+        if getattr(args, "format", "jsonl") == "es":
+            resp = r.search_response(args.query, k=args.k, prune=(args.mode == "wand"))
+            print(json.dumps(resp, default=str))
+            print(f"{len(resp['hits']['hits'])} hits", file=sys.stderr)
+            return 0
         if args.mode == "and":
             df = r.search_and(args.query, k=args.k)
         else:
