@@ -723,6 +723,72 @@ ORDER BY user_id, session_idx
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """AS-OF join — an operator Spark has no native form of (DuckDB
+    does: ASOF JOIN, the oracle below). For every 'click' event, attach
+    the most recent PRIOR-OR-EQUAL 'error' event's value for the same
+    user. Spark-first expression: union the two sides tagged, one
+    window pass per user ordered by time with last(ignorenulls) over
+    the preceding frame — one shuffle, no per-row Python, no
+    cartesian/range explosion (the scale-safe as-of shape)."""
+    e = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", sec.alias("sec"), F.lit(None).cast("double").alias("err_value")
+    )
+    # one error row per (user, second) — max(value) — so the as-of pick
+    # at an exact-tie timestamp is deterministic in BOTH engines
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", sec.alias("sec"))
+        .agg(F.max("value").alias("err_value"))
+        .select(
+            "user_id",
+            F.lit(None).cast("long").alias("event_id"),
+            "sec",
+            "err_value",
+        )
+    )
+    # errors sort BEFORE clicks at equal timestamps (is_click ASC) so an
+    # equal-time error is visible to the click — ASOF's <= semantics
+    unioned = clicks.withColumn("is_click", F.lit(1)).unionByName(
+        errors.withColumn("is_click", F.lit(0))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        unioned.withColumn("last_err", F.last("err_value", ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.coalesce(F.col("last_err"), F.lit(-1.0)), 4).alias("last_error_value"),
+        )
+        .orderBy("event_id")
+    )
+    return out
+
+
+SQL_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events WHERE event_type = 'click'
+), errors AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, max(value) AS value
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT c.user_id, c.event_id,
+       round(coalesce(e.value, -1.0), 4) AS last_error_value
+FROM clicks c
+ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND e.sec <= c.sec
+ORDER BY c.event_id
+"""
+
+
 def q_rollup_pricing(spark, sf_dir):
     """ROLLUP grouping sets over lineitem (subtotals + grand total)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1072,6 +1138,7 @@ QUERIES = {
     "events_hourly_window": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "rollup_pricing_sets": (q_rollup_pricing, SQL_ROLLUP_PRICING),
+    "asof_join_events": (q_asof_join, SQL_ASOF_JOIN),
     "agg_lineitem_pricing": (q_agg_pricing, SQL_AGG_PRICING),
     "topk_orders_window": (q_topk_window, SQL_TOPK_WINDOW),
     "join_customer_nation_region": (q_join_dims, SQL_JOIN_DIMS),
