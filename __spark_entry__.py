@@ -27,4 +27,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
+    # a callable oracle builds its SQL lazily (e.g. ann_ivf_topk inlines
+    # data-derived centroid literals computed at call time)
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_fn, sql) in QUERIES.items()
+        if sql is not None
+    }

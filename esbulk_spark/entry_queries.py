@@ -653,17 +653,100 @@ ORDER BY id_a, id_b
 """
 
 
+_IVF_LISTS = 8
+_IVF_PROBE = 3
+
+
 def q_ann_ivf(spark, sf_dir):
-    """IVF (k-means coarse quantizer) ANN — rows-only check: the
-    training pass (k-means||) is not SQL-reproducible, so no exact
-    oracle exists; recall vs brute force is pytest-asserted
-    (tests/test_operators.py)."""
+    """IVF (k-means coarse quantizer) ANN with an EXACT oracle: the
+    quantizer is similarity.deterministic_kmeans (seeded numpy Lloyd's,
+    fixed iterations) trained on the id-sorted table, so the oracle can
+    rebuild the identical centroids and inline them as SQL literals —
+    the same pattern _ann_planes_values proves for LSH. Assignment /
+    probe selection use 6-dp-rounded distances with lowest-index ties
+    on both engines. The library ivf_ann_topk (Spark KMeans) remains
+    the production path; this entry pins a replayable quantizer."""
     e = _t(spark, sf_dir, "embeddings")
+    rows = sorted(
+        e.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id
+    )
+    X = [[float(x) for x in r.embedding] for r in rows]
+    cents = similarity.deterministic_kmeans(X, k=_IVF_LISTS, seed=42, iters=5)
     qs = {
         str(r.vec_id): [float(x) for x in r.embedding]
-        for r in e.filter(F.col("vec_id") < 3).collect()
+        for r in rows
+        if r.vec_id < 3
     }
-    return similarity.ivf_ann_topk(e, "embedding", "vec_id", qs, k=10)
+    return similarity.ivf_ann_topk_centroids(
+        e, "embedding", "vec_id", qs, cents, k=10, n_probe=_IVF_PROBE
+    )
+
+
+def _ivf_centroid_values(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """The SAME centroids q_ann_ivf trains, as SQL literals — computed
+    from the parquet directly (pyarrow, id-sorted, float32->float64
+    widening identical to Spark's collect). Defaults to sf0.01, the
+    driver's correctness scale."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pydict()
+    order = np.argsort(np.asarray(t["vec_id"]))
+    X = np.asarray(
+        [[float(x) for x in t["embedding"][i]] for i in order], dtype=np.float64
+    )
+    cents = similarity.deterministic_kmeans(X, k=_IVF_LISTS, seed=42, iters=5)
+    return ", ".join(
+        "({}, [{}])".format(j, ", ".join(repr(float(x)) for x in cents[j]))
+        for j in range(len(cents))
+    )
+
+
+def _sql_ann_ivf(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB oracle for q_ann_ivf: replay assignment (rounded sq-L2
+    argmin, index ties), probe-list choice, and rounded-cosine top-k
+    over exactly the probed lists."""
+    return f"""
+WITH cent(li, cv) AS (VALUES {_ivf_centroid_values(sf_dir)}),
+d AS (
+  SELECT e.vec_id, c.li,
+         round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (e.embedding[i]::DOUBLE - c.cv[i]) * (e.embedding[i]::DOUBLE - c.cv[i]))), 6) AS d2
+  FROM embeddings e CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, li AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, li ASC) AS rn FROM d)
+  WHERE rn = 1
+), qd AS (
+  SELECT e.vec_id AS qvid, e.embedding AS qv, c.li,
+         round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (e.embedding[i]::DOUBLE - c.cv[i]) * (e.embedding[i]::DOUBLE - c.cv[i]))), 6) AS d2
+  FROM embeddings e CROSS JOIN cent c
+  WHERE e.vec_id < 3
+), probes AS (
+  SELECT qvid, qv, li
+  FROM (SELECT *, row_number() OVER (PARTITION BY qvid ORDER BY d2 ASC, li ASC) AS rn FROM qd)
+  WHERE rn <= {_IVF_PROBE}
+), cand AS (
+  SELECT CAST(p.qvid AS VARCHAR) AS qid, e.vec_id AS id,
+         round(
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> e.embedding[i]::DOUBLE * p.qv[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(e.embedding, v -> v::DOUBLE * v::DOUBLE)))
+              * sqrt(list_sum(list_transform(p.qv, v -> v::DOUBLE * v::DOUBLE)))),
+           6) AS cosine
+  FROM probes p
+  JOIN assign a ON a.list_id = p.li
+  JOIN embeddings e ON e.vec_id = a.vec_id
+)
+SELECT qid, id, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rn
+      FROM cand)
+WHERE rn <= 10
+ORDER BY qid, cosine DESC, id ASC
+"""
 
 
 def q_sessionize(spark, sf_dir):
@@ -1125,7 +1208,9 @@ QUERIES = {
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
     "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
-    "ann_ivf_topk": (q_ann_ivf, None),  # k-means training: no SQL oracle
+    # callable oracle: centroid literals are data-derived (sf0.01, the
+    # driver's correctness scale); __spark_entry__ resolves callables
+    "ann_ivf_topk": (q_ann_ivf, _sql_ann_ivf),
     "dedup_embedding_cosine": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "lang_id_heuristic": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality, SQL_QUALITY),

@@ -130,6 +130,104 @@ def cosine_neardup_pairs(
     return out
 
 
+def deterministic_kmeans(vectors, k: int = 8, seed: int = 42, iters: int = 5):
+    """Driver-side Lloyd's k-means, bitwise-reproducible: seeded init
+    (choice without replacement over the given row order), a FIXED
+    iteration count, argmin ties -> lowest index, and an empty cluster
+    keeps its previous centroid. Callers must pass vectors in a stable
+    order (sort by id) so the float summation order is fixed.
+
+    This exists so the IVF *entry* has a quantizer that a SQL oracle can
+    replay exactly (centroid literals inlined into DuckDB) — Spark's
+    KMeans (k-means||) is not reproducible across engines. For real
+    corpora use ivf_build/ivf_ann_topk; train on a sample at scale."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    idx = np.sort(rng.choice(len(X), size=k, replace=False))
+    C = X[idx].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # first occurrence on ties
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def ivf_ann_topk_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vecs: dict[str, list[float]],
+    centroids,
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF ANN with an externally-supplied coarse quantizer (centroid
+    matrix, e.g. from deterministic_kmeans). Fully deterministic and
+    SQL-reproducible: list assignment is pure Catalyst — squared-L2 to
+    each centroid literal, ROUNDED to 6 dp, argmin with lowest-index
+    ties — and probe lists are chosen driver-side from the same rounded
+    distances. Exact DuckDB oracle: entry_queries._sql_ann_ivf.
+
+    Scale shape is identical to ivf_search: candidates = broadcast
+    (qid, list_id, qvec) equi-joined on list_id (partition-prunable when
+    the table is written PARTITIONED BY list_id), never all-pairs."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    C = np.asarray(centroids, dtype=np.float64)
+    n_lists = len(C)
+
+    def _sqd(vec, c):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(
+                vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dists = F.array(
+        *[F.round(_sqd(F.col(vec_col), C[j]), 6) for j in range(n_lists)]
+    )
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("list_id"),
+    )
+    rows = []
+    for qid, v in query_vecs.items():
+        q = np.asarray(v, dtype=np.float64)
+        d2r = np.round(((C - q) ** 2).sum(axis=1), 6)
+        order = np.lexsort((np.arange(n_lists), d2r))  # stable (dist, index)
+        for li in order[:n_probe]:
+            rows.append((qid, int(li), [float(x) for x in v]))
+    qdf = df.sparkSession.createDataFrame(
+        rows, "qid string, list_id int, qvec array<double>"
+    )
+    joined = assigned.join(F.broadcast(qdf), "list_id").select(
+        "qid",
+        "id",
+        F.round(
+            _dot(F.col("vec"), F.col("qvec"))
+            / (_norm(F.col("vec")) * _norm(F.col("qvec"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "id", "cosine")
+        .orderBy("qid", F.desc("cosine"), F.asc("id"))
+    )
+
+
 def ivf_ann_topk(
     df: DataFrame,
     vec_col: str,

@@ -273,3 +273,23 @@ def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(0, b"x" * 25000)], "id long, blob binary")
     frames = [r.frame_no for r in multimodal.frame_sample_plan(df, "blob", "id", every_n=10).collect()]
     assert frames == [0, 10, 20]  # 25 stub-frames, every 10th
+
+
+def test_ivf_deterministic_entry_matches_duckdb_oracle(spark):
+    """q_ann_ivf (deterministic-kmeans IVF) must match its DuckDB oracle
+    exactly — rows, order, rounded cosines — at an sf the driver does
+    NOT use, proving the data-derived centroid literals generalize."""
+    import duckdb
+
+    from esbulk_spark.entry_queries import _sql_ann_ivf, q_ann_ivf
+
+    sf = "/root/testdata/sf0.001"
+    got = [(r.qid, r.id, r.cosine) for r in q_ann_ivf(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(_sql_ann_ivf(sf)).fetchall()]
+    assert len(got) == 30  # 3 queries x top-10
+    assert got == want
