@@ -56,6 +56,12 @@ def main(argv: list[str] | None = None) -> int:
     p_index.add_argument("--no-store-content", action="store_true",
                          help="sha-only docs table (content stays in the "
                               "source table; the 10^12-file mode)")
+    p_index.add_argument("--content-source", default=None,
+                         help="parquet table holding (key, text) for docs of "
+                              "a --no-store-content index; required to "
+                              "--optype re-index into one (existing content "
+                              "is recovered by key and verified against the "
+                              "stored content_sha)")
     _add_common(p_index)
 
     p_search = sub.add_parser("search", help="BM25 top-k query")
@@ -112,8 +118,9 @@ def _spool_stdin() -> str:
     return path
 
 
-def _load_input(spark, args):
-    """-> (docs_df, is_ndjson, quarantine_df|None).
+def _load_input(spark, args, tmp_paths: list | None = None):
+    """-> (docs_df, is_ndjson, quarantine_df|None). Temp artifacts (the
+    stdin spool) are appended to tmp_paths for the caller's finally.
 
     NDJSON path parity: blank filter -> broken-JSON handling (skip or
     quarantine, run.go:304-311 / our stronger split) -> id extraction
@@ -127,6 +134,8 @@ def _load_input(spark, args):
     path = args.input
     if path == "-":
         path = _spool_stdin()
+        if tmp_paths is not None:
+            tmp_paths.append(path)
     is_ndjson = path.endswith((".jsonl", ".ldj", ".json", ".ndjson", ".gz")) or args.input == "-"
     if not is_ndjson:
         return spark.read.parquet(path), False, None
@@ -160,9 +169,35 @@ def _apply_optype(spark, args, docs, key_col: str):
 
     from esbulk_spark.operators import optype
 
-    existing = spark.read.parquet(os.path.join(args.index_dir, "docs")).select(
-        key_col, args.text_col
-    )
+    stored = spark.read.parquet(os.path.join(args.index_dir, "docs"))
+    if args.text_col in stored.columns:
+        existing = stored.select(key_col, args.text_col)
+    else:
+        # sha-only index (--no-store-content): recover existing content by
+        # key from the caller-named source table and verify it against the
+        # stored content_sha (the per-row invariant) before merging.
+        src_path = getattr(args, "content_source", None)
+        if not src_path:
+            raise SystemExit(
+                f"--optype re-index into {args.index_dir}: the index was "
+                f"built with --no-store-content (docs table has no "
+                f"'{args.text_col}' column), so existing content cannot be "
+                "read from the index. Pass --content-source <parquet with "
+                f"(key, {args.text_col})> to recover it, or rebuild from "
+                "the full corpus with --purge."
+            )
+        src = spark.read.parquet(src_path).select(key_col, args.text_col)
+        keys = stored.select(key_col, "content_sha")
+        existing = keys.join(src, key_col).filter(
+            F.sha2(F.col(args.text_col), 256) == F.col("content_sha")
+        ).drop("content_sha")
+        n_existing, n_recovered = keys.count(), existing.count()
+        if n_recovered != n_existing:
+            raise SystemExit(
+                f"--content-source {src_path} recovered {n_recovered} of "
+                f"{n_existing} existing docs (missing keys or content_sha "
+                "mismatch); refusing to merge a partial corpus."
+            )
     incoming = docs.select(key_col, args.text_col)
     if args.optype == "index":
         merged = optype.optype_index(
@@ -179,12 +214,27 @@ def _apply_optype(spark, args, docs, key_col: str):
 
 
 def _cmd_index(spark, args) -> int:
+    tmp_paths: list[str] = []
+    try:
+        return _cmd_index_inner(spark, args, tmp_paths)
+    finally:
+        # spool/staging files feed lazy DataFrames; safe to drop only
+        # after the build has materialized (run or failed)
+        import shutil
+
+        for p in tmp_paths:
+            shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else (
+                os.path.exists(p) and os.remove(p)
+            )
+
+
+def _cmd_index_inner(spark, args, tmp_paths: list) -> int:
     import time
 
     from esbulk_spark.config import IndexConfig
     from esbulk_spark.plans.build import build_index
 
-    docs, is_ndjson, quarantine = _load_input(spark, args)
+    docs, is_ndjson, quarantine = _load_input(spark, args, tmp_paths)
     key_col = "_doc_key" if (is_ndjson and args.id_spec) else args.id_col
     if is_ndjson:
         sort_keys = ("_doc_key",) if args.id_spec else (args.text_col,)
@@ -205,6 +255,7 @@ def _cmd_index(spark, args) -> int:
         # would read nothing).
         merged = _apply_optype(spark, args, docs, key_col)
         staging = tempfile.mkdtemp(prefix="esbulk_optype_")
+        tmp_paths.append(staging)
         merged.write.mode("overwrite").parquet(staging)
         docs = spark.read.parquet(staging)
         sort_keys = (key_col,)

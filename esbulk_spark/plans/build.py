@@ -374,6 +374,7 @@ def build_index(
             "n_shards": int(n_shards),
             "shard_size": int(shard_size),
             "n_buckets": cfg.n_buckets,
+            "store_content": cfg.store_content,
             "chunk_cap": cfg.chunk_cap,
             "block_size": cfg.block_size,
             "fingerprint": fp,
