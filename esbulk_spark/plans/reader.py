@@ -220,7 +220,7 @@ class IndexReader:
         per_shard = self._per_shard_scores({"q": analyze_query(query)}, k, prune)
         if per_shard is None:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        return topk_deterministic(per_shard.drop("qid"), k, round_to)
+        return topk_deterministic(per_shard.select("doc_id", "score"), k, round_to)
 
     def search_response(
         self,
@@ -231,10 +231,18 @@ class IndexReader:
         with_source: bool = True,
         track_total_hits: bool = False,
     ) -> dict:
-        """ES-shaped search response — the exact field set the
-        reference's tests consume (run_test.go:416-465: ``took``,
-        ``hits.total.value``, ``hits.max_score``, per-hit ``_id`` /
-        ``_score`` / ``_source``).
+        """ES-shaped search response — the full field set the reference's
+        response models consume (run_test.go:416-465, SearchResponse6/7:
+        ``took``, ``timed_out``, ``_shards`` {total, successful, skipped,
+        failed}, ``hits.total``, ``hits.max_score``, per-hit ``_id`` /
+        ``_index`` / ``_type`` / ``_score`` / ``_source``).
+
+        The global top-k merge happens DRIVER-side over the collected
+        per-shard candidates (<= n_shards*k tiny rows) — exactly the ES
+        coordinator-node role — which is what makes per-shard stats
+        observable: ``_shards.skipped`` counts shards the pruned postings
+        scan never touched (no postings for any query term there), so
+        WAND/bucket pruning is user-visible.
 
         ``track_total_hits``: like ES's flag — the true total (docs
         matching >= 1 term) costs an extra distinct-count job, so it is
@@ -242,8 +250,28 @@ class IndexReader:
         import time as _time
 
         t0 = _time.monotonic()
-        rows = self.search(query, k=k, prune=prune, round_to=round_to).collect()
-        hits = [{"_id": r.doc_id, "_score": float(r.score)} for r in rows]
+        n_shards_total = int(self.stats.get("n_shards", 0))
+        per_shard = self._per_shard_scores({"q": analyze_query(query)}, k, prune)
+        if per_shard is None:
+            cand = []
+        else:
+            cand = per_shard.select("shard", "doc_id", "score").collect()
+        shards_seen = {r.shard for r in cand}
+        if round_to is not None:
+            merged = [(round(float(r.score), round_to), r.doc_id) for r in cand]
+        else:
+            merged = [(float(r.score), r.doc_id) for r in cand]
+        merged.sort(key=lambda t: (-t[0], t[1]))
+        index_name = os.path.basename(os.path.normpath(self.index_dir))
+        hits = [
+            {
+                "_index": index_name,
+                "_type": "_doc",
+                "_id": doc_id,
+                "_score": float(score),
+            }
+            for score, doc_id in merged[:k]
+        ]
         if with_source and hits:
             ids = [h["_id"] for h in hits]
             src = {
@@ -263,9 +291,16 @@ class IndexReader:
                 )
         return {
             "took": int((_time.monotonic() - t0) * 1000),
+            "timed_out": False,
+            "_shards": {
+                "total": n_shards_total,
+                "successful": len(shards_seen),
+                "skipped": max(0, n_shards_total - len(shards_seen)),
+                "failed": 0,
+            },
             "hits": {
                 "total": {"value": int(total), "relation": "eq" if track_total_hits or total < k else "gte"},
-                "max_score": float(rows[0].score) if rows else None,
+                "max_score": float(hits[0]["_score"]) if hits else None,
                 "hits": hits,
             },
         }

@@ -39,7 +39,7 @@ import numpy as np
 
 from esbulk_spark.functions.codec import varint_decode, delta_decode
 
-RESULT_SCHEMA = "qid string, doc_id long, score double"
+RESULT_SCHEMA = "qid string, shard int, doc_id long, score double"
 
 
 def idf(df: int | np.ndarray, n_docs: int) -> float | np.ndarray:
@@ -226,8 +226,10 @@ def make_group_scorer(
     import pandas as pd
 
     def fn(key, pdf):
-        qid = key[0]
+        qid, shard = key[0], int(key[1])
         ids, scores = score_group(pdf, n_docs, k, k1, b, avgdl, block_size, prune)
-        return pd.DataFrame({"qid": qid, "doc_id": ids, "score": scores})
+        return pd.DataFrame(
+            {"qid": qid, "shard": shard, "doc_id": ids, "score": scores}
+        )
 
     return fn

@@ -125,8 +125,29 @@ def test_search_response_es_shape(reader):
     _id/_score/_source."""
     resp = reader.search_response("getUserName", k=5, track_total_hits=True)
     assert isinstance(resp["took"], int)
+    assert resp["timed_out"] is False
+    sh = resp["_shards"]
+    assert sh["total"] == reader.stats["n_shards"]
+    assert sh["failed"] == 0
+    assert sh["successful"] + sh["skipped"] == sh["total"]
+    assert sh["successful"] >= 1
     h = resp["hits"]
     assert h["hits"], "expected hits"
+    # per-hit _index/_type (SearchResponse6/7 field parity)
+    import os as _os
+
+    assert all(
+        x["_index"] == _os.path.basename(reader.index_dir.rstrip("/"))
+        for x in h["hits"]
+    )
+    assert all(x["_type"] == "_doc" for x in h["hits"])
+    # driver-side coordinator merge == the Spark global-merge search()
+    want = [
+        (r.doc_id, round(r.score, 9))
+        for r in reader.search("getUserName", k=5).collect()
+    ]
+    got = [(x["_id"], round(x["_score"], 9)) for x in h["hits"]]
+    assert got == want
     assert h["max_score"] == h["hits"][0]["_score"]
     scores = [x["_score"] for x in h["hits"]]
     assert scores == sorted(scores, reverse=True)
