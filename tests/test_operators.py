@@ -293,3 +293,64 @@ def test_ivf_deterministic_entry_matches_duckdb_oracle(spark):
     want = [tuple(r) for r in con.execute(_sql_ann_ivf(sf)).fetchall()]
     assert len(got) == 30  # 3 queries x top-10
     assert got == want
+
+
+def test_resize_real_pixels_with_pil(spark):
+    """When PIL is present the resize branch actually decodes and
+    re-encodes pixels (skipped in containers without PIL; the
+    fallback branch is covered by test_resize_plumbing_geometry)."""
+    from esbulk_spark.operators.multimodal import _PILImage
+
+    if _PILImage is None:
+        pytest.skip("PIL not installed; deterministic fallback in use")
+    import io
+
+    im = _PILImage.new("RGB", (100, 60), (10, 20, 30))
+    enc = io.BytesIO()
+    im.save(enc, format="PNG")
+    df = spark.createDataFrame([(1, enc.getvalue())], "id long, blob binary")
+    r = multimodal.resize_images(df, "blob", "id", max_side=50).collect()[0]
+    assert r.kind == "png+resized"
+    assert (r.width, r.height) == (50, 30)
+    back = _PILImage.open(io.BytesIO(bytes(r.blob)))
+    assert back.size == (50, 30)
+
+
+def test_jaccard_hot_shingle_guard_contract(spark):
+    """The max_shingle_df guard's documented contract (dedup.py): recall
+    loss is bounded to pairs whose ONLY overlap is hot shingles, and
+    surviving pairs keep their EXACT jaccard (full-set intersection,
+    hot shingles included)."""
+    hot = "common hot phrase"
+    rows = [
+        # near-dup pair: shares non-hot trigrams AND the hot phrase
+        (1, f"alpha beta gamma delta epsilon {hot}"),
+        (2, f"alpha beta gamma delta zeta {hot}"),
+    ] + [
+        # 5 docs whose only mutual overlap is the hot phrase
+        (10 + i, f"{hot} u{i} v{i} w{i}") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    unguarded = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(
+            df, "text", "id", n=3, threshold=0.01, max_shingle_df=None
+        ).collect()
+    }
+    guarded = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(
+            df, "text", "id", n=3, threshold=0.01, max_shingle_df=3
+        ).collect()
+    }
+    # the hot phrase rides in 7 docs > 3 -> guard fires
+    assert set(guarded) < set(unguarded)
+    # surviving pairs: identical exact jaccard (guard never distorts)
+    for pair, j in guarded.items():
+        assert unguarded[pair] == j
+    # every lost pair's only overlap was the hot shingle; the genuine
+    # near-dup pair (non-hot overlap) must survive
+    assert (1, 2) in guarded
+    lost = set(unguarded) - set(guarded)
+    assert lost, "guard should cost some hot-only pairs"
+    assert all(a >= 10 or b >= 10 for a, b in lost)
