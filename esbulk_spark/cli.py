@@ -56,6 +56,10 @@ def main(argv: list[str] | None = None) -> int:
     p_index.add_argument("--no-store-content", action="store_true",
                          help="sha-only docs table (content stays in the "
                               "source table; the 10^12-file mode)")
+    p_index.add_argument("--segmented", type=int, default=None,
+                         help="build in N doc-range waves + fast merge "
+                              "(the large-build plan; per-wave token "
+                              "shuffle, index-sized merge)")
     p_index.add_argument("--content-source", default=None,
                          help="parquet table holding (key, text) for docs of "
                               "a --no-store-content index; required to "
@@ -271,6 +275,7 @@ def _cmd_index_inner(spark, args, tmp_paths: list) -> int:
         n_shards=args.n_shards,
         overwrite=overwrite,
         store_content=not getattr(args, "no_store_content", False),
+        segmented=getattr(args, "segmented", None),
     )
     t0 = time.monotonic()
     stats = build_index(spark, docs, cfg, input_sig=input_sig)

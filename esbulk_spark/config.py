@@ -60,6 +60,15 @@ class IndexConfig:
     pipeline: Optional[Callable] = None  # esbulk -p: pre-tokenize transform
     analyzer: str = ANALYZER_VERSION
 
+    # large-build plan: split the corpus into N contiguous doc-id waves,
+    # build each wave as an independent segment index (per-wave token
+    # shuffle covers only its slice), then metadata-refresh merge
+    # (operators/merge.py). The regime where a single global (term,
+    # shard) token shuffle is too big — shuffle volume per wave drops
+    # N-fold and the merge moves index-sized data only. None/0 = the
+    # single-pass build.
+    segmented: Optional[int] = None
+
     def fingerprint(self, input_sig: str) -> str:
         d = asdict(self)
         d.pop("pipeline", None)

@@ -285,6 +285,10 @@ def build_index(
     merge path provides these (decoded from segment postings) so content
     is never re-tokenized; such callers must pre-populate the docs and
     stats stages in the manifest."""
+    if cfg.segmented:
+        if tf_source is not None:
+            raise ValueError("segmented build cannot take a tf_source")
+        return _build_segmented(spark, docs, cfg, input_sig)
     d = cfg.index_dir
     fp = cfg.fingerprint(input_sig)
     man = Manifest(d, fp)
@@ -517,6 +521,107 @@ def build_index(
         )
     if chunks_cache is not None:
         chunks_cache.unpersist()
+    return stats
+
+
+def _build_segmented(
+    spark: SparkSession, docs: DataFrame, cfg: IndexConfig, input_sig: str
+) -> dict:
+    """cfg.segmented = N: the large-build plan promoted to a config flag
+    (VERDICT r2 item 7). Assign doc ids ONCE, split the corpus into N
+    contiguous doc-id waves, build each wave as an independent segment
+    index, then metadata-refresh merge (operators/merge.py:162) into
+    cfg.index_dir.
+
+    Why: the single-pass build's (term, shard) shuffle is token-sized —
+    at 10^12 docs that is the cluster-killing exchange. Per wave the
+    shuffle covers only 1/N of the tokens (bounded working set, bounded
+    spill), and the merge moves index-sized blobs verbatim. Search
+    results are rank-identical to the single-pass build (chunk
+    boundaries/file bytes legitimately differ) — asserted in
+    tests/test_merge.py.
+
+    Resume: the staging dir (index_dir + '.segments') carries the
+    config fingerprint; each wave build is itself stage-checkpointed, so
+    a killed build redoes only unfinished waves. The merged index is
+    stamped with the segmented config's fingerprint, making the whole
+    build a no-op on re-run."""
+    from dataclasses import replace
+
+    from esbulk_spark.operators.merge import merge_segments_fast
+
+    d = cfg.index_dir
+    n_waves = max(1, int(cfg.segmented))
+    fp = cfg.fingerprint(input_sig)
+    stats_path = os.path.join(d, STATS_FILE)
+    if _same_fingerprint(d, fp) and os.path.exists(stats_path):
+        return json.load(open(stats_path))
+
+    work = d + ".segments"
+    fp_file = os.path.join(work, "FINGERPRINT")
+    fresh = not (
+        os.path.exists(fp_file) and open(fp_file).read() == fp
+    )
+    if fresh:
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        with open(fp_file, "w") as f:
+            f.write(fp)
+
+    if cfg.pipeline is not None:
+        docs = cfg.pipeline(docs)
+    src = os.path.join(work, "src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        pinned = None
+        if cfg.id_col:
+            with_ids = docs.withColumn("doc_id", F.col(cfg.id_col).cast("long"))
+        else:
+            with_ids, _, pinned = assign_doc_ids_pinned(docs, cfg.sort_keys)
+        with_ids.write.mode("overwrite").parquet(src)
+        if pinned is not None:
+            pinned.unpersist()
+    srcdf = spark.read.parquet(src)
+    lo, hi = srcdf.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    if cfg.id_col:
+        # sparse user ids: quantile cuts for balanced waves
+        qs = srcdf.stat.approxQuantile(
+            "doc_id", [i / n_waves for i in range(1, n_waves)], 0.001
+        )
+        cuts = sorted({int(q) for q in qs})
+    else:
+        # dense assigned ids: an even value split IS an even doc split
+        step = (hi - lo + 1) / n_waves
+        cuts = [int(lo + step * i) for i in range(1, n_waves)]
+    bounds = [lo - 1] + cuts + [hi]
+    wave_shards = max(1, cfg.n_shards // n_waves) if cfg.n_shards else None
+    seg_dirs = []
+    for i in range(len(bounds) - 1):
+        blo, bhi = bounds[i], bounds[i + 1]
+        seg_dir = os.path.join(work, f"seg{i:04d}")
+        wcfg = replace(
+            cfg,
+            index_dir=seg_dir,
+            id_col="doc_id",
+            segmented=None,
+            n_shards=wave_shards,
+            overwrite=True,
+            pipeline=None,
+        )
+        build_index(
+            spark,
+            srcdf.filter((F.col("doc_id") > blo) & (F.col("doc_id") <= bhi)),
+            wcfg,
+            input_sig=f"{input_sig}#seg{i}/{n_waves}",
+        )
+        seg_dirs.append(seg_dir)
+    mcfg = replace(cfg, segmented=None, pipeline=None)
+    stats = merge_segments_fast(spark, seg_dirs, mcfg)
+    # stamp the SEGMENTED config's fingerprint so re-runs short-circuit
+    stats = dict(stats, fingerprint=fp, segmented=n_waves)
+    with open(stats_path, "w") as f:
+        json.dump(stats, f, indent=1)
+    Manifest(d, fp).record("segmented_build", n_waves=n_waves)
+    shutil.rmtree(work, ignore_errors=True)
     return stats
 
 

@@ -145,3 +145,44 @@ def test_merged_index_answers_queries(spark, corpus, tmp_path):
         ]
         wand = [(x.doc_id, round(x.score, 6)) for x in r.search(q, k=10).collect()]
         assert oracle == wand, q
+
+
+def test_segmented_config_flag_equals_single_pass(spark, corpus, tmp_path):
+    """cfg.segmented=N (the large-build plan as a config flag) must
+    produce an index with identical dictionary/stats and rank-identical
+    search results vs the single-pass build, clean up its staging dir,
+    and short-circuit on re-run (fingerprint resume)."""
+    import time
+
+    from esbulk_spark.plans.reader import IndexReader
+
+    base = str(tmp_path)
+    full_cfg = IndexConfig(index_dir=f"{base}/full", n_buckets=8, n_shards=4, chunk_cap=256)
+    full = build_index(spark, corpus, full_cfg, input_sig="seg150")
+    seg_cfg = IndexConfig(
+        index_dir=f"{base}/segb", n_buckets=8, n_shards=4, chunk_cap=256, segmented=2
+    )
+    stats = build_index(spark, corpus, seg_cfg, input_sig="seg150")
+
+    assert stats["n_docs"] == full["n_docs"]
+    assert stats["total_postings"] == full["total_postings"]
+    assert abs(stats["avgdl"] - full["avgdl"]) < 1e-12
+    assert stats["segmented"] == 2
+    d_full = {r.term: (r.df, r.cf) for r in spark.read.parquet(f"{base}/full/dictionary").collect()}
+    d_seg = {r.term: (r.df, r.cf) for r in spark.read.parquet(f"{base}/segb/dictionary").collect()}
+    assert d_full == d_seg
+    # staging removed after the merge
+    assert not os.path.exists(f"{base}/segb.segments")
+
+    rf = IndexReader(spark, f"{base}/full")
+    rs = IndexReader(spark, f"{base}/segb")
+    for q in ("getUserName", "flushBuffer retry score", "parse token"):
+        a = [(r.doc_id, round(r.score, 9)) for r in rf.search(q, prune=True).collect()]
+        b = [(r.doc_id, round(r.score, 9)) for r in rs.search(q, prune=True).collect()]
+        assert a == b, q
+
+    # resume: identical config+input short-circuits without rebuilding
+    t0 = time.monotonic()
+    again = build_index(spark, corpus, seg_cfg, input_sig="seg150")
+    assert time.monotonic() - t0 < 2.0
+    assert again["fingerprint"] == stats["fingerprint"]
