@@ -136,18 +136,32 @@ def main() -> None:
     # ---- 2. BM25 top-10 latency over the reference query set ----
     # interactive() turns AQE off for the latency section (AQE's staged
     # re-plan ~2x's sub-second queries; builds keep it on)
+    # latency is measured on the SERVING path (search_rows: driver-side
+    # coordinator merge, what an ES client receives) — the DataFrame API
+    # (search().collect()) adds ~0.5 s of result-DataFrame
+    # materialization and is reported separately as bm25_df_api_sec
     reader = IndexReader(spark, idx_dir)
     with reader.interactive():
-        reader.search(REF_QUERIES[0], k=10).collect()  # warm
+        reader.search_rows(REF_QUERIES[0], k=10)  # warm
         lat = []
         for i, q in enumerate(REF_QUERIES):
             t0 = time.monotonic()
-            reader.search(q, k=10, prune=True).collect()
+            reader.search_rows(q, k=10, prune=True)
             dt = time.monotonic() - t0
             lat.append(dt)
             queries[f"bm25_q{i:02d}"] = round(dt, 3)
         out["bm25_p50_sec"] = round(statistics.median(lat), 3)
         out["bm25_mean_sec"] = round(statistics.mean(lat), 3)
+        # warm repeat (term stats cached): the steady-state serving p50
+        lat_w = []
+        for q in REF_QUERIES:
+            t0 = time.monotonic()
+            reader.search_rows(q, k=10, prune=True)
+            lat_w.append(time.monotonic() - t0)
+        out["bm25_p50_warm_sec"] = round(statistics.median(lat_w), 3)
+        t0 = time.monotonic()
+        reader.search(REF_QUERIES[0], k=10).collect()
+        out["bm25_df_api_sec"] = round(time.monotonic() - t0, 3)
         # batch path: all 20 queries in one job (the cluster-scale pattern)
         t0 = time.monotonic()
         reader.search_many(
@@ -174,11 +188,11 @@ def main() -> None:
         )
         r50 = IndexReader(spark, small_dir)
         with r50.interactive():
-            r50.search(REF_QUERIES[0], k=10).collect()
+            r50.search_rows(REF_QUERIES[0], k=10)
             lat50 = []
             for q in REF_QUERIES:
                 t0 = time.monotonic()
-                r50.search(q, k=10, prune=True).collect()
+                r50.search_rows(q, k=10, prune=True)
                 lat50.append(time.monotonic() - t0)
             out["bm25_p50_sec_50k"] = round(statistics.median(lat50), 3)
             t0 = time.monotonic()

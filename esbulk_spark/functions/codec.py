@@ -65,7 +65,12 @@ def varint_decode(buf: bytes | np.ndarray, offset: int = 0, count: int | None = 
     ``offset`` skips into the byte stream (block skip-decode); ``count``
     limits the number of values decoded (None = until end of buffer).
     """
-    b = np.frombuffer(buf, dtype=np.uint8)[offset:]
+    # bound the scan: a 64-bit LEB128 value is <= 10 bytes, so the first
+    # ``count`` values live inside the next 10*count bytes — without this
+    # cap a block decode near the start of a large chunk blob would scan
+    # the whole remaining stream for end-bytes (O(chunk) per block)
+    end = offset + 10 * count if count is not None else None
+    b = np.frombuffer(buf, dtype=np.uint8)[offset:end]
     if b.size == 0:
         return np.zeros(0, dtype=np.uint64)
     is_end = b < 0x80

@@ -82,6 +82,11 @@ _CHUNK_COLS = [
 ]
 
 
+# test hook: force an Arrow-boundary packing tier ("packed1"/"packed2"/
+# "struct") to A/B-assert byte-identical output across tiers
+_FORCE_PACK: str | None = None
+
+
 def _encode_batch_groups(group_terms, group_shards, ids, tfs, dls, tfn, starts, ends, cap, bs):
     """Encode MANY (term, shard) groups in one vectorized pass.
 
@@ -182,7 +187,7 @@ def _arrow_postings_schema():
     )
 
 
-def make_chunk_builder(cfg: IndexConfig, avgdl: float):
+def make_chunk_builder(cfg: IndexConfig, avgdl: float, shard_size: int | None = None):
     """mapInArrow encoder over GROUPED rows:
     (term, shard, postings: list<struct<doc_id, tf, dl>>), one row per
     (term, shard) group, in ANY order (the encoder doc-orders each group
@@ -231,24 +236,38 @@ def make_chunk_builder(cfg: IndexConfig, avgdl: float):
             lengths = pc.list_value_length(posts).to_numpy(zero_copy_only=False)
             ends = np.cumsum(lengths.astype(np.int64))
             starts = np.concatenate(([0], ends[:-1]))
-            flat = posts.flatten()  # StructArray, respects list offsets
-            ids = flat.field("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            struct_fields = {f.name for f in flat.type}
+            flat = posts.flatten()  # respects list offsets
             # doc-order the postings WITHIN each group here: numpy's
             # lexsort over ints is ~30% faster end-to-end than asking the
             # JVM agg for sort_array(collect_list(...)) (object-comparator
             # sort of structs inside ObjectHashAggregate), byte-identical
             # output (A/B-verified)
             gidx = np.repeat(np.arange(lengths.size, dtype=np.int64), lengths)
-            order = np.lexsort((ids, gidx))
-            ids = ids[order]
-            if "packed" in struct_fields:
-                packed = flat.field("packed").to_numpy(zero_copy_only=False).astype(np.int64)[order]
-                tfs = packed >> 20
-                dls = packed & ((1 << 20) - 1)
+            if pa.types.is_integer(flat.type):
+                # tier 1: one long per posting = rel<<40 | tf<<20 | dl.
+                # rel is unique per (group, doc), so sorting the packed
+                # value sorts by doc id within the group.
+                p = flat.to_numpy(zero_copy_only=False).astype(np.int64)
+                order = np.lexsort((p, gidx))
+                p = p[order]
+                tfs = (p >> 20) & ((1 << 20) - 1)
+                dls = p & ((1 << 20) - 1)
+                shard_base = (
+                    np.repeat(group_shards, lengths)[order] * np.int64(shard_size)
+                )
+                ids = (p >> 40) + shard_base
             else:
-                tfs = flat.field("tf").to_numpy(zero_copy_only=False).astype(np.int64)[order]
-                dls = flat.field("dl").to_numpy(zero_copy_only=False).astype(np.int64)[order]
+                ids = flat.field("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                struct_fields = {f.name for f in flat.type}
+                order = np.lexsort((ids, gidx))
+                ids = ids[order]
+                if "packed" in struct_fields:
+                    packed = flat.field("packed").to_numpy(zero_copy_only=False).astype(np.int64)[order]
+                    tfs = packed >> 20
+                    dls = packed & ((1 << 20) - 1)
+                else:
+                    tfs = flat.field("tf").to_numpy(zero_copy_only=False).astype(np.int64)[order]
+                    dls = flat.field("dl").to_numpy(zero_copy_only=False).astype(np.int64)[order]
             tfn = _tfnorm(tfs, dls, k1, b, avgdl)
             rows = _encode_batch_groups(
                 group_terms, group_shards, ids, tfs, dls, tfn, starts, ends, cap, bs
@@ -437,14 +456,33 @@ def build_index(
             sharded = tfrows.withColumn(
                 "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
             )
-            # pack (tf, dl) into ONE long when every dl fits 20 bits
-            # (tf <= dl, so tf*2^20 + dl < 2^40): one third fewer cells
-            # through collect_list and the Arrow pipe, ~20% faster builds,
-            # byte-identical blobs (A/B-verified). Docs over 2^20 tokens
-            # (or a merge tf_source, whose max dl is unknown) fall back
-            # to the 3-field struct.
-            packable = tf_source is None and 0 < stats.get("max_dl", 0) < (1 << 20)
-            if packable:
+            # Arrow-boundary packing tiers (the pipe is CELL-bound, so
+            # fewer columns per posting = proportionally faster):
+            #   tier 1: (rel_doc_id, tf, dl) in ONE long — rel_doc_id =
+            #     doc_id - shard*shard_size < shard_size fits 22 bits
+            #     when shard_size <= 2^22 (the default 4M-doc shard),
+            #     tf <= dl < 2^20 -> rel<<40 | tf<<20 | dl < 2^62.
+            #     HALF the cells of tier 2; byte-identical blobs
+            #     (A/B-asserted in tests/test_chunk_builder.py).
+            #   tier 2: (doc_id, tf<<20|dl) struct — big shards.
+            #   tier 3: (doc_id, tf, dl) struct — dl >= 2^20 or merge
+            #     tf_source (max dl unknown).
+            max_dl_ok = tf_source is None and 0 < stats.get("max_dl", 0) < (1 << 20)
+            tier = _FORCE_PACK or (
+                "packed1"
+                if (max_dl_ok and shard_size <= (1 << 22))
+                else ("packed2" if max_dl_ok else "struct")
+            )
+            if tier == "packed1":
+                rel = F.col("doc_id") - F.col("shard").cast("long") * F.lit(
+                    int(shard_size)
+                )
+                entry_struct = (
+                    rel * F.lit(1 << 40)
+                    + F.col("tf").cast("long") * F.lit(1 << 20)
+                    + F.col("dl")
+                )
+            elif tier == "packed2":
                 entry_struct = F.struct(
                     F.col("doc_id"),
                     (F.col("tf").cast("long") * F.lit(1 << 20) + F.col("dl")).alias("packed"),
@@ -459,7 +497,8 @@ def build_index(
             )
             chunks = (
                 grouped.mapInArrow(
-                    make_chunk_builder(cfg, stats["avgdl"]), POSTINGS_SCHEMA
+                    make_chunk_builder(cfg, stats["avgdl"], int(shard_size)),
+                    POSTINGS_SCHEMA,
                 )
                 .withColumn("bucket", bucket_col(F.col("term"), cfg.n_buckets))
                 # one output file per bucket directory (instead of one per

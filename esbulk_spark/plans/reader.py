@@ -42,6 +42,11 @@ class IndexReader:
         with open(os.path.join(index_dir, STATS_FILE)) as f:
             self.stats = json.load(f)
         self._tables: dict[str, DataFrame] = {}
+        # term -> df cache (None = known-absent): df values are QUERY
+        # METADATA (a handful of ints), so they ride into plans as
+        # literals instead of a dictionary broadcast join — one Spark
+        # job less per search, zero jobs for warm terms
+        self._df_cache: dict[str, int | None] = {}
 
     @property
     def n_docs(self) -> int:
@@ -61,6 +66,7 @@ class IndexReader:
         """Invalidate memoized relations + Spark's file-listing caches
         (needed after a stage directory is rebuilt in place)."""
         self._tables.clear()
+        self._df_cache.clear()
         for name in ("docs", "dictionary", "postings"):
             p = os.path.join(self.index_dir, name)
             if os.path.exists(p):
@@ -100,6 +106,17 @@ class IndexReader:
             & F.col("term").isin(terms)
         )
         return {r["term"]: int(r["df"]) for r in d.select("term", "df").collect()}
+
+    def _dfs_cached(self, terms: list[str]) -> dict[str, int]:
+        """term -> df via the memoized driver cache; one bucket-pruned
+        lookup job for cache misses only (absence is cached too). Cleared
+        by refresh()."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            found = self.lookup_terms(missing)
+            for t in missing:
+                self._df_cache[t] = found.get(t)
+        return {t: v for t in terms if (v := self._df_cache.get(t)) is not None}
 
     def _buckets(self, terms: list[str]) -> list[int]:
         # pure-Python XXH64 with verified bit-parity to the write path's
@@ -144,26 +161,38 @@ class IndexReader:
         all_terms = sorted({t for ts in analyzed.values() for t in ts})
         if not all_terms:
             return None
-        buckets = self._buckets(all_terms)
-        dictionary = self.dictionary().filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
-        ).select("term", "df")
-        posts = self._pruned_postings(all_terms)
+        # per-term df is query METADATA (<= |terms| ints): resolve it
+        # driver-side through the memoized cache and inline the values
+        # as literals. One tiny bucket-pruned lookup job on cold terms,
+        # ZERO extra jobs warm — vs a dictionary broadcast join, whose
+        # broadcast-build job ran on every single search.
+        dfs = self._dfs_cached(all_terms)
+        if not dfs:
+            return None
+        present = sorted(dfs)
+        posts = self._pruned_postings(present)
         if len(analyzed) == 1:
-            # single query: qid is a literal — one broadcast join less
+            # single query: qid and the df map are literals — no joins
             qid = next(iter(analyzed))
-            tagged = posts.withColumn("qid", F.lit(qid)).join(
-                F.broadcast(dictionary), "term"
+            dfmap = F.create_map(
+                *[F.lit(x) for t in present for x in (t, dfs[t])]
+            )
+            tagged = posts.withColumn("qid", F.lit(qid)).withColumn(
+                "df", F.element_at(dfmap, F.col("term"))
             )
         else:
-            # (qid, term) pairs: tiny, broadcast onto the pruned postings scan
+            # (qid, term, df) triples: tiny, ONE broadcast onto the
+            # pruned postings scan
             pairs = self.spark.createDataFrame(
-                [(qid, t) for qid, ts in analyzed.items() for t in ts],
-                "qid string, term string",
+                [
+                    (qid, t, dfs[t])
+                    for qid, ts in analyzed.items()
+                    for t in ts
+                    if t in dfs
+                ],
+                "qid string, term string, df long",
             )
-            tagged = posts.join(F.broadcast(pairs), "term").join(
-                F.broadcast(dictionary), "term"
-            )
+            tagged = posts.join(F.broadcast(pairs), "term")
         scorer = make_group_scorer(
             self.n_docs,
             k,
@@ -172,6 +201,7 @@ class IndexReader:
             self.stats["avgdl"],
             self.stats["block_size"],
             prune=prune,
+            dense_max=self.dense_max,
         )
         return tagged.groupBy("qid", "shard").applyInPandas(scorer, RESULT_SCHEMA)
 
@@ -203,6 +233,80 @@ class IndexReader:
             .orderBy("qid", F.desc("score"), F.asc("doc_id"))
         )
 
+    # single-query driver-scoring gate: when the query's total postings
+    # (known driver-side from the df cache) fit under this bound, the
+    # pruned chunk rows are COLLECTED (one scan stage, no exchange, no
+    # Python workers) and scored on the driver with the same WAND
+    # kernel — the ES coordinator-node role. Hot/huge queries exceed the
+    # gate and take the distributed per-shard plan, so this is a latency
+    # fast path, not a scale ceiling. ~2M postings ≈ 8-16 MB of blobs.
+    driver_score_max: int = 2_000_000
+    # forwarded to score_group: groups under this take the dense
+    # decode-all kernel; None = wand.DENSE_GROUP_MAX. Tests set 0 to
+    # force the WAND sweep.
+    dense_max: int | None = None
+
+    def _driver_candidates(
+        self, dfs: dict[str, int], k: int, prune: bool
+    ) -> list[tuple[int, int, float]]:
+        """(shard, doc_id, score) per-shard top-k, scored driver-side.
+        Identical math to the distributed scorer: same score_group
+        kernel, same per-shard top-k contract."""
+        from esbulk_spark.plans.wand import score_group
+
+        pdf = self._pruned_postings(sorted(dfs)).toPandas()
+        if not len(pdf):
+            return []
+        pdf["df"] = pdf["term"].map(dfs)
+        s = self.stats
+        out: list[tuple[int, int, float]] = []
+        for shard, grp in pdf.groupby("shard", sort=False):
+            ids, scores = score_group(
+                grp, self.n_docs, k, s["k1"], s["b"], s["avgdl"],
+                s["block_size"], prune, dense_max=self.dense_max,
+            )
+            out.extend(
+                (int(shard), int(d), float(sc)) for d, sc in zip(ids, scores)
+            )
+        return out
+
+    def _topk_candidates(
+        self, query: str, k: int, prune: bool
+    ) -> list[tuple[int, int, float]]:
+        """(shard, doc_id, score) per-shard top-k for one query, via the
+        driver fast path when the query's postings fit under
+        driver_score_max, else the distributed per-shard plan."""
+        dfs = self._dfs_cached(analyze_query(query))
+        if not dfs:
+            return []
+        if sum(dfs.values()) <= self.driver_score_max:
+            return self._driver_candidates(dfs, k, prune)
+        per_shard = self._per_shard_scores({"q": sorted(dfs)}, k, prune)
+        return [
+            (r.shard, r.doc_id, r.score)
+            for r in per_shard.select("shard", "doc_id", "score").collect()
+        ]
+
+    def search_rows(
+        self,
+        query: str,
+        k: int = 10,
+        prune: bool = True,
+        round_to: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Top-k as driver-side (doc_id, score) rows — the SERVING path
+        (what an ES client gets back as JSON): no result DataFrame is
+        materialized, so per-query cost is one pruned scan stage (small
+        queries) with the global merge on the driver. search_response
+        builds on the same candidates."""
+        cand = self._topk_candidates(query, k, prune)
+        if round_to is not None:
+            merged = [(d, round(sc, round_to)) for _, d, sc in cand]
+        else:
+            merged = [(d, sc) for _, d, sc in cand]
+        merged.sort(key=lambda t: (-t[1], t[0]))
+        return [(int(d), float(sc)) for d, sc in merged[:k]]
+
     def search(
         self,
         query: str,
@@ -210,14 +314,25 @@ class IndexReader:
         prune: bool = True,
         round_to: int | None = None,
     ) -> DataFrame:
-        """Single-query top-k -> (doc_id, score).
+        """Single-query top-k -> (doc_id, score) DataFrame (compose it
+        into further Spark plans; for serving latency use search_rows).
 
-        Skips search_many's window-rank merge: for one query the global
-        top-k is a plain orderBy+limit (TakeOrderedAndProject — no
-        exchange for the rank), one Spark stage less per query. The
-        ordering key is the ROUNDED score when round_to is set — the
-        same contract as the full-scan and DuckDB oracles."""
-        per_shard = self._per_shard_scores({"q": analyze_query(query)}, k, prune)
+        Small queries (sum of term dfs under driver_score_max) score on
+        the driver after a single pruned scan stage — no shuffle, no
+        Python workers. Larger queries run the distributed per-shard
+        plan and skip search_many's window-rank merge: the global top-k
+        is a plain orderBy+limit (TakeOrderedAndProject). The ordering
+        key is the ROUNDED score when round_to is set — the same
+        contract as the full-scan and DuckDB oracles."""
+        dfs = self._dfs_cached(analyze_query(query))
+        if not dfs:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        if sum(dfs.values()) <= self.driver_score_max:
+            top = self.search_rows(query, k=k, prune=prune, round_to=round_to)
+            return self.spark.createDataFrame(
+                top or [], "doc_id long, score double"
+            )
+        per_shard = self._per_shard_scores({"q": sorted(dfs)}, k, prune)
         if per_shard is None:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return topk_deterministic(per_shard.select("doc_id", "score"), k, round_to)
@@ -251,16 +366,12 @@ class IndexReader:
 
         t0 = _time.monotonic()
         n_shards_total = int(self.stats.get("n_shards", 0))
-        per_shard = self._per_shard_scores({"q": analyze_query(query)}, k, prune)
-        if per_shard is None:
-            cand = []
-        else:
-            cand = per_shard.select("shard", "doc_id", "score").collect()
-        shards_seen = {r.shard for r in cand}
+        cand = self._topk_candidates(query, k, prune)
+        shards_seen = {sh for sh, _, _ in cand}
         if round_to is not None:
-            merged = [(round(float(r.score), round_to), r.doc_id) for r in cand]
+            merged = [(round(float(sc), round_to), d) for _, d, sc in cand]
         else:
-            merged = [(float(r.score), r.doc_id) for r in cand]
+            merged = [(float(sc), d) for _, d, sc in cand]
         merged.sort(key=lambda t: (-t[0], t[1]))
         index_name = os.path.basename(os.path.normpath(self.index_dir))
         hits = [

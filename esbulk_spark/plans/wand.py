@@ -41,6 +41,10 @@ from esbulk_spark.functions.codec import varint_decode, delta_decode
 
 RESULT_SCHEMA = "qid string, shard int, doc_id long, score double"
 
+# score_group groups at or under this many postings take the dense
+# decode-all path instead of the elementary-range WAND sweep
+DENSE_GROUP_MAX = 1 << 19
+
 
 def idf(df: int | np.ndarray, n_docs: int) -> float | np.ndarray:
     """Lucene BM25 idf (public formula): ln(1 + (N - df + .5)/(df + .5))."""
@@ -50,8 +54,15 @@ def idf(df: int | np.ndarray, n_docs: int) -> float | np.ndarray:
 class _TermCursor:
     """Decoded-on-demand view over one term's chunk rows within a shard."""
 
+    # chunks at or under this many postings decode WHOLE on first touch
+    # (3 vectorized varint calls amortized over every later block hit);
+    # bigger chunks keep per-block skip-decode, where WAND selectivity
+    # pays for the per-call overhead. 32k ≈ 4 ms full decode.
+    FULL_DECODE_MAX = 1 << 15
+
     __slots__ = ("idf", "blk_start", "blk_end", "blk_ub", "blk_row", "blk_j",
-                 "blk_n", "rows", "cache", "k1", "b", "avgdl")
+                 "blk_n", "rows", "cache", "chunk_cache", "k1", "b", "avgdl",
+                 "bs")
 
     def __init__(self, term_idf: float, rows: list, block_size: int,
                  k1: float, b: float, avgdl: float):
@@ -59,7 +70,9 @@ class _TermCursor:
         self.idf = term_idf
         self.rows = rows
         self.cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        self.chunk_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self.k1, self.b, self.avgdl = k1, b, avgdl
+        self.bs = block_size
         starts, ends, ubs, rix, jix, ns = [], [], [], [], [], []
         for ri, r in enumerate(rows):
             block_last = np.asarray(r["block_last"], dtype=np.int64)
@@ -84,6 +97,23 @@ class _TermCursor:
         self.blk_j = np.concatenate(jix)
         self.blk_n = np.concatenate(ns)
 
+    def _decode_chunk(self, ri: int) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, contribs) of ALL postings in chunk row ri; cached."""
+        hit = self.chunk_cache.get(ri)
+        if hit is not None:
+            return hit
+        r = self.rows[ri]
+        n = int(r["n"])
+        ids = delta_decode(varint_decode(r["blob_ids"], count=n)).astype(np.int64)
+        tfs = varint_decode(r["blob_tfs"], count=n).astype(np.float64)
+        dls = varint_decode(r["blob_dls"], count=n).astype(np.float64)
+        tfn = (tfs * (self.k1 + 1.0)) / (
+            tfs + self.k1 * (1.0 - self.b + self.b * (dls / self.avgdl))
+        )
+        out = (ids, self.idf * tfn)
+        self.chunk_cache[ri] = out
+        return out
+
     def decode(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, contribs) of global block bi; cached."""
         key = (int(self.blk_row[bi]), int(self.blk_j[bi]))
@@ -92,6 +122,13 @@ class _TermCursor:
             return hit
         r = self.rows[key[0]]
         j = key[1]
+        if int(r["n"]) <= self.FULL_DECODE_MAX:
+            ids, contrib = self._decode_chunk(key[0])
+            s = j * self.bs
+            e = s + int(self.blk_n[bi])
+            out = (ids[s:e], contrib[s:e])
+            self.cache[key] = out
+            return out
         n_in = int(self.blk_n[bi])
         off_ids = r["off_ids"]
         base = int(r["block_last"][j - 1]) if j > 0 else 0
@@ -118,6 +155,7 @@ def score_group(
     block_size: int,
     prune: bool = True,
     batch_ranges: int = 64,
+    dense_max: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one (query, shard) group of postings-chunk rows.
 
@@ -131,6 +169,27 @@ def score_group(
         cursors.append(_TermCursor(t_idf, rows, block_size, k1, b, avgdl))
     if not cursors:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+
+    # dense path for small groups: below ~half a million postings,
+    # decoding everything (3 vectorized varint calls per chunk) and one
+    # bincount beats the per-candidate-block WAND loop (~30 us of numpy
+    # small-op overhead per block) — WAND's pruning only pays once the
+    # group is large enough that skipped decode outweighs loop overhead.
+    # Exact either way; rank-identity asserted in tests/test_rank_fuzz.
+    total_n = sum(int(r["n"]) for c in cursors for r in c.rows)
+    if total_n <= (DENSE_GROUP_MAX if dense_max is None else dense_max):
+        ids_parts, contrib_parts = [], []
+        for c in cursors:
+            for ri in range(len(c.rows)):
+                i_arr, c_arr = c._decode_chunk(ri)
+                ids_parts.append(i_arr)
+                contrib_parts.append(c_arr)
+        all_ids = np.concatenate(ids_parts)
+        all_contrib = np.concatenate(contrib_parts)
+        u, inv = np.unique(all_ids, return_inverse=True)
+        scores = np.bincount(inv, weights=all_contrib)
+        sel = np.lexsort((u, -scores))[:k]
+        return u[sel], scores[sel]
 
     # ---- elementary ranges via boundary events ----
     pos_list, delta_list = [], []
@@ -221,13 +280,16 @@ def make_group_scorer(
     avgdl: float,
     block_size: int,
     prune: bool = True,
+    dense_max: int | None = None,
 ):
     """applyInPandas((qid, shard) group) -> top-k rows for that shard."""
     import pandas as pd
 
     def fn(key, pdf):
         qid, shard = key[0], int(key[1])
-        ids, scores = score_group(pdf, n_docs, k, k1, b, avgdl, block_size, prune)
+        ids, scores = score_group(
+            pdf, n_docs, k, k1, b, avgdl, block_size, prune, dense_max=dense_max
+        )
         return pd.DataFrame(
             {"qid": qid, "shard": shard, "doc_id": ids, "score": scores}
         )

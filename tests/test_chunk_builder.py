@@ -123,3 +123,37 @@ def test_chunk_splitting_and_blocks():
         dls = varint_decode(bytes(r["blob_dls"]))
         got += list(zip(ids.tolist(), tfs.tolist(), dls.tolist()))
     assert got == postings
+
+
+def test_pack_tiers_byte_identical(spark, corpus, tmp_path):
+    """The three Arrow-boundary packing tiers (packed1 single-long,
+    packed2 struct, struct) must produce byte-identical postings tables
+    — packing is a transport optimization, never a semantic one."""
+    import os
+
+    from esbulk_spark.plans import build as build_mod
+    from esbulk_spark.plans.build import build_index
+
+    def _postings_map(d):
+        rows = spark.read.parquet(os.path.join(d, "postings")).collect()
+        return {
+            (r.term, r.shard, r.chunk): (
+                bytes(r.blob_ids), bytes(r.blob_tfs), bytes(r.blob_dls),
+                list(r.block_last), [round(x, 12) for x in r.block_max_tfnorm],
+                r.min_doc, r.max_doc, r.n, r.chunk_cf,
+            )
+            for r in rows
+        }
+
+    maps = {}
+    for tier in ("packed1", "packed2", "struct"):
+        build_mod._FORCE_PACK = tier
+        try:
+            d = str(tmp_path / tier)
+            cfg = IndexConfig(index_dir=d, n_buckets=8, n_shards=4, chunk_cap=256)
+            build_index(spark, corpus, cfg, input_sig=f"tier-{tier}")
+        finally:
+            build_mod._FORCE_PACK = None
+        maps[tier] = _postings_map(d)
+    assert maps["packed1"] == maps["struct"]
+    assert maps["packed2"] == maps["struct"]

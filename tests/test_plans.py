@@ -44,9 +44,14 @@ def test_dictionary_lookup_reads_only_needed_columns(reader):
 
 
 def test_query_pairs_join_is_broadcast(reader):
-    res = reader.search_many({"q": "return score"}, k=5)
+    # multi-query: the (qid, term, df) triples ride in via ONE broadcast
+    res = reader.search_many({"q": "return score", "q2": "getUserName"}, k=5)
     plan = _plan(res)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # single query: df values are inlined literals — NO join at all
+    res1 = reader.search_many({"q": "return score"}, k=5)
+    plan1 = _plan(res1)
+    assert "Join" not in plan1
 
 
 def test_fullscan_oracle_filter_before_aggregate(spark, corpus):

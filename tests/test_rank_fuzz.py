@@ -78,3 +78,34 @@ def test_fuzz_rank_identity_random_corpus(spark, tmp_path, seed):
         " ".join(f"w{rng.randint(0, 49)}" for _ in range(4)),
     ]
     _check_queries(spark, built_docs, r, queries, k=15)
+
+
+def test_driver_and_distributed_paths_rank_identical(spark, corpus, tmp_path):
+    """search() has two physical plans behind one contract: driver-side
+    scoring (small queries, one scan stage) and the distributed
+    per-shard plan (past driver_score_max). Force each and assert
+    identical results vs the full-scan oracle."""
+    d = str(tmp_path / "idx_paths")
+    cfg = IndexConfig(index_dir=d, n_buckets=8, n_shards=4, chunk_cap=256)
+    build_index(spark, corpus, cfg, input_sig="paths150")
+    r = IndexReader(spark, d)
+    docs = r.docs()
+    for q in ("getUserName", "flushBuffer retry score", "parse token"):
+        oracle = [
+            (x.doc_id, round(x.score, 6))
+            for x in bm25_fullscan(docs, q, text_col="content").collect()
+        ]
+        r.driver_score_max = 2_000_000
+        drv = [(x.doc_id, round(x.score, 6)) for x in r.search(q).collect()]
+        r.dense_max = 0  # force the WAND sweep kernel (driver path)
+        drv_wand = [(x.doc_id, round(x.score, 6)) for x in r.search(q).collect()]
+        r.driver_score_max = 0  # force the distributed plan (WAND kernel)
+        dist = [(x.doc_id, round(x.score, 6)) for x in r.search(q).collect()]
+        r.dense_max = None  # distributed plan, dense kernel
+        dist_dense = [(x.doc_id, round(x.score, 6)) for x in r.search(q).collect()]
+        resp = r.search_response(q, k=10, with_source=False)
+        rows_api = r.search_rows(q, k=10, round_to=6)
+        r.driver_score_max = 2_000_000
+        assert oracle == drv == drv_wand == dist == dist_dense, q
+        assert [h["_id"] for h in resp["hits"]["hits"]] == [d0 for d0, _ in oracle]
+        assert rows_api == oracle
