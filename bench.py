@@ -133,6 +133,26 @@ def main() -> None:
         spark.stop()
         return
 
+    # segmented large-build plan (cfg.segmented=4): same corpus, built as
+    # 4 doc-range waves + fast merge. At this scale it pays wave overhead
+    # (4x stage scheduling) for a 4x smaller per-wave token shuffle — the
+    # trade that wins once one global shuffle stops fitting; reported so
+    # the wave overhead is on the record next to the single-pass build.
+    seg_dir = f"{tmpdir}/esbulk_bench_index_seg_{cpus}_{n_docs}"
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    shutil.rmtree(seg_dir + ".segments", ignore_errors=True)
+    t0 = time.monotonic()
+    seg_stats = build_index(
+        spark,
+        corpus,
+        IndexConfig(index_dir=seg_dir, n_buckets=32, n_shards=32,
+                    chunk_cap=1 << 17, segmented=4),
+        input_sig=f"bench-seg{n_docs}",
+    )
+    queries["index_build_segmented4"] = round(time.monotonic() - t0, 3)
+    out["segmented_total_postings"] = seg_stats["total_postings"]
+    shutil.rmtree(seg_dir, ignore_errors=True)
+
     # ---- 2. BM25 top-10 latency over the reference query set ----
     # interactive() turns AQE off for the latency section (AQE's staged
     # re-plan ~2x's sub-second queries; builds keep it on)
