@@ -962,23 +962,37 @@ def _sql_lang_hits(lang: str) -> str:
     )
 
 
+# RE2 (DuckDB) spellings of textstats.SCRIPT_LANGS' Java character
+# classes — semantics identical (Unicode scripts)
+_SQL_SCRIPTS = (  # same order as textstats.SCRIPT_LANGS (kana before Han)
+    ("ja", r"[\p{Hiragana}\p{Katakana}]"),
+    ("ko", r"[\p{Hangul}]"),
+    ("zh", r"[\p{Han}]"),
+    ("ru", r"[\p{Cyrillic}]"),
+)
+
+_SQL_SCRIPT_CASE = "\n           ".join(
+    f"WHEN nch > 0 AND len(regexp_extract_all(text, '{cls}')) * 10 >= nch THEN '{lang}'"
+    for lang, cls in _SQL_SCRIPTS
+)
+
 SQL_LANG_ID = f"""
 WITH scored AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, text,
+         len(regexp_extract_all(text, '\\S')) AS nch,
          {_sql_lang_hits('de')} AS h_de,
          {_sql_lang_hits('en')} AS h_en,
          {_sql_lang_hits('es')} AS h_es,
-         {_sql_lang_hits('fr')} AS h_fr,
-         {_sql_lang_hits('zh')} AS h_zh
+         {_sql_lang_hits('fr')} AS h_fr
   FROM documents
 ), pred AS (
   SELECT lang,
          CASE
-           WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
-           WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
-           WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
-           WHEN h_fr >= h_zh THEN 'fr'
-           ELSE 'zh'
+           {_SQL_SCRIPT_CASE}
+           WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+           WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+           WHEN h_es >= h_fr THEN 'es'
+           ELSE 'fr'
          END AS pred_lang
   FROM scored
 )
@@ -1045,6 +1059,137 @@ FROM documents ORDER BY id
 
 
 _WINNOW_K, _WINNOW_W = 8, 4
+
+
+def q_gopher(spark, sf_dir):
+    """Gopher repetition-rule quality signals (Rae et al. 2021, public):
+    dup-line fractions per row in Catalyst + most-common-word fraction
+    via explode+hash-agg (the scalable shape)."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.gopher_quality(d, "text", "doc_id").orderBy("id")
+
+
+SQL_GOPHER = """
+WITH base AS (
+  SELECT doc_id AS id, text,
+         str_split(text, chr(10)) AS lines,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w <> '') AS words
+  FROM documents
+), feats AS (
+  SELECT id,
+         len(lines) AS n_lines,
+         round(CASE WHEN len(lines) > 0
+               THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) ELSE 0 END, 4) AS dup_line_frac,
+         round(CASE WHEN length(array_to_string(lines, '')) > 0
+               THEN (length(array_to_string(lines, '')) - length(array_to_string(list_distinct(lines), ''))) * 1.0
+                    / length(array_to_string(lines, '')) ELSE 0 END, 4) AS dup_line_char_frac,
+         len(words) AS n_words,
+         round(CASE WHEN len(words) > 0
+               THEN len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) * 1.0 / len(words) ELSE 0 END, 4) AS alpha_word_frac
+  FROM base
+), top AS (
+  SELECT id, max(c) AS top_c FROM (
+    SELECT id, w, count(*) AS c
+    FROM (SELECT id, unnest(words) AS w FROM base)
+    GROUP BY id, w
+  ) GROUP BY id
+)
+SELECT f.id, n_lines, dup_line_frac, dup_line_char_frac, n_words, alpha_word_frac,
+       round(CASE WHEN n_words > 0 THEN coalesce(top_c, 0) * 1.0 / n_words ELSE 0 END, 4) AS top_word_frac,
+       CAST(dup_line_frac <= 0.30
+            AND round(CASE WHEN n_words > 0 THEN coalesce(top_c, 0) * 1.0 / n_words ELSE 0 END, 4) <= 0.20
+            AND alpha_word_frac >= 0.60 AS INT) AS keep
+FROM feats f LEFT JOIN top USING (id)
+ORDER BY f.id
+"""
+
+
+def _synth_pii_col():
+    """Deterministic PII/URL injection (the raw synthetic corpus has
+    none): suffixes derived from doc_id, mirrored EXACTLY in the SQL
+    oracles so counts/redactions are nontrivial on both engines."""
+    t = F.col("text")
+    sid = F.col("doc_id").cast("string")
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(t, F.lit(" contact user"), sid, F.lit("@example.com")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(t, F.lit(" call 555-"), F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-1234")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(t, F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0.1")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(t, F.lit(" see https://docs.example"), (F.col("doc_id") % 4).cast("string"), F.lit(".org/ref")),
+    ).otherwise(t)
+    return t
+
+
+_SQL_SYNTH_PII = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN ' see https://docs.example' || CAST(doc_id % 4 AS VARCHAR) || '.org/ref' ELSE '' END
+         AS text
+  FROM documents
+"""
+
+
+def q_pii(spark, sf_dir):
+    """PII detection + redaction over deterministically-injected
+    emails/phones/IPs (same injection in the oracle)."""
+    d = _t(spark, sf_dir, "documents").withColumn("text", _synth_pii_col())
+    out = textstats.pii_scan(d, "text", "doc_id")
+    # compare the redaction via sha so the hash diff is small and typed
+    return out.select(
+        "id", "n_emails", "n_ips", "n_phones",
+        F.sha2(F.col("redacted"), 256).alias("redacted_sha"),
+    ).orderBy("id")
+
+
+SQL_PII = f"""
+WITH injected AS ({_SQL_SYNTH_PII})
+SELECT doc_id AS id,
+       len(regexp_extract_all(text, '{textstats.PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{textstats.PII_IPV4}')) AS n_ips,
+       len(regexp_extract_all(text, '{textstats.PII_PHONE}')) AS n_phones,
+       sha256(regexp_replace(regexp_replace(regexp_replace(text,
+             '{textstats.PII_EMAIL}', '<EMAIL>', 'g'),
+             '{textstats.PII_IPV4}', '<IP>', 'g'),
+             '{textstats.PII_PHONE}', '<PHONE>', 'g')) AS redacted_sha
+FROM injected
+ORDER BY id
+"""
+
+
+def q_url_domains(spark, sf_dir):
+    """URL extraction -> per-domain doc/url counts over the injected
+    corpus (corpus-curation view)."""
+    d = _t(spark, sf_dir, "documents").withColumn("text", _synth_pii_col())
+    return textstats.url_domains(d, "text", "doc_id")
+
+
+SQL_URL_DOMAINS = f"""
+WITH injected AS ({_SQL_SYNTH_PII}),
+urls AS (
+  SELECT doc_id AS id, unnest(regexp_extract_all(text, '{textstats.URL_RE.replace(chr(39), chr(39) * 2)}')) AS url
+  FROM injected
+),
+doms AS (
+  SELECT id, lower(regexp_extract(url, 'https?://([^/:\\s]+)', 1)) AS domain
+  FROM urls
+)
+SELECT domain, count(DISTINCT id) AS n_docs, count(*) AS n_urls
+FROM doms WHERE domain <> ''
+GROUP BY domain
+ORDER BY n_docs DESC, n_urls DESC, domain ASC
+"""
 
 
 def q_winnowing(spark, sf_dir):
@@ -1266,6 +1411,9 @@ QUERIES = {
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "doc_winnowing": (q_winnowing, SQL_WINNOWING),
+    "quality_gopher": (q_gopher, SQL_GOPHER),
+    "pii_scan_redact": (q_pii, SQL_PII),
+    "url_domain_counts": (q_url_domains, SQL_URL_DOMAINS),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
     "multimodal_frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     # generic relational coverage (window/agg/join/sort/limit)

@@ -12,14 +12,29 @@ from pyspark.sql import functions as F
 
 # marker words per language for the n-gram/marker heuristic; deterministic
 # and deliberately tiny — the point is the OPERATOR SHAPE (vectorized
-# count-of-matches + argmax), not linguistic accuracy.
+# count-of-matches + argmax), not linguistic accuracy. Non-Latin-script
+# languages are detected by SCRIPT (see lang_id), not markers — r2's
+# pinyin "zh" markers collided with European function words and were
+# removed (VERDICT r2).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "is"),
     "de": ("der", "die", "und", "ist"),
     "fr": ("le", "la", "et", "est"),
     "es": ("el", "los", "y", "es"),
-    "zh": ("de", "shi", "le", "he"),
 }
+
+# Unicode scripts checked BEFORE the marker heuristic: if >= 10% of
+# non-space chars belong to a script, that language wins outright.
+# (Java regex spells these \p{IsHan}; DuckDB/RE2 spells them \p{Han} —
+# the ORACLE side mirrors this list with RE2 syntax.)
+# Order matters: kana before Han — Japanese text contains kanji (Han),
+# but kana uniquely identifies Japanese; Han without kana reads Chinese.
+SCRIPT_LANGS: tuple[tuple[str, str], ...] = (
+    ("ja", r"\p{IsHiragana}\p{IsKatakana}"),
+    ("ko", r"\p{IsHangul}"),
+    ("zh", r"\p{IsHan}"),
+    ("ru", r"\p{IsCyrillic}"),
+)
 
 STOP_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
@@ -30,14 +45,19 @@ def _count_word(text_col, w: str):
 
 
 def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Predicted language = argmax of marker-word hit counts (ties break
-    alphabetically on language code)."""
+    """Two-stage language ID, pure Catalyst: (1) Unicode-SCRIPT check —
+    if >= 10% of non-space chars are Han/Kana/Hangul/Cyrillic, that
+    language wins (scripts are the reliable signal; first match in
+    SCRIPT_LANGS order); else (2) argmax of Latin marker-word hit
+    counts (ties break alphabetically on language code)."""
+    t = F.col(text_col)
+    n_chars = F.size(F.regexp_extract_all(t, F.lit(r"\S"), 0))
     # struct sort compares fields in order: (hits, tie) — tie = -index so
     # that equal hit counts resolve to the alphabetically FIRST language
     scores = F.array(
         *[
             F.struct(
-                sum(_count_word(F.col(text_col), w) for w in ws).alias("hits"),
+                sum(_count_word(t, w) for w in ws).alias("hits"),
                 F.lit(-i).alias("tie"),
                 F.lit(lang).alias("lang"),
             )
@@ -45,8 +65,16 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ]
     )
     best = F.sort_array(scores, asc=False)[0]
+    pred, hits = best["lang"], best["hits"]
+    for lang, cls in reversed(SCRIPT_LANGS):
+        script_n = F.size(F.regexp_extract_all(t, F.lit(f"[{cls}]"), 0))
+        is_script = (n_chars > 0) & (script_n * 10 >= n_chars)
+        pred = F.when(is_script, F.lit(lang)).otherwise(pred)
+        hits = F.when(is_script, script_n).otherwise(hits)
     return df.select(
-        F.col(id_col).alias("id"), best["lang"].alias("pred_lang"), best["hits"].alias("marker_hits")
+        F.col(id_col).alias("id"),
+        pred.alias("pred_lang"),
+        hits.alias("marker_hits"),
     )
 
 
@@ -143,4 +171,127 @@ def winnowing_fingerprints(
     return (
         df.select(F.col(id_col).alias("id"), F.explode(fps).alias("fp"))
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------- round 3:
+# Gopher-style repetition/quality signals, PII detection, URL extraction
+# (training-data pipeline filters; thresholds follow Rae et al. 2021
+# "Scaling Language Models" Appendix A — public)
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+URL_RE = r"https?://[^\s\"'<>)]+"
+
+
+def gopher_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher repetition-rule signals, pure Catalyst per row plus ONE
+    relational pass for the most-common-word fraction (explode +
+    hash-agg — the scalable shape; a per-row nested-HOF count would
+    re-inline the words array per element, the O(n^2) CollapseProject
+    trap).
+
+    Columns: n_lines, dup_line_frac (repeated-line fraction),
+    dup_line_char_frac (chars in non-first occurrences of repeated
+    lines / total), top_word_frac (most frequent word / words),
+    alpha_word_frac (words containing a letter), keep (Gopher-ish
+    thresholds: dup_line_frac <= 0.30, top_word_frac <= 0.20,
+    alpha_word_frac >= 0.60)."""
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    dup_line_frac = F.when(n_lines > 0, (n_lines - n_dist) / n_lines).otherwise(
+        F.lit(0.0)
+    )
+    total_chars = F.length(F.concat_ws("", lines))
+    dist_chars = F.length(F.concat_ws("", F.array_distinct(lines)))
+    dup_char_frac = F.when(
+        total_chars > 0, (total_chars - dist_chars) / total_chars
+    ).otherwise(F.lit(0.0))
+    words = F.filter(F.split(F.trim(F.lower(t)), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_lines.alias("n_lines"),
+        F.round(dup_line_frac, 4).alias("dup_line_frac"),
+        F.round(dup_char_frac, 4).alias("dup_line_char_frac"),
+        n_words.alias("n_words"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+    )
+    # most-common-word fraction: relational (explode -> agg), not per-row
+    top = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.filter(F.split(F.trim(F.lower(t)), r"\s+"), lambda w: w != "")
+            ).alias("w"),
+        )
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    out = base.join(top, "id", "left").withColumn(
+        "top_word_frac",
+        F.round(
+            F.when(F.col("n_words") > 0, F.coalesce(F.col("top_c"), F.lit(0)) / F.col("n_words")).otherwise(F.lit(0.0)),
+            4,
+        ),
+    )
+    keep = (
+        (F.col("dup_line_frac") <= 0.30)
+        & (F.col("top_word_frac") <= 0.20)
+        & (F.col("alpha_word_frac") >= 0.60)
+    )
+    return out.select(
+        "id", "n_lines", "dup_line_frac", "dup_line_char_frac", "n_words",
+        "alpha_word_frac", "top_word_frac", keep.cast("int").alias("keep"),
+    )
+
+
+def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII detection + redaction, pure Catalyst: counts of email / IPv4 /
+    phone patterns and the redacted text (<EMAIL>/<IP>/<PHONE>
+    placeholders). Patterns are deliberately RE2-portable so the DuckDB
+    oracle runs the IDENTICAL regexes."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)).alias("n_phones"),
+        red.alias("redacted"),
+    )
+
+
+def url_domains(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """URL extraction -> per-domain doc frequency (the corpus-curation
+    view: which domains dominate the crawl). explode + hash-agg; domain
+    parsed from each URL JVM-side."""
+    urls = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)).alias(
+            "url"
+        ),
+    )
+    dom = urls.select(
+        "id", F.lower(F.regexp_extract("url", r"https?://([^/:\s]+)", 1)).alias("domain")
+    ).filter(F.col("domain") != "")
+    return (
+        dom.groupBy("domain")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_urls"),
+        )
+        .orderBy(F.desc("n_docs"), F.desc("n_urls"), F.asc("domain"))
     )

@@ -354,3 +354,64 @@ def test_jaccard_hot_shingle_guard_contract(spark):
     lost = set(unguarded) - set(guarded)
     assert lost, "guard should cost some hot-only pairs"
     assert all(a >= 10 or b >= 10 for a, b in lost)
+
+
+# ---- round-3 text operators
+
+def test_lang_id_script_detection(spark):
+    from esbulk_spark.operators import textstats
+
+    rows = [
+        (0, "the cat and the dog is here"),          # en markers
+        (1, "der hund und die katze ist da"),        # de markers
+        (2, "这是一个中文文档 的测试 内容很多"),        # Han -> zh
+        (3, "Это русский текст для проверки"),        # Cyrillic -> ru
+        (4, "これは日本語のテストです"),                # Kana -> ja
+        (5, "한국어 테스트 문서입니다"),                # Hangul -> ko
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.pred_lang for r in textstats.lang_id(df, "text", "id").collect()}
+    assert got[0] == "en" and got[1] == "de"
+    assert got[2] == "zh" and got[3] == "ru" and got[4] == "ja" and got[5] == "ko"
+
+
+def test_gopher_quality_signals(spark):
+    from esbulk_spark.operators import textstats
+
+    rows = [
+        (0, "alpha beta gamma\nalpha beta gamma\nalpha beta gamma\ndelta"),  # dup lines
+        (1, "spam spam spam spam spam other words here now ok"),             # top-word heavy
+        (2, "a normal document with distinct lines\nand varied words here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r for r in textstats.gopher_quality(df, "text", "id").collect()}
+    assert got[0].n_lines == 4 and abs(got[0].dup_line_frac - 0.5) < 1e-9
+    assert got[0].keep == 0          # 50% duplicate lines -> filtered
+    assert got[1].top_word_frac == 0.5 and got[1].keep == 0
+    assert got[2].dup_line_frac == 0.0 and got[2].keep == 1
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from esbulk_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(0, "mail a.b@test.org or c@x.io, host 10.1.2.3, call 555-123-4567")],
+        "id long, text string",
+    )
+    r = textstats.pii_scan(df, "text", "id").collect()[0]
+    assert (r.n_emails, r.n_ips, r.n_phones) == (2, 1, 1)
+    assert "<EMAIL>" in r.redacted and "<IP>" in r.redacted and "<PHONE>" in r.redacted
+    assert "test.org" not in r.redacted and "10.1.2.3" not in r.redacted
+
+
+def test_url_domains_counts(spark):
+    from esbulk_spark.operators import textstats
+
+    rows = [
+        (0, "see https://a.example.org/x and https://a.example.org/y"),
+        (1, "ref http://b.example.com/z and https://a.example.org/w"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.domain: (r.n_docs, r.n_urls) for r in textstats.url_domains(df, "text", "id").collect()}
+    assert got["a.example.org"] == (2, 3)
+    assert got["b.example.com"] == (1, 1)
