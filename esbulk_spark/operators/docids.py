@@ -28,6 +28,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
+# (keys, doc_id) tables at or under this many rows broadcast onto the
+# corpus for the join-back; above it, a shuffle hash join on the keys
+# (same data volume the pre-r3 plan ranged-shuffled anyway)
+_BROADCAST_IDS_MAX_ROWS = 2_000_000
+
 
 def assign_doc_ids(
     df: DataFrame,
@@ -79,12 +84,22 @@ def _assign(
     local_index`` with offsets from a one-row-per-partition count. No
     document content ever crosses into Python — routing multi-KB rows
     through Arrow just to number them measurably bloats the reused
-    Python workers and slows every later Python stage."""
+    Python workers and slows every later Python stage.
+
+    ONLY THE SORT KEYS ride through the range shuffle (r3): numbering
+    needs the key total order, not the multi-KB content — projecting
+    keys first shrinks the shuffle+persist ~30x on a 2 KB-doc corpus,
+    and the ids join back by key (broadcast when the corpus is small
+    enough; shuffle hash join otherwise — the same volume the old plan
+    moved ONCE, so never worse). Ids are identical either way: offsets
+    accumulate in partition order, which IS the key order for any range
+    boundary placement."""
     keys = [F.col(k) for k in sort_keys]
+    keys_only = df.select(*keys)
     if num_partitions:
-        parted = df.repartitionByRange(num_partitions, *keys)
+        parted = keys_only.repartitionByRange(num_partitions, *keys)
     else:
-        parted = df.repartitionByRange(*keys)
+        parted = keys_only.repartitionByRange(*keys)
     parted = parted.sortWithinPartitions(*keys)
     parted = parted.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -111,7 +126,7 @@ def _assign(
     with_mono = parted.withColumn(
         "__pid", F.spark_partition_id()
     ).withColumn("__mono", F.monotonically_increasing_id())
-    out = (
+    key_ids = (
         with_mono.join(F.broadcast(offset_df), "__pid", "left")
         .withColumn(
             out_col,
@@ -122,4 +137,9 @@ def _assign(
         )
         .drop("__pid", "__mono", "__offset")
     )
+    # join ids back onto the untouched full rows; keys are unique (the
+    # total-order contract), so this is exactly one id per row
+    if acc <= _BROADCAST_IDS_MAX_ROWS:
+        key_ids = F.broadcast(key_ids)
+    out = df.join(key_ids, on=list(sort_keys))
     return out, acc, parted
