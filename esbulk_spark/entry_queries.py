@@ -397,6 +397,32 @@ def q_bm25_hot(spark, sf_dir):
     return r.search(QUERY_HOT, k=10, prune=True, round_to=4)
 
 
+_BATCH_QUERIES = {"q0": FLAGSHIP_QUERY, "q1": QUERY_FULLSCAN, "q2": QUERY_AND}
+
+
+def q_bm25_batch(spark, sf_dir):
+    """B9 batch path: search_many scores ALL queries in ONE Spark job
+    ((qid, term, df) broadcast onto the pruned postings scan, per-
+    (qid, shard) scorer, windowed per-qid top-k). Oracle = UNION ALL of
+    the per-query DuckDB full scans."""
+    r = _index_for(spark, sf_dir)
+    return r.search_many(_BATCH_QUERIES, k=10, round_to=4).orderBy(
+        "qid", F.desc("score"), F.asc("doc_id")
+    )
+
+
+def _sql_bm25_batch() -> str:
+    parts = [
+        f"SELECT '{qid}' AS qid, doc_id, score FROM ({_sql_bm25(q)})"
+        for qid, q in sorted(_BATCH_QUERIES.items())
+    ]
+    return (
+        "SELECT qid, doc_id, score FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY qid, score DESC, doc_id ASC"
+    )
+
+
 def q_conjunctive(spark, sf_dir):
     """B10 posting-list intersection (AND), BM25-ranked."""
     r = _index_for(spark, sf_dir)
@@ -1393,6 +1419,7 @@ QUERIES = {
     "bm25_topk_wand": (q_bm25_wand, _sql_bm25(FLAGSHIP_QUERY)),
     "bm25_topk_fullscan": (q_bm25_fullscan, _sql_bm25(QUERY_FULLSCAN)),
     "bm25_topk_hot_term": (q_bm25_hot, _sql_bm25(QUERY_HOT)),
+    "bm25_batch_many": (q_bm25_batch, _sql_bm25_batch()),
     "conjunctive_and_topk": (q_conjunctive, _sql_bm25(QUERY_AND, require_all=True)),
     "merge_fast_equals_full": (q_merge_fast, _sql_bm25(FLAGSHIP_QUERY)),
     # training-data pipeline operators
