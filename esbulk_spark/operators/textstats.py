@@ -144,10 +144,11 @@ def winnowing_fingerprints(
     Python), array_min over slices for the windows. Returns one row per
     distinct (id, fp). At corpus scale this feeds the same
     inverted-fingerprint join as dedup.jaccard_pairs."""
-    from esbulk_spark.operators.dedup import md5_int
+    from esbulk_spark.operators.dedup import ensure_parallelism, md5_int
 
     from functools import reduce
 
+    df = ensure_parallelism(df)
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     n_grams = F.length(norm) - F.lit(k) + 1
     hashes = F.transform(
