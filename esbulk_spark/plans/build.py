@@ -383,6 +383,7 @@ def build_index(
             F.sum("dl").alias("total_tokens"),
             F.sum("n_terms").alias("total_postings"),
             F.max("dl").alias("max_dl"),
+            F.min("doc_id").alias("min_doc_id"),
         ).collect()[0]
         total_tokens = int(agg["total_tokens"] or 0)
         stats = {
@@ -391,6 +392,7 @@ def build_index(
             "total_tokens": total_tokens,
             "total_postings": int(agg["total_postings"] or 0),
             "max_dl": int(agg["max_dl"] or 0),
+            "min_doc_id": int(agg["min_doc_id"] or 0),
             "k1": cfg.k1,
             "b": cfg.b,
             "analyzer": cfg.analyzer,
@@ -480,9 +482,17 @@ def build_index(
             #   tier 3: (doc_id, tf, dl) struct — dl >= 2^20 or merge
             #     tf_source (max dl unknown).
             max_dl_ok = tf_source is None and 0 < stats.get("max_dl", 0) < (1 << 20)
+            # tier 1 additionally needs NON-NEGATIVE doc ids: rel =
+            # doc_id - shard*shard_size is only in [0, shard_size) for
+            # doc_id >= 0 (int cast truncates toward zero, so a negative
+            # user id_col would make rel negative and corrupt the pack)
             tier = _FORCE_PACK or (
                 "packed1"
-                if (max_dl_ok and shard_size <= (1 << 22))
+                if (
+                    max_dl_ok
+                    and shard_size <= (1 << 22)
+                    and stats.get("min_doc_id", 0) >= 0
+                )
                 else ("packed2" if max_dl_ok else "struct")
             )
             if tier == "packed1":

@@ -278,3 +278,34 @@ def test_resume_rebuilds_lost_stage(spark, corpus, index_dir, reader):
         for r in reader.postings().collect()
     }
     assert before == after
+
+
+def test_negative_user_ids_build_and_search(spark, tmp_path):
+    """A user id_col with NEGATIVE longs must not corrupt the packed
+    Arrow tier (rel-id packing needs doc_id >= 0; the build falls back
+    to the struct tiers) — rank identity vs the full-scan oracle."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+    from esbulk_spark.plans.score import bm25_fullscan
+
+    rows = [
+        (-100, "alpha beta gamma delta"),
+        (-50, "alpha beta epsilon"),
+        (0, "gamma delta zeta"),
+        (77, "alpha zeta eta theta"),
+    ]
+    docs = spark.createDataFrame(rows, "uid long, content string")
+    d = str(tmp_path / "idx_neg")
+    cfg = IndexConfig(index_dir=d, id_col="uid", n_buckets=4, n_shards=2, chunk_cap=64)
+    stats = build_index(spark, docs, cfg, input_sig="neg")
+    assert stats["min_doc_id"] == -100
+    r = IndexReader(spark, d)
+    for q in ("alpha beta", "gamma", "zeta"):
+        oracle = [
+            (x.doc_id, round(x.score, 6))
+            for x in bm25_fullscan(
+                docs.withColumn("doc_id", F.col("uid")), q, text_col="content"
+            ).collect()
+        ]
+        got = [(x.doc_id, round(x.score, 6)) for x in r.search(q).collect()]
+        assert got == oracle, q
