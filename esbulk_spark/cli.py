@@ -56,6 +56,9 @@ def main(argv: list[str] | None = None) -> int:
     p_index.add_argument("--no-store-content", action="store_true",
                          help="sha-only docs table (content stays in the "
                               "source table; the 10^12-file mode)")
+    p_index.add_argument("--store-positions", action="store_true",
+                         help="also write the positions table (enables "
+                              "search --mode phrase)")
     p_index.add_argument("--segmented", type=int, default=None,
                          help="build in N doc-range waves + fast merge "
                               "(the large-build plan; per-wave token "
@@ -72,7 +75,11 @@ def main(argv: list[str] | None = None) -> int:
     p_search.add_argument("--index-dir", required=True)
     p_search.add_argument("--query", required=True)
     p_search.add_argument("-k", type=int, default=10)
-    p_search.add_argument("--mode", choices=["wand", "fullscan", "and"], default="wand")
+    p_search.add_argument("--mode", choices=["wand", "fullscan", "and", "phrase"],
+                          default="wand",
+                          help="phrase = match_phrase over the positions "
+                               "table (index must be built with "
+                               "--store-positions)")
     p_search.add_argument("--format", choices=["jsonl", "es"], default="jsonl",
                           help="es = Elasticsearch-shaped response object "
                                "(took / hits.total / max_score / _source)")
@@ -275,6 +282,7 @@ def _cmd_index_inner(spark, args, tmp_paths: list) -> int:
         n_shards=args.n_shards,
         overwrite=overwrite,
         store_content=not getattr(args, "no_store_content", False),
+        store_positions=getattr(args, "store_positions", False),
         segmented=getattr(args, "segmented", None),
     )
     t0 = time.monotonic()
@@ -311,11 +319,16 @@ def _cmd_search(spark, args) -> int:
             return 0
         if args.mode == "and":
             df = r.search_and(args.query, k=args.k)
+        elif args.mode == "phrase":
+            df = r.search_phrase(args.query, k=args.k)
         else:
             df = r.search(args.query, k=args.k, prune=(args.mode == "wand"))
         rows = df.collect()
     for rank, row in enumerate(rows, 1):
-        print(json.dumps({"rank": rank, "doc_id": row.doc_id, "score": row.score}))
+        rec = {"rank": rank, "doc_id": row.doc_id, "score": row.score}
+        if args.mode == "phrase":
+            rec["phrase_freq"] = row.phrase_freq
+        print(json.dumps(rec))
     print(f"{len(rows)} hits", file=sys.stderr)
     return 0
 

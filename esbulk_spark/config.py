@@ -60,6 +60,13 @@ class IndexConfig:
     pipeline: Optional[Callable] = None  # esbulk -p: pre-tokenize transform
     analyzer: str = ANALYZER_VERSION
 
+    # positional index (opt-in): write a positions table (term, doc_id,
+    # positions over the ANALYZED token stream), bucket-partitioned like
+    # the postings, enabling phrase queries (reader.search_phrase).
+    # Parquet's own columnar encoding handles the int arrays — no custom
+    # codec; the read is bucket+term pruned exactly like postings.
+    store_positions: bool = False
+
     # large-build plan: split the corpus into N contiguous doc-id waves,
     # build each wave as an independent segment index (per-wave token
     # shuffle covers only its slice), then metadata-refresh merge

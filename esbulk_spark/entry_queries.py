@@ -53,6 +53,7 @@ def _index_for(spark: SparkSession, sf_dir: str) -> "IndexReader":
         n_shards=4,
         chunk_cap=1 << 15,
         overwrite=True,
+        store_positions=True,  # phrase entry rides the same index
     )
     build_index(spark, _t(spark, sf_dir, "documents"), cfg, input_sig=sf_dir)
     _INDEX_CACHE[sf_dir] = idx_dir
@@ -421,6 +422,43 @@ def _sql_bm25_batch() -> str:
         + " UNION ALL ".join(parts)
         + ") ORDER BY qid, score DESC, doc_id ASC"
     )
+
+
+PHRASE_QUERY = ("table", "hash")  # a bigram the synthetic corpus contains
+
+
+def q_phrase(spark, sf_dir):
+    """match_phrase over the opt-in positions table: adjacency in the
+    ANALYZED token stream via iterated array_intersect of shifted
+    position lists; Lucene PhraseQuery scoring (BM25 with
+    tf = phrase_freq, idf = sum of slot idfs)."""
+    r = _index_for(spark, sf_dir)
+    return r.search_phrase(" ".join(PHRASE_QUERY), k=10, round_to=4)
+
+
+def _sql_phrase() -> str:
+    t1, t2 = PHRASE_QUERY
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+dfs AS (SELECT
+   (SELECT count(*) FROM toks WHERE list_contains(t, '{t1}')) AS df1,
+   (SELECT count(*) FROM toks WHERE list_contains(t, '{t2}')) AS df2),
+pf AS (
+  SELECT doc_id, len(t) AS dl,
+         len(list_filter(range(1, len(t)), i -> t[i] = '{t1}' AND t[i+1] = '{t2}')) AS phrase_freq
+  FROM toks
+)
+SELECT doc_id, CAST(phrase_freq AS INT) AS phrase_freq,
+       round((ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+              + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5)))
+             * (phrase_freq * ({K1} + 1)) /
+               (phrase_freq + {K1} * (1 - {B} + {B} * dl / avgdl)), 4) AS score
+FROM pf, stats, dfs
+WHERE phrase_freq > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
 
 
 def q_conjunctive(spark, sf_dir):
@@ -1420,6 +1458,7 @@ QUERIES = {
     "bm25_topk_fullscan": (q_bm25_fullscan, _sql_bm25(QUERY_FULLSCAN)),
     "bm25_topk_hot_term": (q_bm25_hot, _sql_bm25(QUERY_HOT)),
     "bm25_batch_many": (q_bm25_batch, _sql_bm25_batch()),
+    "phrase_match_topk": (q_phrase, _sql_phrase()),
     "conjunctive_and_topk": (q_conjunctive, _sql_bm25(QUERY_AND, require_all=True)),
     "merge_fast_equals_full": (q_merge_fast, _sql_bm25(FLAGSHIP_QUERY)),
     # training-data pipeline operators

@@ -260,4 +260,26 @@ def merge_segments_fast(
     )
     _atomic_write(dictionary, os.path.join(out, "dictionary"), partition_by=["bucket"])
     man.record("dictionary")
+    _merge_positions(spark, segment_dirs, out, stats["n_buckets"], man)
     return stats
+
+
+def _merge_positions(spark, segment_dirs, out, n_buckets, man):
+    """Carry the opt-in positions table through a merge: disjoint doc
+    ids make it a plain union, re-bucketed for the merged layout."""
+    from esbulk_spark.plans.build import bucket_col
+
+    from pyspark.sql import functions as F
+
+    seg_pos = [os.path.join(sd, "positions") for sd in segment_dirs]
+    if not all(os.path.exists(p) for p in seg_pos):
+        return
+    pos = None
+    for p in seg_pos:
+        d = spark.read.parquet(p)
+        pos = d if pos is None else pos.unionByName(d)
+    pos = pos.withColumn(
+        "bucket", bucket_col(F.col("term"), n_buckets)
+    ).repartition(n_buckets, "bucket")
+    _atomic_write(pos, os.path.join(out, "positions"), partition_by=["bucket"])
+    man.record("positions", mode="union")

@@ -580,6 +580,45 @@ def build_index(
                 if r["df"] > shard_size
             ],
         )
+    # ---- stage: positions (opt-in, cfg.store_positions) ----
+    # (term, doc_id, positions over the ANALYZED token stream), bucket-
+    # partitioned like the postings so phrase queries prune the same
+    # way. No custom codec: parquet's columnar delta encoding handles
+    # sorted int arrays; Catalyst handles the pivot (posexplode ->
+    # sorted collect_list). Phrase semantics: adjacency in the analyzed
+    # stream (stopwords removed before numbering), identical in the
+    # DuckDB oracle.
+    if cfg.store_positions:
+        pos_path = os.path.join(d, "positions")
+        if not man.is_done("positions", pos_path):
+            with StageTimer() as t:
+                psrc = spark.read.parquet(docs_path)
+                if cfg.store_content:
+                    psrc = psrc.select(
+                        "doc_id", tokens_col(cfg.text_col).alias("__toks")
+                    )
+                else:
+                    if cfg.id_col:
+                        psrc = docs.withColumn(
+                            "doc_id", F.col(cfg.id_col).cast("long")
+                        )
+                    else:
+                        psrc, _, _pp = assign_doc_ids_pinned(docs, cfg.sort_keys)
+                    psrc = psrc.select(
+                        "doc_id", tokens_col(cfg.text_col).alias("__toks")
+                    )
+                positions = (
+                    psrc.select(
+                        "doc_id", F.posexplode("__toks").alias("pos", "term")
+                    )
+                    .groupBy("term", "doc_id")
+                    .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+                    .withColumn("bucket", bucket_col(F.col("term"), cfg.n_buckets))
+                    .repartition(cfg.n_buckets, "bucket")
+                )
+                _atomic_write(positions, pos_path, partition_by=["bucket"])
+            man.record("positions", secs=t.secs)
+
     if chunks_cache is not None:
         chunks_cache.unpersist()
     return stats

@@ -67,7 +67,7 @@ class IndexReader:
         (needed after a stage directory is rebuilt in place)."""
         self._tables.clear()
         self._df_cache.clear()
-        for name in ("docs", "dictionary", "postings"):
+        for name in ("docs", "dictionary", "postings", "positions"):
             p = os.path.join(self.index_dir, name)
             if os.path.exists(p):
                 self.spark.catalog.refreshByPath(p)
@@ -415,6 +415,73 @@ class IndexReader:
                 "hits": hits,
             },
         }
+
+    def search_phrase(
+        self, query: str, k: int = 10, round_to: int | None = None
+    ) -> DataFrame:
+        """Phrase (match_phrase) top-k over the opt-in positions table
+        (cfg.store_positions): docs whose ANALYZED token stream contains
+        the query's analyzed tokens consecutively.
+
+        Adjacency is pure Catalyst — iterated array_intersect over
+        shifted position lists: S_1 = P_1, S_{i+1} = intersect(S_i + 1,
+        P_{i+1}); |S_last| IS the phrase frequency. The positions scan
+        is bucket+term pruned exactly like postings; slot tables join
+        on doc_id (docs missing any phrase term drop out of the inner
+        join — at 10^12 docs the join keys are the rarest-term's
+        posting set, not the corpus). Scoring follows Lucene's
+        PhraseQuery (public): BM25 with tf = phrase_freq and
+        idf = sum of per-slot idfs. -> (doc_id, phrase_freq, score)."""
+        from esbulk_spark.functions.analyzer import tokenize_text
+        from esbulk_spark.plans.wand import idf as idf_fn
+
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, phrase_freq int, score double"
+        )
+        terms = tokenize_text(query)  # ORDERED, duplicates kept
+        if not terms:
+            return empty
+        uniq = sorted(set(terms))
+        dfs = self._dfs_cached(uniq)
+        if any(t not in dfs for t in uniq):
+            return empty  # a term absent from the corpus kills the phrase
+        pruned = self._table("positions").filter(
+            F.col("bucket").isin(self._buckets(uniq)) & F.col("term").isin(uniq)
+        )
+        base = None
+        for i, t in enumerate(terms):
+            p_i = pruned.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"p{i}")
+            )
+            base = p_i if base is None else base.join(p_i, "doc_id")
+        s = F.col("p0")
+        for i in range(1, len(terms)):
+            s = F.array_intersect(
+                F.transform(s, lambda x: x + 1), F.col(f"p{i}")
+            )
+        cand = (
+            base.withColumn("phrase_freq", F.size(s))
+            .filter(F.col("phrase_freq") > 0)
+            .select("doc_id", "phrase_freq")
+        )
+        sum_idf = float(sum(idf_fn(dfs[t], self.n_docs) for t in terms))
+        st = self.stats
+        k1, b, avgdl = st["k1"], st["b"], st["avgdl"]
+        tf = F.col("phrase_freq").cast("double")
+        tfn = (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+        )
+        out = (
+            cand.join(self.norms().select("doc_id", "dl"), "doc_id")
+            .select(
+                "doc_id",
+                "phrase_freq",
+                (F.lit(sum_idf) * tfn).alias("score"),
+            )
+        )
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_and(self, query: str, k: int = 10) -> DataFrame:
         """Conjunctive (AND) search (SURVEY.md B10): only docs containing

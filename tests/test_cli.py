@@ -258,3 +258,33 @@ def test_cli_cleans_temp_artifacts(spark, tmp_path):
         glob.glob(tempfile.gettempdir() + "/esbulk_stdin_*")
     )
     assert after - before == set()
+
+
+def test_cli_phrase_mode(spark, tmp_path, capsys):
+    """--store-positions at index time + search --mode phrase."""
+    docs = [
+        {"k": "a", "body": "alpha beta gamma"},
+        {"k": "b", "body": "beta alpha gamma"},
+        {"k": "c", "body": "alpha beta again alpha beta"},
+    ]
+    p = str(tmp_path / "ph.jsonl")
+    _write_jsonl(p, docs)
+    idx = str(tmp_path / "idx_ph")
+    rc = cli_mod._cmd_index(
+        spark,
+        _args(input=p, index_dir=idx, id_spec="k", purge=True,
+              store_positions=True),
+    )
+    assert rc == 0
+    args = argparse.Namespace(index_dir=idx, query="alpha beta", k=10,
+                              mode="phrase", format="jsonl")
+    rc = cli_mod._cmd_search(spark, args)
+    assert rc == 0
+    out = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if '"rank"' in l  # skip the index command's stats epilogue
+    ]
+    # docs a and c match ("beta alpha" does not); c has freq 2
+    freqs = {o["doc_id"]: o["phrase_freq"] for o in out}
+    assert len(freqs) == 2 and 2 in freqs.values()

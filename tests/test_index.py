@@ -309,3 +309,64 @@ def test_negative_user_ids_build_and_search(spark, tmp_path):
         ]
         got = [(x.doc_id, round(x.score, 6)) for x in r.search(q).collect()]
         assert got == oracle, q
+
+
+def test_phrase_search_semantics(spark, tmp_path):
+    """match_phrase over the opt-in positions table: adjacency in the
+    analyzed stream, phrase_freq counts every occurrence, ordering by
+    Lucene-style phrase BM25; phrases with an absent term are empty."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    rows = [
+        (0, "merge sort join filter"),
+        (1, "sort merge join"),
+        (2, "big merge sort merge sort small"),
+        (3, "merge only here"),
+    ]
+    docs = spark.createDataFrame(rows, "uid long, content string")
+    d = str(tmp_path / "idx_phrase")
+    cfg = IndexConfig(index_dir=d, id_col="uid", n_buckets=4, n_shards=2,
+                      store_positions=True)
+    build_index(spark, docs, cfg, input_sig="ph")
+    r = IndexReader(spark, d)
+    got = [(x.doc_id, x.phrase_freq) for x in r.search_phrase("merge sort").collect()]
+    assert got == [(2, 2), (0, 1)]  # doc 2 has the phrase twice
+    assert [x.doc_id for x in r.search_phrase("sort merge join").collect()] == [1]
+    assert r.search_phrase("join merge").collect() == []
+    assert r.search_phrase("zzz merge").collect() == []  # absent term
+    # three-term phrase requires full adjacency
+    assert [x.doc_id for x in r.search_phrase("merge sort join").collect()] == [0]
+
+
+def test_phrase_survives_fast_merge(spark, corpus, tmp_path):
+    """Positions tables union through merge_segments_fast (disjoint doc
+    ids): phrase results on the merged index == on a single-pass build
+    of the union."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.operators.merge import merge_segments_fast
+    from esbulk_spark.plans.build import build_index
+
+    base = str(tmp_path)
+    full_cfg = IndexConfig(index_dir=f"{base}/full", n_buckets=8, n_shards=4,
+                           chunk_cap=256, store_positions=True)
+    build_index(spark, corpus, full_cfg, input_sig="p150")
+    full_docs = spark.read.parquet(f"{base}/full/docs")
+    cut = full_docs.count() // 2
+    for name, pred in [("f1", F.col("doc_id") < cut), ("f2", F.col("doc_id") >= cut)]:
+        cfg = IndexConfig(index_dir=f"{base}/{name}", id_col="doc_id",
+                          n_buckets=8, n_shards=4, chunk_cap=256,
+                          store_positions=True)
+        build_index(spark, full_docs.filter(pred).drop("content_sha"), cfg,
+                    input_sig=name)
+    mcfg = IndexConfig(index_dir=f"{base}/fm", id_col="doc_id", n_buckets=8,
+                       n_shards=4, chunk_cap=256, store_positions=True)
+    merge_segments_fast(spark, [f"{base}/f1", f"{base}/f2"], mcfg)
+    rf = IndexReader(spark, f"{base}/full")
+    rm = IndexReader(spark, f"{base}/fm")
+    for q in ("return value", "get user"):
+        a = [(x.doc_id, x.phrase_freq, round(x.score, 6))
+             for x in rf.search_phrase(q).collect()]
+        b = [(x.doc_id, x.phrase_freq, round(x.score, 6))
+             for x in rm.search_phrase(q).collect()]
+        assert a == b, q
