@@ -109,3 +109,49 @@ def test_driver_and_distributed_paths_rank_identical(spark, corpus, tmp_path):
         assert oracle == drv == drv_wand == dist == dist_dense, q
         assert [h["_id"] for h in resp["hits"]["hits"]] == [d0 for d0, _ in oracle]
         assert rows_api == oracle
+
+
+def test_phrase_fuzz_vs_python_reference(spark, tmp_path):
+    """Property fuzz: phrase matching on random small docs must agree
+    with a brute-force pure-Python scan of the ANALYZED token streams
+    (doc set, per-doc phrase frequency)."""
+    import random
+
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.functions.analyzer import tokenize_text
+    from esbulk_spark.plans.build import build_index
+
+    rng = random.Random(7)
+    vocab = ["merge", "sort", "scan", "join", "hash", "filter", "agg"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "uid long, content string")
+    d = str(tmp_path / "idx_fuzz_ph")
+    cfg = IndexConfig(index_dir=d, id_col="uid", n_buckets=4, n_shards=3,
+                      store_positions=True)
+    build_index(spark, docs, cfg, input_sig="fz")
+    r = IndexReader(spark, d)
+
+    def brute(phrase):
+        toks = phrase.split()
+        out = {}
+        for uid, text in rows:
+            t = tokenize_text(text)
+            n = sum(
+                1
+                for i in range(len(t) - len(toks) + 1)
+                if t[i : i + len(toks)] == toks
+            )
+            if n:
+                out[uid] = n
+        return out
+
+    for phrase in ["merge sort", "sort sort", "hash filter agg", "scan scan scan"]:
+        want = brute(phrase)
+        got = {
+            x.doc_id: x.phrase_freq
+            for x in r.search_phrase(phrase, k=1000).collect()
+        }
+        assert got == want, phrase
