@@ -525,13 +525,62 @@ class IndexReader:
                     tfn = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
                     outs.append(
                         pd.DataFrame(
-                            {"term": term, "doc_id": ids, "contrib": idfs[term] * tfn}
+                            {
+                                "term": term,
+                                "doc_id": ids,
+                                "tf": tfs.astype(np.int32),
+                                "dl": dls.astype(np.int32),
+                                "contrib": idfs[term] * tfn,
+                            }
                         )
                     )
                 yield pd.concat(outs) if outs else pd.DataFrame(
-                    {"term": [], "doc_id": [], "contrib": []}
+                    {"term": [], "doc_id": [], "tf": [], "dl": [], "contrib": []}
                 )
 
         return self._pruned_postings(list(idfs)).mapInPandas(
-            decode, "term string, doc_id long, contrib double"
+            decode, "term string, doc_id long, tf int, dl int, contrib double"
         )
+
+    def explain(self, query: str, doc_id: int) -> dict:
+        """ES ``_explain`` analog: the per-term BM25 breakdown for ONE
+        document — tf, dl, df, idf, and each term's contribution, plus
+        the summed score and whether the doc matches at all. Reads only
+        the pruned postings of the query's terms (the same decode path
+        the intersection search uses)."""
+        from esbulk_spark.plans.wand import idf as idf_fn
+
+        terms = analyze_query(query)
+        dfs = self._dfs_cached(terms)
+        details = []
+        total = 0.0
+        if dfs:
+            rows = (
+                self._decode_to_rows(sorted(dfs))
+                .filter(F.col("doc_id") == doc_id)
+                .collect()
+            )
+            for r in sorted(rows, key=lambda x: x.term):
+                t_idf = float(idf_fn(dfs[r.term], self.n_docs))
+                details.append(
+                    {
+                        "term": r.term,
+                        "value": float(r.contrib),
+                        "description": (
+                            f"bm25(tf={int(r.tf)}, dl={int(r.dl)}, "
+                            f"df={dfs[r.term]}, idf={round(t_idf, 6)}, "
+                            f"k1={self.stats['k1']}, b={self.stats['b']}, "
+                            f"avgdl={round(self.stats['avgdl'], 4)})"
+                        ),
+                    }
+                )
+                total += float(r.contrib)
+        return {
+            "_id": int(doc_id),
+            "matched": bool(details),
+            "explanation": {
+                "value": total,
+                "description": "sum of:",
+                "details": details,
+            },
+        }

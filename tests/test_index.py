@@ -370,3 +370,22 @@ def test_phrase_survives_fast_merge(spark, corpus, tmp_path):
         b = [(x.doc_id, x.phrase_freq, round(x.score, 6))
              for x in rm.search_phrase(q).collect()]
         assert a == b, q
+
+
+def test_explain_matches_search_score(reader):
+    """ES _explain analog: the per-term breakdown for a top hit must sum
+    to exactly the score search() reports for that doc."""
+    top = reader.search("flushBuffer retry score", k=3).collect()
+    assert top
+    for hit in top:
+        exp = reader.explain("flushBuffer retry score", hit.doc_id)
+        assert exp["matched"] is True
+        assert abs(exp["explanation"]["value"] - hit.score) < 1e-9
+        assert exp["explanation"]["details"]
+        assert abs(
+            sum(d["value"] for d in exp["explanation"]["details"])
+            - exp["explanation"]["value"]
+        ) < 1e-12
+    # a non-matching doc
+    none = reader.explain("zzznotaterm", top[0].doc_id)
+    assert none["matched"] is False and none["explanation"]["value"] == 0.0
