@@ -345,6 +345,8 @@ class IndexReader:
         round_to: int | None = None,
         with_source: bool = True,
         track_total_hits: bool = False,
+        highlight: str | None = None,
+        highlight_window: int = 60,
     ) -> dict:
         """ES-shaped search response — the full field set the reference's
         response models consume (run_test.go:416-465, SearchResponse6/7:
@@ -361,7 +363,13 @@ class IndexReader:
 
         ``track_total_hits``: like ES's flag — the true total (docs
         matching >= 1 term) costs an extra distinct-count job, so it is
-        opt-in; otherwise total reports the returned hit count."""
+        opt-in; otherwise total reports the returned hit count.
+
+        ``highlight``: name of a ``_source`` field to highlight (ES's
+        highlighter analog): per hit, a snippet of ±highlight_window
+        chars around the first match with every query-term occurrence
+        wrapped in <em>..</em>. Pure driver-side work on <= k source
+        strings; requires ``with_source`` and a content-storing index."""
         import time as _time
 
         t0 = _time.monotonic()
@@ -393,6 +401,32 @@ class IndexReader:
                 s = dict(src.get(h["_id"], {}))
                 s.pop("doc_id", None)
                 h["_source"] = s
+            if highlight is not None:
+                import re as _re
+
+                terms = analyze_query(query)
+                # match the ANALYZED terms as standalone words OR as
+                # camel/snake pieces inside identifiers (the analyzer
+                # splits those), longest term first so nested pieces
+                # don't clip longer matches
+                pat = _re.compile(
+                    "|".join(
+                        _re.escape(t)
+                        for t in sorted(terms, key=len, reverse=True)
+                    ),
+                    _re.IGNORECASE,
+                )
+                for h in hits:
+                    text = h["_source"].get(highlight)
+                    if not isinstance(text, str):
+                        continue
+                    m = pat.search(text)
+                    if not m:
+                        continue
+                    lo = max(0, m.start() - highlight_window)
+                    hi = min(len(text), m.end() + highlight_window)
+                    frag = pat.sub(lambda g: f"<em>{g.group(0)}</em>", text[lo:hi])
+                    h["highlight"] = {highlight: [frag]}
         total = len(hits)
         if track_total_hits:
             terms = analyze_query(query)

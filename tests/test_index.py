@@ -389,3 +389,20 @@ def test_explain_matches_search_score(reader):
     # a non-matching doc
     none = reader.explain("zzznotaterm", top[0].doc_id)
     assert none["matched"] is False and none["explanation"]["value"] == 0.0
+
+
+def test_search_response_highlight(reader):
+    """ES highlighter analog: per-hit snippet with query terms wrapped
+    in <em>..</em>, clipped around the first match."""
+    resp = reader.search_response(
+        "flushBuffer retry", k=3, highlight="content", highlight_window=40
+    )
+    hits = resp["hits"]["hits"]
+    assert hits
+    marked = [h for h in hits if "highlight" in h]
+    assert marked, "top hits should highlight"
+    for h in marked:
+        frag = h["highlight"]["content"][0]
+        assert "<em>" in frag and "</em>" in frag
+        inner = frag.split("<em>")[1].split("</em>")[0].lower()
+        assert any(t in inner or inner in t for t in ("flushbuffer", "flush", "buffer", "retry"))
