@@ -22,6 +22,12 @@ Spark-first dataflow, every stage a materialized checkpoint
   dict    : (term, df, cf) aggregated from postings CHUNK METADATA
             (chunk row counts + chunk_cf), partitioned by term bucket.
 
+Public prior art for the shape: postings as columnar tables with
+vectorized consumption ("Columnar Formatted Inverted Index for
+Highly-Paralleled, Vectorized Query Processing", ICDE 2025 — see
+PAPERS.md) and Arrow-batched Python stages ("Accelerating Python UDFs
+in Vectorized Query Execution", CIDR 2022).
+
 Scale design:
   * doc-range shards bound every (term, shard) group — even a stopword
     term groups at most ``shard docs`` postings, so no single reducer

@@ -186,3 +186,25 @@ def test_segmented_config_flag_equals_single_pass(spark, corpus, tmp_path):
     again = build_index(spark, corpus, seg_cfg, input_sig="seg150")
     assert time.monotonic() - t0 < 2.0
     assert again["fingerprint"] == stats["fingerprint"]
+
+
+def test_segmented_with_positions_phrase(spark, corpus, tmp_path):
+    """cfg.segmented + cfg.store_positions compose: wave builds write
+    per-segment positions, the fast merge unions them, and phrase
+    results equal a single-pass positional build."""
+    from esbulk_spark.plans.reader import IndexReader
+
+    base = str(tmp_path)
+    full_cfg = IndexConfig(index_dir=f"{base}/full", n_buckets=8, n_shards=4,
+                           chunk_cap=256, store_positions=True)
+    build_index(spark, corpus, full_cfg, input_sig="segpos")
+    seg_cfg = IndexConfig(index_dir=f"{base}/seg", n_buckets=8, n_shards=4,
+                          chunk_cap=256, segmented=2, store_positions=True)
+    build_index(spark, corpus, seg_cfg, input_sig="segpos")
+    rf, rs = IndexReader(spark, f"{base}/full"), IndexReader(spark, f"{base}/seg")
+    for q in ("return value", "get user"):
+        a = [(x.doc_id, x.phrase_freq, round(x.score, 6))
+             for x in rf.search_phrase(q).collect()]
+        b = [(x.doc_id, x.phrase_freq, round(x.score, 6))
+             for x in rs.search_phrase(q).collect()]
+        assert a == b, q
