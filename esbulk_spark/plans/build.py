@@ -292,6 +292,20 @@ def _atomic_write(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
+    has_data = any(
+        f.endswith(".parquet")
+        for _dp, _dn, files in os.walk(tmp)
+        for f in files
+    )
+    if not has_data:
+        # a zero-row/zero-partition plan (AQE over an empty exchange, or
+        # an empty partitioned write) leaves NO part files, making the
+        # directory unreadable (no schema to infer); rewrite one empty,
+        # schema-bearing unpartitioned file — the partition column then
+        # rides as a regular column with the identical read schema
+        df.sparkSession.createDataFrame([], df.schema).write.mode(
+            "overwrite"
+        ).parquet(tmp)
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)

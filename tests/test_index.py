@@ -406,3 +406,57 @@ def test_search_response_highlight(reader):
         assert "<em>" in frag and "</em>" in frag
         inner = frag.split("<em>")[1].split("</em>")[0].lower()
         assert any(t in inner or inner in t for t in ("flushbuffer", "flush", "buffer", "retry"))
+
+
+def test_empty_corpus_builds_and_searches(spark, tmp_path):
+    """A zero-doc build must produce a consistent (empty) index and
+    empty search results, not crash — the resilience floor."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    docs = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, content string"
+    )
+    d = str(tmp_path / "idx_empty")
+    stats = build_index(
+        spark, docs, IndexConfig(index_dir=d, n_buckets=4, n_shards=2), input_sig="e0"
+    )
+    assert stats["n_docs"] == 0 and stats["total_postings"] == 0
+    r = IndexReader(spark, d)
+    assert r.search("anything", k=5).collect() == []
+    assert r.search_rows("anything") == []
+    resp = r.search_response("anything", k=5)
+    assert resp["hits"]["hits"] == [] and resp["hits"]["max_score"] is None
+
+
+def test_unicode_content_consistent(spark, tmp_path):
+    """Non-ASCII content must flow through build+search without error
+    and stay rank-identical to the full-scan oracle (the analyzer's
+    treatment of unicode is whatever the spec says — the invariant is
+    CONSISTENCY across the index and oracle renderings)."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    rows = [
+        (0, "über straße naïve café getUserName"),
+        (1, "getUserName plain ascii here"),
+        (2, "日本語テキスト getUserName 混在"),
+        (3, "emoji 🚀 rocket launch getUserName"),
+    ]
+    docs = spark.createDataFrame(rows, "uid long, content string")
+    d = str(tmp_path / "idx_uni")
+    build_index(
+        spark, docs,
+        IndexConfig(index_dir=d, id_col="uid", n_buckets=4, n_shards=2),
+        input_sig="uni",
+    )
+    r = IndexReader(spark, d)
+    for q in ("getUserName", "rocket", "café"):
+        oracle = [
+            (x.doc_id, round(x.score, 6))
+            for x in bm25_fullscan(
+                docs.withColumn("doc_id", F.col("uid")), q, text_col="content"
+            ).collect()
+        ]
+        got = [(x.doc_id, round(x.score, 6)) for x in r.search(q).collect()]
+        assert got == oracle, q
