@@ -461,6 +461,72 @@ LIMIT 10
 """
 
 
+_BOOL_MUST, _BOOL_SHOULD, _BOOL_NOT = ("merge",), ("sort join",), ("window",)
+
+
+def q_bool(spark, sf_dir):
+    """ES bool query analog: must=[merge], should=[sort join],
+    must_not=[window] — all docs with 'merge' and without 'window',
+    scored over merge+sort+join contributions."""
+    r = _index_for(spark, sf_dir)
+    return r.search_bool(
+        must=_BOOL_MUST, should=_BOOL_SHOULD, must_not=_BOOL_NOT,
+        k=10, round_to=4,
+    )
+
+
+def _sql_bool() -> str:
+    must = sorted({t for q in _BOOL_MUST for t in analyze_query(q)})
+    should = sorted({t for q in _BOOL_SHOULD for t in analyze_query(q)})
+    noterms = sorted({t for q in _BOOL_NOT for t in analyze_query(q)})
+    scored = sorted(set(must) | set(should))
+    qvals = ", ".join(
+        f"('{t}', {1 if t in must else 0})" for t in scored
+    )
+    nvals = ", ".join(f"('{t}')" for t in noterms)
+    from esbulk_spark import B, K1
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), norms AS (
+  SELECT doc_id, len(toks) AS dl FROM toks
+), stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM norms
+), qterms(term, is_must) AS (
+  VALUES {qvals}
+), nterms(term) AS (
+  VALUES {nvals}
+), tf AS (
+  SELECT t.doc_id, u.t AS term, count(*) AS tf
+  FROM toks t, unnest(t.toks) AS u(t)
+  WHERE u.t IN (SELECT term FROM qterms)
+  GROUP BY t.doc_id, u.t
+), dict AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), agg AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1.0 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * {K1 + 1.0}) /
+                 (tf.tf + {K1} * ({1.0 - B} + {B} * n.dl / (SELECT avgdl FROM stats)))), 4) AS score,
+         count(DISTINCT CASE WHEN q.is_must = 1 THEN tf.term END) AS n_must
+  FROM tf
+  JOIN dict d USING (term)
+  JOIN norms n USING (doc_id)
+  JOIN qterms q ON q.term = tf.term
+  GROUP BY tf.doc_id
+), excl AS (
+  SELECT DISTINCT t.doc_id
+  FROM toks t, unnest(t.toks) AS u(t)
+  WHERE u.t IN (SELECT term FROM nterms)
+)
+SELECT doc_id, score FROM agg
+WHERE n_must = {len(must)} AND doc_id NOT IN (SELECT doc_id FROM excl)
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def q_conjunctive(spark, sf_dir):
     """B10 posting-list intersection (AND), BM25-ranked."""
     r = _index_for(spark, sf_dir)
@@ -1459,6 +1525,7 @@ QUERIES = {
     "bm25_topk_hot_term": (q_bm25_hot, _sql_bm25(QUERY_HOT)),
     "bm25_batch_many": (q_bm25_batch, _sql_bm25_batch()),
     "phrase_match_topk": (q_phrase, _sql_phrase()),
+    "bool_query_topk": (q_bool, _sql_bool()),
     "conjunctive_and_topk": (q_conjunctive, _sql_bm25(QUERY_AND, require_all=True)),
     "merge_fast_equals_full": (q_merge_fast, _sql_bm25(FLAGSHIP_QUERY)),
     # training-data pipeline operators

@@ -532,6 +532,42 @@ class IndexReader:
         out = agg.filter(F.col("nt") == len(dfs)).select("doc_id", "score")
         return topk_deterministic(out, k, None)
 
+    def search_bool(
+        self,
+        must: tuple | list = (),
+        should: tuple | list = (),
+        must_not: tuple | list = (),
+        k: int = 10,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES bool-query analog: top-k docs containing ALL analyzed
+        ``must`` terms and NONE of ``must_not``, BM25-scored over the
+        must+should contributions (``should`` is purely additive, as in
+        ES). Built on the same pruned-postings decode the intersection
+        search uses; the must_not exclusion is a left-anti join against
+        the excluded terms' doc set (never a corpus scan)."""
+        must_t = sorted({t for q in must for t in analyze_query(q)})
+        should_t = sorted({t for q in should for t in analyze_query(q)})
+        not_t = sorted({t for q in must_not for t in analyze_query(q)})
+        scored_terms = sorted(set(must_t) | set(should_t))
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not scored_terms:
+            return empty
+        dfs = self._dfs_cached(scored_terms)
+        if any(t not in dfs for t in must_t):
+            return empty  # an absent must term matches nothing
+        rows = self._decode_to_rows([t for t in scored_terms if t in dfs])
+        agg = rows.groupBy("doc_id").agg(
+            F.sum("contrib").alias("score"),
+            F.count(F.when(F.col("term").isin(list(must_t)), 1)).alias("n_must"),
+        )
+        out = agg.filter(F.col("n_must") == len(must_t)).select("doc_id", "score")
+        present_not = [t for t, d in self._dfs_cached(not_t).items() if d] if not_t else []
+        if present_not:
+            excluded = self._decode_to_rows(present_not).select("doc_id").distinct()
+            out = out.join(excluded, "doc_id", "left_anti")
+        return topk_deterministic(out, k, round_to)
+
     def _decode_to_rows(self, terms: list[str]) -> DataFrame:
         """Decode pruned postings chunks -> (term, doc_id, contrib) rows.
         The index-backed full-scan path used by intersection and tests."""

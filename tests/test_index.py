@@ -460,3 +460,38 @@ def test_unicode_content_consistent(spark, tmp_path):
         ]
         got = [(x.doc_id, round(x.score, 6)) for x in r.search(q).collect()]
         assert got == oracle, q
+
+
+def test_search_bool_semantics(spark, tmp_path):
+    """ES bool query: must filters, should adds score, must_not excludes."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    rows = [
+        (0, "merge sort join"),        # must + both shoulds
+        (1, "merge only"),             # must, no should
+        (2, "sort join nothing"),      # no must -> out
+        (3, "merge sort window"),      # must_not 'window' -> out
+    ]
+    docs = spark.createDataFrame(rows, "uid long, content string")
+    d = str(tmp_path / "idx_bool")
+    build_index(
+        spark, docs,
+        IndexConfig(index_dir=d, id_col="uid", n_buckets=4, n_shards=2),
+        input_sig="bool",
+    )
+    r = IndexReader(spark, d)
+    got = [
+        x.doc_id
+        for x in r.search_bool(
+            must=["merge"], should=["sort join"], must_not=["window"]
+        ).collect()
+    ]
+    assert set(got) == {0, 1}
+    assert got[0] == 0  # should-matches outscore the must-only doc
+    # absent must term -> empty; empty must -> pure OR minus exclusions
+    assert r.search_bool(must=["zzz"], should=["merge"]).collect() == []
+    or_only = {x.doc_id for x in r.search_bool(should=["merge sort"]).collect()}
+    assert or_only == {0, 1, 2, 3}
+    or_not = {x.doc_id for x in r.search_bool(should=["merge sort"], must_not=["window"]).collect()}
+    assert or_not == {0, 1, 2}
