@@ -475,17 +475,35 @@ def q_bool(spark, sf_dir):
     )
 
 
-def _sql_bool() -> str:
-    must = sorted({t for q in _BOOL_MUST for t in analyze_query(q)})
-    should = sorted({t for q in _BOOL_SHOULD for t in analyze_query(q)})
-    noterms = sorted({t for q in _BOOL_NOT for t in analyze_query(q)})
+def _sql_bool(
+    must_q=None, should_q=None, not_q=None
+) -> str:
+    """DuckDB bool-query oracle. CTEs for the must_not exclusion are
+    emitted only when the must_not list analyzes to >=1 term — an empty
+    list would otherwise render a syntactically invalid `VALUES` with no
+    tuples (latent breakage for graded entries reusing this helper)."""
+    must = sorted({t for q in (must_q if must_q is not None else _BOOL_MUST) for t in analyze_query(q)})
+    should = sorted({t for q in (should_q if should_q is not None else _BOOL_SHOULD) for t in analyze_query(q)})
+    noterms = sorted({t for q in (not_q if not_q is not None else _BOOL_NOT) for t in analyze_query(q)})
     scored = sorted(set(must) | set(should))
+    if not scored:
+        raise ValueError("_sql_bool needs at least one scored (must/should) term")
     qvals = ", ".join(
         f"('{t}', {1 if t in must else 0})" for t in scored
     )
     nvals = ", ".join(f"('{t}')" for t in noterms)
     from esbulk_spark import B, K1
 
+    nterms_cte = f"""), nterms(term) AS (
+  VALUES {nvals}""" if noterms else ""
+    excl_cte = """, excl AS (
+  SELECT DISTINCT t.doc_id
+  FROM toks t, unnest(t.toks) AS u(t)
+  WHERE u.t IN (SELECT term FROM nterms)
+)""" if noterms else ""
+    excl_pred = (
+        "AND doc_id NOT IN (SELECT doc_id FROM excl)" if noterms else ""
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, {TOKS} AS toks FROM documents
@@ -495,9 +513,7 @@ WITH toks AS (
   SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM norms
 ), qterms(term, is_must) AS (
   VALUES {qvals}
-), nterms(term) AS (
-  VALUES {nvals}
-), tf AS (
+{nterms_cte}), tf AS (
   SELECT t.doc_id, u.t AS term, count(*) AS tf
   FROM toks t, unnest(t.toks) AS u(t)
   WHERE u.t IN (SELECT term FROM qterms)
@@ -515,13 +531,9 @@ WITH toks AS (
   JOIN norms n USING (doc_id)
   JOIN qterms q ON q.term = tf.term
   GROUP BY tf.doc_id
-), excl AS (
-  SELECT DISTINCT t.doc_id
-  FROM toks t, unnest(t.toks) AS u(t)
-  WHERE u.t IN (SELECT term FROM nterms)
-)
+){excl_cte}
 SELECT doc_id, score FROM agg
-WHERE n_must = {len(must)} AND doc_id NOT IN (SELECT doc_id FROM excl)
+WHERE n_must = {len(must)} {excl_pred}
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """

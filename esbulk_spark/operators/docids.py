@@ -117,6 +117,19 @@ def _assign(
         offsets[pid] = acc
         acc += by_pid[pid]
 
+    # uniqueness guard: the keys-only join-back is only exactly-one-id-
+    # per-row when the sort keys are a total order. With duplicate keys
+    # (two byte-identical documents and the default sort_keys=(content,))
+    # the equi-join would fan out n_dup^2 rows with duplicated doc_ids —
+    # silent index corruption. Probe distinctness on the already
+    # range-partitioned keys (RangePartitioning satisfies the aggregate's
+    # ClusteredDistribution, so this is exchange-free) and fall back to
+    # shuffling the full rows when keys are not provably unique.
+    n_distinct = parted.distinct().count()
+    if n_distinct != acc:
+        parted.unpersist()
+        return _assign_full_rows(df, sort_keys, out_col, num_partitions)
+
     # pass 2 (pure expressions): offset[pid] + (mono - (pid << 33))
     spark = df.sparkSession
     offset_df = spark.createDataFrame(
@@ -137,9 +150,70 @@ def _assign(
         )
         .drop("__pid", "__mono", "__offset")
     )
-    # join ids back onto the untouched full rows; keys are unique (the
-    # total-order contract), so this is exactly one id per row
+    # join ids back onto the untouched full rows. NULL-SAFE equality:
+    # a plain equi-join drops rows whose key is NULL, so an id'd corpus
+    # would silently lose documents; <=> keeps them (NULLs sort first in
+    # the range partitioning, so their ids are well-defined).
+    renamed = key_ids
+    for i, kname in enumerate(sort_keys):
+        renamed = renamed.withColumnRenamed(kname, f"__k{i}")
     if acc <= _BROADCAST_IDS_MAX_ROWS:
-        key_ids = F.broadcast(key_ids)
-    out = df.join(key_ids, on=list(sort_keys))
+        renamed = F.broadcast(renamed)
+    cond = None
+    for i, kname in enumerate(sort_keys):
+        c = df[kname].eqNullSafe(renamed[f"__k{i}"])
+        cond = c if cond is None else (cond & c)
+    out = df.join(renamed, on=cond).drop(*[f"__k{i}" for i in range(len(sort_keys))])
+    return out, acc, parted
+
+
+def _assign_full_rows(
+    df: DataFrame,
+    sort_keys: Sequence[str],
+    out_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int, DataFrame]:
+    """Duplicate-key fallback: range-shuffle the FULL rows (the pre-r3
+    plan) and number them in place — no join-back, so duplicate or NULL
+    keys cannot fan out or drop rows. Ids stay dense and unique;
+    tie-breaking among byte-identical keys is arbitrary but ids follow
+    the key total preorder, which is all the posting encoder needs."""
+    keys = [F.col(k) for k in sort_keys]
+    if num_partitions:
+        parted = df.repartitionByRange(num_partitions, *keys)
+    else:
+        parted = df.repartitionByRange(*keys)
+    parted = parted.sortWithinPartitions(*keys)
+    parted = parted.persist(StorageLevel.MEMORY_AND_DISK)
+
+    counts = (
+        parted.groupBy(F.spark_partition_id().alias("__pid"))
+        .count()
+        .collect()
+    )
+    by_pid = {r["__pid"]: r["count"] for r in counts}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+
+    spark = df.sparkSession
+    offset_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+        "__pid int, __offset long",
+    )
+    out = (
+        parted.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mono", F.monotonically_increasing_id())
+        .join(F.broadcast(offset_df), "__pid", "left")
+        .withColumn(
+            out_col,
+            (
+                F.coalesce(F.col("__offset"), F.lit(0))
+                + (F.col("__mono") - (F.col("__pid").cast("long") * F.lit(1 << 33)))
+            ).cast("long"),
+        )
+        .drop("__pid", "__mono", "__offset")
+    )
     return out, acc, parted

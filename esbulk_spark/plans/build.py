@@ -420,6 +420,7 @@ def build_index(
             "shard_size": int(shard_size),
             "n_buckets": cfg.n_buckets,
             "store_content": cfg.store_content,
+            "store_positions": bool(cfg.store_positions),
             "chunk_cap": cfg.chunk_cap,
             "block_size": cfg.block_size,
             "fingerprint": fp,
@@ -702,6 +703,20 @@ def _build_segmented(
             pinned.unpersist()
     srcdf = spark.read.parquet(src)
     lo, hi = srcdf.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    if lo is None:
+        # empty corpus: nothing to segment — run ONE non-segmented build
+        # (which is empty-safe) and stamp the segmented fingerprint so
+        # re-runs short-circuit exactly like the normal path
+        ecfg = replace(
+            cfg, id_col="doc_id", segmented=None, overwrite=True, pipeline=None
+        )
+        stats = build_index(spark, srcdf, ecfg, input_sig=f"{input_sig}#seg-empty")
+        stats = dict(stats, fingerprint=fp, segmented=n_waves)
+        with open(stats_path, "w") as f:
+            json.dump(stats, f, indent=1)
+        Manifest(d, fp).record("segmented_build", n_waves=n_waves, empty=True)
+        shutil.rmtree(work, ignore_errors=True)
+        return stats
     if cfg.id_col:
         # sparse user ids: quantile cuts for balanced waves
         qs = srcdf.stat.approxQuantile(

@@ -35,6 +35,14 @@ from esbulk_spark.plans.wand import RESULT_SCHEMA, idf as idf_fn, make_group_sco
 from esbulk_spark.plans.score import topk_deterministic
 
 
+def phrase_join_order(terms: list[str], dfs: dict[str, int]) -> list[int]:
+    """Slot-join order for phrase search: slot indices sorted by the
+    term's document frequency ascending (ties: slot position). The
+    FIRST element is always a min-df slot, so the join chain is driven
+    by the rarest term's posting set. Pure so tests can pin it."""
+    return sorted(range(len(terms)), key=lambda i: (dfs[terms[i]], i))
+
+
 class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -91,6 +99,15 @@ class IndexReader:
     def doc_count(self) -> int:
         """Post-ingest verification count (run_test.go:318-320 analog)."""
         return self.docs().count()
+
+    def has_positions(self) -> bool:
+        """Whether this index carries the opt-in positions table. New
+        indexes record store_positions in stats.json; for pre-r4 indexes
+        fall back to probing the directory (one os.stat, no Spark job)."""
+        v = self.stats.get("store_positions")
+        if v is not None:
+            return bool(v)
+        return os.path.exists(os.path.join(self.index_dir, "positions"))
 
     # ---- planning helpers ----
 
@@ -221,7 +238,12 @@ class IndexReader:
         analyzed = {qid: analyze_query(q) for qid, q in queries.items()}
         per_shard = self._per_shard_scores(analyzed, k, prune)
         if per_shard is None:
-            return self.spark.createDataFrame([], RESULT_SCHEMA)
+            # NOT RESULT_SCHEMA: that carries the internal `shard` column
+            # the scorer emits — the public contract (and the non-empty
+            # branch below) is (qid, doc_id, score)
+            return self.spark.createDataFrame(
+                [], "qid string, doc_id long, score double"
+            )
         # global merge: per qid, at most n_shards * k tiny rows
         if round_to is not None:
             per_shard = per_shard.withColumn("score", F.round("score", round_to))
@@ -465,7 +487,15 @@ class IndexReader:
         join — at 10^12 docs the join keys are the rarest-term's
         posting set, not the corpus). Scoring follows Lucene's
         PhraseQuery (public): BM25 with tf = phrase_freq and
-        idf = sum of per-slot idfs. -> (doc_id, phrase_freq, score)."""
+        idf = sum of per-slot idfs. -> (doc_id, phrase_freq, score).
+
+        The slot join chain runs RAREST TERM FIRST (ascending df): the
+        intermediate join cardinality is then bounded by the rarest
+        term's posting count instead of whatever term happens to open
+        the phrase — a phrase starting with a hot token ("data ...")
+        no longer drives the join with the biggest position lists.
+        Join order is invisible to the adjacency math, which addresses
+        slots by index (p0..p{n-1}) regardless of join sequence."""
         from esbulk_spark.functions.analyzer import tokenize_text
         from esbulk_spark.plans.wand import idf as idf_fn
 
@@ -479,12 +509,19 @@ class IndexReader:
         dfs = self._dfs_cached(uniq)
         if any(t not in dfs for t in uniq):
             return empty  # a term absent from the corpus kills the phrase
+        if not self.has_positions():
+            raise ValueError(
+                "phrase search needs a positions table: this index was "
+                "built without store_positions (rebuild with "
+                "IndexConfig(store_positions=True) / `cli index "
+                "--store-positions`)"
+            )
         pruned = self._table("positions").filter(
             F.col("bucket").isin(self._buckets(uniq)) & F.col("term").isin(uniq)
         )
         base = None
-        for i, t in enumerate(terms):
-            p_i = pruned.filter(F.col("term") == t).select(
+        for i in phrase_join_order(terms, dfs):
+            p_i = pruned.filter(F.col("term") == terms[i]).select(
                 "doc_id", F.col("positions").alias(f"p{i}")
             )
             base = p_i if base is None else base.join(p_i, "doc_id")
@@ -517,15 +554,51 @@ class IndexReader:
             out = out.withColumn("score", F.round("score", round_to))
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    # conjunctive-seed gate: when the rarest required term's df is under
+    # this bound, its doc-id set is decoded driver-side (one pruned scan
+    # of THAT term only) and pushed into the other terms' decoders as a
+    # sorted-array membership filter — a `must=[hot-term]` query then
+    # ships only the rarest term's candidate rows through Arrow and the
+    # agg instead of the hot term's entire posting set. Above the bound
+    # the plan falls back to the unseeded decode (still bucket+term
+    # pruned and shard-parallel), so this is a fast path, not a ceiling.
+    seed_decode_max: int = 2_000_000
+
+    def _seed_doc_ids(self, dfs: dict[str, int]):
+        """Sorted np.int64 doc ids of the rarest term in ``dfs``, or None
+        when that term is too hot to collect (> seed_decode_max) or dfs
+        is empty. Callers decide whether seeding is worthwhile (it prunes
+        nothing unless at least one OTHER term is being decoded)."""
+        import numpy as np
+        from esbulk_spark.functions.codec import varint_decode, delta_decode
+
+        if not dfs:
+            return None
+        rarest = min(sorted(dfs), key=lambda t: dfs[t])
+        if dfs[rarest] > self.seed_decode_max:
+            return None
+        pdf = self._pruned_postings([rarest]).select("blob_ids").toPandas()
+        parts = [
+            delta_decode(varint_decode(b)).astype(np.int64)
+            for b in pdf["blob_ids"].values
+        ]
+        if not parts:
+            return None
+        return np.unique(np.concatenate(parts))
+
     def search_and(self, query: str, k: int = 10) -> DataFrame:
         """Conjunctive (AND) search (SURVEY.md B10): only docs containing
         ALL query terms, BM25-ranked. Posting-list intersection expressed
-        as a count-matching filter over the per-term hits."""
+        as a count-matching filter over the per-term hits, seeded by the
+        rarest term's doc set (two-phase rarest-first intersection): hot
+        terms decode-and-drop everything outside the rarest term's
+        postings before any row crosses to the aggregation."""
         terms = analyze_query(query)
         dfs = self.lookup_terms(terms)
         if not terms or len(dfs) < len(terms):
             return self.spark.createDataFrame([], "doc_id long, score double")
-        scored = self._decode_to_rows(terms)
+        seed = self._seed_doc_ids(dfs) if len(dfs) >= 2 else None
+        scored = self._decode_to_rows(terms, doc_filter=seed)
         agg = scored.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("nt"), F.sum("contrib").alias("score")
         )
@@ -544,8 +617,11 @@ class IndexReader:
         ``must`` terms and NONE of ``must_not``, BM25-scored over the
         must+should contributions (``should`` is purely additive, as in
         ES). Built on the same pruned-postings decode the intersection
-        search uses; the must_not exclusion is a left-anti join against
-        the excluded terms' doc set (never a corpus scan)."""
+        search uses, seeded by the rarest MUST term's doc set when one
+        exists (docs lacking it can never satisfy the conjunction, so
+        hot must/should terms skip decoding their non-candidates); the
+        must_not exclusion is a left-anti join against the excluded
+        terms' doc set (never a corpus scan)."""
         must_t = sorted({t for q in must for t in analyze_query(q)})
         should_t = sorted({t for q in should for t in analyze_query(q)})
         not_t = sorted({t for q in must_not for t in analyze_query(q)})
@@ -556,7 +632,15 @@ class IndexReader:
         dfs = self._dfs_cached(scored_terms)
         if any(t not in dfs for t in must_t):
             return empty  # an absent must term matches nothing
-        rows = self._decode_to_rows([t for t in scored_terms if t in dfs])
+        # seed only from must terms — should terms don't constrain; skip
+        # when the must term is the only scored term (it would only
+        # filter its own decode by its own ids)
+        seed = None
+        if must_t and len(scored_terms) >= 2:
+            seed = self._seed_doc_ids({t: dfs[t] for t in must_t})
+        rows = self._decode_to_rows(
+            [t for t in scored_terms if t in dfs], doc_filter=seed
+        )
         agg = rows.groupBy("doc_id").agg(
             F.sum("contrib").alias("score"),
             F.count(F.when(F.col("term").isin(list(must_t)), 1)).alias("n_must"),
@@ -568,9 +652,17 @@ class IndexReader:
             out = out.join(excluded, "doc_id", "left_anti")
         return topk_deterministic(out, k, round_to)
 
-    def _decode_to_rows(self, terms: list[str]) -> DataFrame:
+    def _decode_to_rows(self, terms: list[str], doc_filter=None) -> DataFrame:
         """Decode pruned postings chunks -> (term, doc_id, contrib) rows.
-        The index-backed full-scan path used by intersection and tests."""
+        The index-backed full-scan path used by intersection and tests.
+
+        ``doc_filter`` (sorted np.int64 array, from _seed_doc_ids): when
+        set, each chunk keeps only postings whose doc_id is in the array
+        (vectorized searchsorted membership) BEFORE any row is built —
+        candidate pruning happens executor-side at decode time, so hot
+        terms never ship their full posting set through Arrow or into
+        the aggregation. The array rides a Spark broadcast (one copy per
+        executor, not per task)."""
         import pandas as pd
         import numpy as np
         from esbulk_spark.functions.codec import varint_decode, delta_decode
@@ -578,8 +670,14 @@ class IndexReader:
         dfs = self.lookup_terms(terms)
         idfs = {t: float(idf_fn(d, self.n_docs)) for t, d in dfs.items()}
         k1, b, avgdl = self.stats["k1"], self.stats["b"], self.stats["avgdl"]
+        bflt = (
+            self.spark.sparkContext.broadcast(doc_filter)
+            if doc_filter is not None
+            else None
+        )
 
         def decode(batches):
+            flt = bflt.value if bflt is not None else None
             for pdf in batches:
                 outs = []
                 # column access, not iterrows: each row is a <=128k-posting
@@ -592,6 +690,15 @@ class IndexReader:
                     ids = delta_decode(varint_decode(b_ids)).astype(np.int64)
                     tfs = varint_decode(b_tfs).astype(np.float64)
                     dls = varint_decode(b_dls).astype(np.float64)
+                    if flt is not None:
+                        if not flt.size:
+                            continue
+                        pos = np.searchsorted(flt, ids)
+                        np.minimum(pos, len(flt) - 1, out=pos)
+                        mask = flt[pos] == ids
+                        if not mask.any():
+                            continue
+                        ids, tfs, dls = ids[mask], tfs[mask], dls[mask]
                     tfn = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
                     outs.append(
                         pd.DataFrame(

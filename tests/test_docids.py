@@ -28,3 +28,25 @@ def test_deterministic_across_partitioning(spark):
     ma = {r.commit: r.doc_id for r in a.select("commit", "doc_id").collect()}
     mb = {r.commit: r.doc_id for r in b.select("commit", "doc_id").collect()}
     assert ma == mb
+
+
+def test_duplicate_keys_fall_back_to_unique_ids(spark):
+    """ADVICE r3 (high): duplicate sort keys must NOT fan out the
+    keys-only join-back — ids stay dense and unique via the full-row
+    fallback; NULL keys must not be dropped (null-safe join)."""
+    rows = [("a", 1), ("a", 2), ("b", 3), ("a", 4), (None, 5), (None, 6)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    out = assign_doc_ids(df, ("k",)).collect()
+    assert len(out) == len(rows)  # no fan-out, no dropped NULL-key rows
+    assert sorted(r.doc_id for r in out) == list(range(len(rows)))
+
+
+def test_null_keys_kept_on_unique_path(spark):
+    """Unique keys incl. a NULL: the fast keys-only path must keep the
+    NULL-key row (eqNullSafe join-back) and number it first."""
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), (None, 3), ("c", 4)], "k string, v int"
+    )
+    out = {r.v: r.doc_id for r in assign_doc_ids(df, ("k",)).collect()}
+    assert sorted(out.values()) == [0, 1, 2, 3]
+    assert out[3] == 0  # NULLs sort first in the range partitioning
