@@ -27,6 +27,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+def _canary(spark) -> float:
+    """Fixed-cost pure-CPU job (1 Gi-row modulo-sum, whole-stage codegen,
+    no shuffle, no I/O): its wall time depends only on host contention,
+    so a per-run canary makes a noisy measurement window detectable
+    INSIDE the bench artifact — this box's noisy neighbors swing
+    identical builds 2-5x (BENCH.md protocol; r3 verdict item 1)."""
+    import time as _t
+
+    t0 = _t.monotonic()
+    spark.range(1 << 30, numPartitions=64).selectExpr(
+        "sum(id % 1000003)"
+    ).collect()
+    return round(_t.monotonic() - t0, 3)
+
+
 REF_QUERIES = [
     "getUserName", "get_user_name", "parse_token_5 mergeList",
     "flushBuffer retry score", "return", "getuserbuffer44 scan_value_87",
@@ -101,14 +116,21 @@ def main() -> None:
     # best-of-N timed builds: the sandbox has heavy noisy-neighbor
     # variance (identical builds swing 2-5x); the minimum approximates
     # the steady-state throughput a long run would measure. All runs
-    # are reported.
-    n_runs = int(os.environ.get("BENCH_BUILD_RUNS", "3"))
-    times = []
+    # are reported, each paired with a fixed-cost CANARY job so a noisy
+    # window is self-evident in the artifact (r3's official build number
+    # was ~40% above a quiet-window re-run of the same command).
+    _canary(spark)  # JIT the canary itself so run 1 isn't inflated
+    n_runs = int(os.environ.get("BENCH_BUILD_RUNS", "5"))
+    times: list[float] = []
+    canaries: list[float] = []
     for r in range(n_runs):
-        # adaptive: if two runs already agree within 10%, a third would
-        # only re-measure the same quiet window — stop
-        if len(times) >= 2 and abs(times[-1] - times[-2]) < 0.1 * min(times):
-            break
+        # adaptive: once the two best runs agree within 5% (the same
+        # quiet window measured twice), further runs only burn time
+        if len(times) >= 3:
+            b = sorted(times)[:2]
+            if b[1] - b[0] < 0.05 * b[0]:
+                break
+        canaries.append(_canary(spark))
         shutil.rmtree(idx_dir, ignore_errors=True)
         # 32 doc-range shards: the skew salt AND the query-time
         # parallelism unit — one scoring task per (query, shard)
@@ -117,9 +139,19 @@ def main() -> None:
         stats = build_index(spark, corpus, cfg, input_sig=f"bench{n_docs}")
         times.append(round(time.monotonic() - t0, 3))
     t_build = min(times)
+    t_build_med = round(statistics.median(times), 3)
     queries["index_build"] = t_build
     out["build_runs_sec"] = times
+    out["canary_runs_sec"] = canaries
+    # the best run is trustworthy when its canary ran in a quiet window
+    out["best_run_canary_sec"] = canaries[times.index(t_build)]
+    out["noisy_window"] = bool(
+        out["best_run_canary_sec"] > 1.3 * min(canaries)
+    )
+    out["build_sec_best"] = t_build
+    out["build_sec_median"] = t_build_med
     out["build_docs_per_sec"] = round(n_docs / t_build, 1)
+    out["build_docs_per_sec_median"] = round(n_docs / t_build_med, 1)
     out["build_postings_per_sec"] = round(stats["total_postings"] / t_build, 1)
     out["build_mb_per_sec"] = round(out["content_bytes"] / t_build / 1e6, 1)
     out["total_postings"] = stats["total_postings"]

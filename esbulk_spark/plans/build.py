@@ -440,6 +440,20 @@ def build_index(
     # 4-5x less traffic than per-posting rows and ~30x fewer rows than
     # raw tokens.
     post_path = os.path.join(d, "postings")
+    pos_path = os.path.join(d, "positions")
+    # one-pass positions+postings (VERDICT r3 item 6): with
+    # store_positions on, BOTH tables derive from a single tokenize +
+    # posexplode + (term, shard) exchange — the per-(term, doc) agg
+    # computes tf AND the sorted position list together; the postings
+    # branch drops the positions column, the positions table rides the
+    # shared persisted agg. Without fusion the build tokenized the
+    # corpus twice and ran a second token-sized shuffle.
+    fuse_positions = (
+        cfg.store_positions
+        and tf_source is None
+        and not man.is_done("positions", pos_path)
+    )
+    tfp_cache = None
     if not man.is_done("postings", post_path):
         from pyspark import StorageLevel
 
@@ -473,18 +487,41 @@ def build_index(
                 # run exchange-free in-partition — measured 20-30% faster
                 # than the old two-shuffle plan (tf-agg shuffle then
                 # regroup shuffle) despite shipping unaggregated tokens.
-                tokens = src.select(
-                    "doc_id",
-                    F.size("__toks").alias("dl"),
-                    F.explode("__toks").alias("term"),
-                ).withColumn(
-                    "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
-                )
-                tfrows = (
-                    tokens.repartition("term", "shard")
-                    .groupBy("term", "shard", "doc_id", "dl")
-                    .agg(F.count(F.lit(1)).cast("int").alias("tf"))
-                )
+                if fuse_positions:
+                    tokens = src.select(
+                        "doc_id",
+                        F.size("__toks").alias("dl"),
+                        F.posexplode("__toks").alias("pos", "term"),
+                    ).withColumn(
+                        "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
+                    )
+                    tfp_cache = (
+                        tokens.repartition("term", "shard")
+                        .groupBy("term", "shard", "doc_id", "dl")
+                        .agg(
+                            F.count(F.lit(1)).cast("int").alias("tf"),
+                            # posexplode positions arrive partition-local
+                            # unordered after the exchange; sort per doc
+                            F.sort_array(F.collect_list("pos")).alias(
+                                "positions"
+                            ),
+                        )
+                        .persist(StorageLevel.MEMORY_AND_DISK)
+                    )
+                    tfrows = tfp_cache.drop("positions")
+                else:
+                    tokens = src.select(
+                        "doc_id",
+                        F.size("__toks").alias("dl"),
+                        F.explode("__toks").alias("term"),
+                    ).withColumn(
+                        "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
+                    )
+                    tfrows = (
+                        tokens.repartition("term", "shard")
+                        .groupBy("term", "shard", "doc_id", "dl")
+                        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+                    )
             if "shard" in tfrows.columns:
                 sharded = tfrows
             else:  # tf_source path (merge re-encode): tf pre-computed
@@ -610,36 +647,45 @@ def build_index(
     # stream (stopwords removed before numbering), identical in the
     # DuckDB oracle.
     if cfg.store_positions:
-        pos_path = os.path.join(d, "positions")
         if not man.is_done("positions", pos_path):
             with StageTimer() as t:
-                psrc = spark.read.parquet(docs_path)
-                if cfg.store_content:
-                    psrc = psrc.select(
-                        "doc_id", tokens_col(cfg.text_col).alias("__toks")
-                    )
+                if tfp_cache is not None:
+                    # fused path: positions ride the shared per-(term,doc)
+                    # agg — zero extra tokenize, zero extra token shuffle
+                    positions = tfp_cache.select("term", "doc_id", "positions")
                 else:
-                    if cfg.id_col:
-                        psrc = docs.withColumn(
-                            "doc_id", F.col(cfg.id_col).cast("long")
+                    # resume path (postings already done, positions not):
+                    # standalone tokenize + posexplode
+                    psrc = spark.read.parquet(docs_path)
+                    if cfg.store_content:
+                        psrc = psrc.select(
+                            "doc_id", tokens_col(cfg.text_col).alias("__toks")
                         )
                     else:
-                        psrc, _, _pp = assign_doc_ids_pinned(docs, cfg.sort_keys)
-                    psrc = psrc.select(
-                        "doc_id", tokens_col(cfg.text_col).alias("__toks")
+                        if cfg.id_col:
+                            psrc = docs.withColumn(
+                                "doc_id", F.col(cfg.id_col).cast("long")
+                            )
+                        else:
+                            psrc, _, _pp = assign_doc_ids_pinned(docs, cfg.sort_keys)
+                        psrc = psrc.select(
+                            "doc_id", tokens_col(cfg.text_col).alias("__toks")
+                        )
+                    positions = (
+                        psrc.select(
+                            "doc_id", F.posexplode("__toks").alias("pos", "term")
+                        )
+                        .groupBy("term", "doc_id")
+                        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
                     )
-                positions = (
-                    psrc.select(
-                        "doc_id", F.posexplode("__toks").alias("pos", "term")
-                    )
-                    .groupBy("term", "doc_id")
-                    .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
-                    .withColumn("bucket", bucket_col(F.col("term"), cfg.n_buckets))
-                    .repartition(cfg.n_buckets, "bucket")
-                )
+                positions = positions.withColumn(
+                    "bucket", bucket_col(F.col("term"), cfg.n_buckets)
+                ).repartition(cfg.n_buckets, "bucket")
                 _atomic_write(positions, pos_path, partition_by=["bucket"])
-            man.record("positions", secs=t.secs)
+            man.record("positions", secs=t.secs, fused=tfp_cache is not None)
 
+    if tfp_cache is not None:
+        tfp_cache.unpersist()
     if chunks_cache is not None:
         chunks_cache.unpersist()
     return stats

@@ -54,6 +54,19 @@ def get_spark(
         # fallback kicks in at 128 keys/partition — keep the hash path for
         # the ~10k group keys a build partition actually holds
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+        # InferFiltersFromGenerate inlines the GENERATOR'S INPUT EXPRESSION
+        # into an inferred (size(x)>0 AND isnotnull(x)) filter below every
+        # explode. For this engine every explode is over a COMPUTED array
+        # (regexp_extract_all tokenizer, shingles, n-grams), so the rule
+        # makes the scan stage evaluate the tokenizer 3x per row (filter
+        # twice + project once) for a filter that prunes almost nothing.
+        # Excluding it: tokenize+explode A/B measured 3.6x faster cold /
+        # 2.4x warm at 30k docs, identical row counts. Semantics are
+        # unchanged (explode drops null/empty arrays by itself).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # shuffle spill space on tmpfs: on a real cluster every executor

@@ -591,3 +591,46 @@ def test_segmented_build_empty_corpus(spark, tmp_path):
         input_sig="se0",
     )
     assert stats2["fingerprint"] == stats["fingerprint"]
+
+
+def test_fused_positions_single_tokenize(spark, tmp_path):
+    """VERDICT r3 item 6: with store_positions the build derives postings
+    AND positions from ONE tokenize pass — the combined token plan holds
+    exactly one regexp_extract_all, and the manifest records the
+    positions stage as fused."""
+    import json as _json
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.functions.analyzer import tokens_col
+    from esbulk_spark.plans.build import build_index
+
+    # plan shape: one tokenizer evaluation feeding size + posexplode
+    # (InferFiltersFromGenerate is excluded session-wide, session.py)
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, content string")
+    src = docs.select("doc_id", tokens_col("content").alias("__toks"))
+    tokens = src.select(
+        "doc_id", F.size("__toks").alias("dl"),
+        F.posexplode("__toks").alias("pos", "term"),
+    )
+    plan = tokens._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_extract_all") == 1
+
+    rows = [(0, "merge sort join window"), (1, "sort merge join extra pad")]
+    corpus = spark.createDataFrame(rows, "uid long, content string")
+    d = str(tmp_path / "idx_fused")
+    build_index(
+        spark, corpus,
+        IndexConfig(index_dir=d, id_col="uid", n_buckets=4, n_shards=2,
+                    store_positions=True),
+        input_sig="fused",
+    )
+    recs = [
+        _json.loads(x)
+        for x in open(f"{d}/manifest.jsonl")
+        if x.strip()
+    ]
+    pos_recs = [r for r in recs if r.get("stage") == "positions"]
+    assert pos_recs and pos_recs[-1].get("fused") is True
+    r = IndexReader(spark, d)
+    assert r.stats["store_positions"] is True and r.has_positions()
+    assert [x.doc_id for x in r.search_phrase("merge sort").collect()] == [0]
+    assert [x.doc_id for x in r.search_phrase("sort merge join").collect()] == [1]
