@@ -425,6 +425,10 @@ def _sql_bm25_batch() -> str:
 
 
 PHRASE_QUERY = ("table", "hash")  # a bigram the synthetic corpus contains
+# hot-first-token phrase (VERDICT r3 item 7): 'batch' is the corpus's
+# hottest term (df ~= 20% of docs at every sf) — this entry pins the
+# rarest-first join-order semantics under the exact shape it optimizes
+PHRASE_HOT = ("batch", "agg")
 
 
 def q_phrase(spark, sf_dir):
@@ -436,8 +440,17 @@ def q_phrase(spark, sf_dir):
     return r.search_phrase(" ".join(PHRASE_QUERY), k=10, round_to=4)
 
 
-def _sql_phrase() -> str:
-    t1, t2 = PHRASE_QUERY
+def q_phrase_hot(spark, sf_dir):
+    """match_phrase whose FIRST token is the hottest corpus term: the
+    slot join chain must be driven by the rarer second slot
+    (plans/reader.py phrase_join_order), results identical to the
+    oracle's positional scan."""
+    r = _index_for(spark, sf_dir)
+    return r.search_phrase(" ".join(PHRASE_HOT), k=10, round_to=4)
+
+
+def _sql_phrase(pair: tuple[str, str] = PHRASE_QUERY) -> str:
+    t1, t2 = pair
     return f"""
 WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
 stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
@@ -472,6 +485,21 @@ def q_bool(spark, sf_dir):
     return r.search_bool(
         must=_BOOL_MUST, should=_BOOL_SHOULD, must_not=_BOOL_NOT,
         k=10, round_to=4,
+    )
+
+
+_BOOL_HOT_MUST, _BOOL_HOT_SHOULD = ("batch",), ("merge scan",)
+
+
+def q_bool_hot(spark, sf_dir):
+    """Bool query with the HOTTEST corpus term as the must clause
+    (VERDICT r3 item 7): pins the rarest-must-term seed prune — the
+    seed here comes from 'batch' itself (the only must term), so the
+    should terms decode only batch-containing candidates. No must_not:
+    also exercises _sql_bool's conditional exclusion CTEs."""
+    r = _index_for(spark, sf_dir)
+    return r.search_bool(
+        must=_BOOL_HOT_MUST, should=_BOOL_HOT_SHOULD, k=10, round_to=4
     )
 
 
@@ -1098,10 +1126,10 @@ def q_lang_id(spark, sf_dir):
 
 
 def _sql_lang_hits(lang: str) -> str:
-    ws = textstats.LANG_MARKERS[lang]
-    return " + ".join(
-        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in ws
-    )
+    """Marker OCCURRENCE count over the shared split-word list — mirrors
+    textstats.lang_id's INSET membership filter exactly."""
+    ws = ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang])
+    return f"len(list_filter(words, w -> list_contains([{ws}], w)))"
 
 
 # RE2 (DuckDB) spellings of textstats.SCRIPT_LANGS' Java character
@@ -1118,25 +1146,39 @@ _SQL_SCRIPT_CASE = "\n           ".join(
     for lang, cls in _SQL_SCRIPTS
 )
 
+_LANGS = sorted(textstats.LANG_MARKERS)  # alphabetical = the tie-break order
+
+
+def _sql_lang_argmax() -> str:
+    """Earliest-alphabetical argmax chain: each WHEN compares a language
+    only against LATER languages — equivalent to the Spark side's
+    (hits, -index) struct sort (proof: if lang i fails, some later L
+    beats it; any earlier winner must beat L too, hence beat i)."""
+    lines = []
+    for i, lg in enumerate(_LANGS[:-1]):
+        conds = " AND ".join(f"h_{lg} >= h_{o}" for o in _LANGS[i + 1:])
+        lines.append(f"WHEN {conds} THEN '{lg}'")
+    return "\n           ".join(lines) + f"\n           ELSE '{_LANGS[-1]}'"
+
+
 SQL_LANG_ID = f"""
 WITH scored AS (
   SELECT doc_id, lang, text,
          len(regexp_extract_all(text, '\\S')) AS nch,
-         {_sql_lang_hits('de')} AS h_de,
-         {_sql_lang_hits('en')} AS h_en,
-         {_sql_lang_hits('es')} AS h_es,
-         {_sql_lang_hits('fr')} AS h_fr
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}]+'),
+                     w -> w <> '') AS words
   FROM documents
+), hits AS (
+  SELECT doc_id, lang, text, nch,
+         {", ".join(f"{_sql_lang_hits(lg)} AS h_{lg}" for lg in _LANGS)}
+  FROM scored
 ), pred AS (
   SELECT lang,
          CASE
            {_SQL_SCRIPT_CASE}
-           WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
-           WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
-           WHEN h_es >= h_fr THEN 'es'
-           ELSE 'fr'
+           {_sql_lang_argmax()}
          END AS pred_lang
-  FROM scored
+  FROM hits
 )
 SELECT lang, pred_lang, count(*) AS n
 FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
@@ -1537,7 +1579,12 @@ QUERIES = {
     "bm25_topk_hot_term": (q_bm25_hot, _sql_bm25(QUERY_HOT)),
     "bm25_batch_many": (q_bm25_batch, _sql_bm25_batch()),
     "phrase_match_topk": (q_phrase, _sql_phrase()),
+    "phrase_hot_first_topk": (q_phrase_hot, _sql_phrase(PHRASE_HOT)),
     "bool_query_topk": (q_bool, _sql_bool()),
+    "bool_hot_must_topk": (
+        q_bool_hot,
+        _sql_bool(must_q=_BOOL_HOT_MUST, should_q=_BOOL_HOT_SHOULD, not_q=()),
+    ),
     "conjunctive_and_topk": (q_conjunctive, _sql_bm25(QUERY_AND, require_all=True)),
     "merge_fast_equals_full": (q_merge_fast, _sql_bm25(FLAGSHIP_QUERY)),
     # training-data pipeline operators

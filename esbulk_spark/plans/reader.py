@@ -369,6 +369,7 @@ class IndexReader:
         track_total_hits: bool = False,
         highlight: str | None = None,
         highlight_window: int = 60,
+        es_version: int = 7,
     ) -> dict:
         """ES-shaped search response — the full field set the reference's
         response models consume (run_test.go:416-465, SearchResponse6/7:
@@ -391,7 +392,13 @@ class IndexReader:
         highlighter analog): per hit, a snippet of ±highlight_window
         chars around the first match with every query-term occurrence
         wrapped in <em>..</em>. Pure driver-side work on <= k source
-        strings; requires ``with_source`` and a content-storing index."""
+        strings; requires ``with_source`` and a content-storing index.
+
+        ``es_version``: 7 (default) emits the nested ES7+ total
+        (``hits.total = {value, relation}``, SearchResponse7 in
+        run_test.go:441-465); 6 emits the flat pre-ES7 shape
+        (``hits.total = <int>``, SearchResponse6 in run_test.go:416-439)
+        for clients pinning the old response models."""
         import time as _time
 
         t0 = _time.monotonic()
@@ -456,6 +463,13 @@ class IndexReader:
                 total = (
                     self._decode_to_rows(terms).select("doc_id").distinct().count()
                 )
+        if es_version >= 7:
+            total_field = {
+                "value": int(total),
+                "relation": "eq" if track_total_hits or total < k else "gte",
+            }
+        else:  # pre-ES7 clients expect a bare number
+            total_field = int(total)
         return {
             "took": int((_time.monotonic() - t0) * 1000),
             "timed_out": False,
@@ -466,7 +480,7 @@ class IndexReader:
                 "failed": 0,
             },
             "hits": {
-                "total": {"value": int(total), "relation": "eq" if track_total_hits or total < k else "gte"},
+                "total": total_field,
                 "max_score": float(hits[0]["_score"]) if hits else None,
                 "hits": hits,
             },

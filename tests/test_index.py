@@ -634,3 +634,16 @@ def test_fused_positions_single_tokenize(spark, tmp_path):
     assert r.stats["store_positions"] is True and r.has_positions()
     assert [x.doc_id for x in r.search_phrase("merge sort").collect()] == [0]
     assert [x.doc_id for x in r.search_phrase("sort merge join").collect()] == [1]
+
+
+def test_search_response_es6_vs_es7_total_shape(reader):
+    """VERDICT r3 item 8: the pre-ES7 response model (SearchResponse6,
+    run_test.go:416-439) reads hits.total as a bare number; ES7+
+    (run_test.go:441-465) as {value, relation}. Same hits either way."""
+    r7 = reader.search_response("getUserName", k=5)
+    r6 = reader.search_response("getUserName", k=5, es_version=6)
+    assert isinstance(r7["hits"]["total"], dict)
+    assert {"value", "relation"} <= set(r7["hits"]["total"])
+    assert isinstance(r6["hits"]["total"], int)
+    assert r6["hits"]["total"] == r7["hits"]["total"]["value"]
+    assert r6["hits"]["hits"] == r7["hits"]["hits"]

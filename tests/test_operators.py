@@ -415,3 +415,23 @@ def test_url_domains_counts(spark):
     got = {r.domain: (r.n_docs, r.n_urls) for r in textstats.url_domains(df, "text", "id").collect()}
     assert got["a.example.org"] == (2, 3)
     assert got["b.example.com"] == (1, 1)
+
+
+def test_lang_id_expanded_latin_languages(spark):
+    """VERDICT r3 item 9: widened marker lists + pt/it/nl — realistic
+    one-line prose in each Latin-script language classifies correctly."""
+    from esbulk_spark.operators import textstats
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and it was fine"),
+        (1, "der schnelle braune fuchs springt über den faulen hund und ist froh"),
+        (2, "le renard brun saute par dessus le chien et il est dans la maison"),
+        (3, "el zorro marrón salta sobre el perro y es muy rápido para todos"),
+        (4, "a raposa marrom pula sobre o cão e não é muito rápida para eles"),
+        (5, "la volpe marrone salta sopra il cane e non è molto veloce anche"),
+        (6, "de snelle bruine vos springt over de luie hond en het is goed"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.pred_lang for r in textstats.lang_id(df, "text", "id").collect()}
+    want = {0: "en", 1: "de", 2: "fr", 3: "es", 4: "pt", 5: "it", 6: "nl"}
+    assert got == want, got
