@@ -285,30 +285,15 @@ def make_chunk_builder(cfg: IndexConfig, avgdl: float, shard_size: int | None = 
 
 
 def _atomic_write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
-    tmp = path + ".__tmp__"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(tmp)
-    has_data = any(
-        f.endswith(".parquet")
-        for _dp, _dn, files in os.walk(tmp)
-        for f in files
+    """Atomic table commit via the pluggable TableIO (plans/tableio.py);
+    the default backend is the parquet-dir tmp+rename this function used
+    to implement inline. Iceberg deployments get snapshot-isolated
+    commits through the same interface."""
+    from esbulk_spark.plans.tableio import ParquetDirIO
+
+    ParquetDirIO(os.path.dirname(path)).write(
+        df, os.path.basename(path), partition_by
     )
-    if not has_data:
-        # a zero-row/zero-partition plan (AQE over an empty exchange, or
-        # an empty partitioned write) leaves NO part files, making the
-        # directory unreadable (no schema to infer); rewrite one empty,
-        # schema-bearing unpartitioned file — the partition column then
-        # rides as a regular column with the identical read schema
-        df.sparkSession.createDataFrame([], df.schema).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
 
 
 def build_index(

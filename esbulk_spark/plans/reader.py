@@ -45,8 +45,13 @@ def phrase_join_order(terms: list[str], dfs: dict[str, int]) -> list[int]:
 
 class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str):
+        from esbulk_spark.plans.tableio import for_index_dir
+
         self.spark = spark
         self.index_dir = index_dir
+        # pluggable table storage (plans/tableio.py): parquet dirs by
+        # default, Iceberg tables when the location/jars select it
+        self.io = for_index_dir(index_dir, spark)
         with open(os.path.join(index_dir, STATS_FILE)) as f:
             self.stats = json.load(f)
         self._tables: dict[str, DataFrame] = {}
@@ -66,7 +71,7 @@ class IndexReader:
         # After an external rebuild of a stage directory call refresh().
         df = self._tables.get(name)
         if df is None:
-            df = self.spark.read.parquet(os.path.join(self.index_dir, name))
+            df = self.io.read(self.spark, name)
             self._tables[name] = df
         return df
 
@@ -76,9 +81,7 @@ class IndexReader:
         self._tables.clear()
         self._df_cache.clear()
         for name in ("docs", "dictionary", "postings", "positions"):
-            p = os.path.join(self.index_dir, name)
-            if os.path.exists(p):
-                self.spark.catalog.refreshByPath(p)
+            self.io.refresh(self.spark, name)
 
     def docs(self) -> DataFrame:
         return self._table("docs")
@@ -92,7 +95,7 @@ class IndexReader:
     def norms(self) -> DataFrame:
         # document norms table (doc_id, dl), derived from the build's
         # single tokenize pass; older indexes carried dl in the docs table
-        if os.path.exists(os.path.join(self.index_dir, "norms")):
+        if self.io.exists("norms"):
             return self._table("norms")
         return self._table("docs").select("doc_id", "dl")
 
@@ -107,7 +110,7 @@ class IndexReader:
         v = self.stats.get("store_positions")
         if v is not None:
             return bool(v)
-        return os.path.exists(os.path.join(self.index_dir, "positions"))
+        return self.io.exists("positions")
 
     # ---- planning helpers ----
 

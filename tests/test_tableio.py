@@ -1,0 +1,77 @@
+"""Pluggable table storage (plans/tableio.py — SURVEY.md M4 TableIO)."""
+
+import os
+
+import pytest
+
+from esbulk_spark.plans.tableio import (
+    IcebergIO,
+    ParquetDirIO,
+    for_index_dir,
+    iceberg_available,
+)
+
+
+def test_parquet_backend_roundtrip_and_atomicity(spark, tmp_path):
+    io = ParquetDirIO(str(tmp_path))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    io.write(df, "t1")
+    assert io.exists("t1") and not io.exists("t2")
+    assert sorted((r.id, r.v) for r in io.read(spark, "t1").collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+    # overwrite commit replaces atomically (no leftover tmp dir)
+    io.write(spark.createDataFrame([(3, "c")], "id long, v string"), "t1")
+    io.refresh(spark, "t1")
+    assert [(r.id, r.v) for r in io.read(spark, "t1").collect()] == [(3, "c")]
+    assert not os.path.exists(str(tmp_path / "t1.__tmp__"))
+
+
+def test_parquet_backend_empty_partitioned_write_keeps_schema(spark, tmp_path):
+    io = ParquetDirIO(str(tmp_path))
+    empty = spark.createDataFrame([], "id long, bucket int")
+    io.write(empty, "t_empty", partition_by=["bucket"])
+    got = io.read(spark, "t_empty")
+    assert set(got.columns) == {"id", "bucket"}
+    assert got.count() == 0
+
+
+def test_for_index_dir_selection(spark, tmp_path):
+    assert isinstance(for_index_dir(str(tmp_path), spark), ParquetDirIO)
+    if iceberg_available(spark):
+        io = for_index_dir("iceberg:cat.db.idx", spark)
+        assert isinstance(io, IcebergIO)
+    else:
+        with pytest.raises(RuntimeError, match="Iceberg"):
+            for_index_dir("iceberg:cat.db.idx", spark)
+    with pytest.raises(ValueError, match="catalog.namespace.prefix"):
+        for_index_dir("iceberg:justone", spark)
+
+
+def test_reader_uses_tableio(spark, index_dir):
+    from esbulk_spark.plans.reader import IndexReader
+
+    r = IndexReader(spark, index_dir)
+    assert isinstance(r.io, ParquetDirIO)
+    assert r.io.exists("postings") and r.io.exists("dictionary")
+
+
+def test_iceberg_backend_roundtrip(spark, tmp_path):
+    """Runs only where the Iceberg runtime ships (the PIL-probe pattern,
+    operators/multimodal.py:21 — skip is evaluated against the live
+    session's classpath, mirroring the torch/PIL skips): createOrReplace
+    snapshot commit + catalog read-back through the same interface the
+    engine uses."""
+    if not iceberg_available(spark):
+        pytest.skip("Iceberg Spark runtime jars not on the classpath")
+    spark.conf.set("spark.sql.catalog.esbulk_test", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.esbulk_test.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.esbulk_test.warehouse", str(tmp_path / "wh"))
+    io = IcebergIO("esbulk_test", "db", "idx")
+    df = spark.createDataFrame([(1, 0), (2, 1)], "id long, bucket int")
+    io.write(df, "postings", partition_by=["bucket"])
+    assert io.exists("postings")
+    assert io.read(spark, "postings").count() == 2
+    io.write(spark.createDataFrame([(3, 0)], "id long, bucket int"), "postings")
+    io.refresh(spark, "postings")
+    assert [r.id for r in io.read(spark, "postings").collect()] == [3]
