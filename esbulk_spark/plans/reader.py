@@ -580,12 +580,21 @@ class IndexReader:
     # the plan falls back to the unseeded decode (still bucket+term
     # pruned and shard-parallel), so this is a fast path, not a ceiling.
     seed_decode_max: int = 2_000_000
+    # ...and only when the PRUNABLE volume (other terms' postings) is
+    # large enough to repay the seed's extra scan job: measured at 200k
+    # and 500k docs (~0.4-1M prunable postings), seeded and unseeded are
+    # a wash — the vectorized decode of ~1M rows costs about what one
+    # extra Spark job does (~0.3-0.4 s). The seed exists for the regime
+    # where hot terms carry 10^7+ postings and decode+Arrow+agg grows
+    # linearly while the seed job stays one bounded scan.
+    seed_min_prunable: int = 5_000_000
 
-    def _seed_doc_ids(self, dfs: dict[str, int]):
+    def _seed_doc_ids(self, dfs: dict[str, int], total_postings: int | None = None):
         """Sorted np.int64 doc ids of the rarest term in ``dfs``, or None
-        when that term is too hot to collect (> seed_decode_max) or dfs
-        is empty. Callers decide whether seeding is worthwhile (it prunes
-        nothing unless at least one OTHER term is being decoded)."""
+        when seeding cannot pay off: the rarest term is too hot to
+        collect (> seed_decode_max), keeps most of the corpus, or the
+        prunable volume (``total_postings`` across ALL terms the caller
+        will decode, minus the seed's own) is under seed_min_prunable."""
         import numpy as np
         from esbulk_spark.functions.codec import varint_decode, delta_decode
 
@@ -593,6 +602,16 @@ class IndexReader:
             return None
         rarest = min(sorted(dfs), key=lambda t: dfs[t])
         if dfs[rarest] > self.seed_decode_max:
+            return None
+        # selectivity guard: a seed that keeps most of the corpus prunes
+        # almost nothing downstream but still pays its own driver-side
+        # decode — skip unless the rarest term excludes >= half the docs
+        if 2 * dfs[rarest] > self.n_docs:
+            return None
+        # volume guard: seeding must have enough postings to prune to
+        # repay its extra scan job (see seed_min_prunable above)
+        total = sum(dfs.values()) if total_postings is None else total_postings
+        if total - dfs[rarest] < self.seed_min_prunable:
             return None
         pdf = self._pruned_postings([rarest]).select("blob_ids").toPandas()
         parts = [
@@ -654,7 +673,10 @@ class IndexReader:
         # filter its own decode by its own ids)
         seed = None
         if must_t and len(scored_terms) >= 2:
-            seed = self._seed_doc_ids({t: dfs[t] for t in must_t})
+            seed = self._seed_doc_ids(
+                {t: dfs[t] for t in must_t},
+                total_postings=sum(dfs.values()),
+            )
         rows = self._decode_to_rows(
             [t for t in scored_terms if t in dfs], doc_filter=seed
         )

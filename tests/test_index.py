@@ -525,31 +525,50 @@ def test_phrase_without_positions_clear_error(spark, index_dir):
 
 def test_seeded_and_bool_match_unseeded(reader):
     """VERDICT r3 item 3: the rarest-term seed prune must be invisible
-    to results — seeded and unseeded plans rank-identical."""
-    q = "def func class"
-    seeded = [(r.doc_id, round(r.score, 6)) for r in reader.search_and(q).collect()]
-    old = reader.seed_decode_max
+    to results — seeded and unseeded plans rank-identical. The volume
+    gate (seed_min_prunable) is zeroed to force the seed path on the
+    tiny fixture; production leaves it unseeded at this scale."""
+    from esbulk_spark.functions.analyzer import analyze_query
+
+    # a selective term (the guards skip seeding when the rarest term
+    # keeps most of the corpus) picked from the live dictionary
+    rare = (
+        reader.dictionary()
+        .filter((F.col("df") >= 3) & (F.col("df") <= 60))
+        .orderBy(F.desc("df"), "term")
+        .limit(1)
+        .collect()[0]["term"]
+    )
+    q = f"{rare} def func"
+    old_max, old_min = reader.seed_decode_max, reader.seed_min_prunable
     try:
+        reader.seed_min_prunable = 0  # force-enable seeding
+        dfs = reader.lookup_terms(analyze_query(q))
+        assert reader._seed_doc_ids(dfs) is not None  # path exercised
+        seeded = [
+            (r.doc_id, round(r.score, 6)) for r in reader.search_and(q).collect()
+        ]
         reader.seed_decode_max = 0  # force the unseeded full decode
         unseeded = [
             (r.doc_id, round(r.score, 6)) for r in reader.search_and(q).collect()
         ]
     finally:
-        reader.seed_decode_max = old
-    assert seeded == unseeded and seeded
+        reader.seed_decode_max, reader.seed_min_prunable = old_max, old_min
+    assert seeded == unseeded
 
-    kw = dict(must=["def"], should=["func class"], must_not=["lambda"], k=10)
-    seeded_b = [
-        (r.doc_id, round(r.score, 6)) for r in reader.search_bool(**kw).collect()
-    ]
+    kw = dict(must=[rare], should=["def func"], must_not=["lambda"], k=10)
     try:
+        reader.seed_min_prunable = 0
+        seeded_b = [
+            (r.doc_id, round(r.score, 6)) for r in reader.search_bool(**kw).collect()
+        ]
         reader.seed_decode_max = 0
         unseeded_b = [
             (r.doc_id, round(r.score, 6)) for r in reader.search_bool(**kw).collect()
         ]
     finally:
-        reader.seed_decode_max = old
-    assert seeded_b == unseeded_b
+        reader.seed_decode_max, reader.seed_min_prunable = old_max, old_min
+    assert seeded_b == unseeded_b and seeded_b  # bool hits are non-empty
 
 
 def test_search_many_empty_schema_matches_nonempty(reader):
