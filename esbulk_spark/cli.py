@@ -69,6 +69,13 @@ def main(argv: list[str] | None = None) -> int:
                               "--optype re-index into one (existing content "
                               "is recovered by key and verified against the "
                               "stored content_sha)")
+    p_index.add_argument("--profile-out", default=None,
+                         help="write a per-stage timing/metrics profile "
+                              "JSON after the build (the -cpuprofile "
+                              "analog, run.go:115-122; sourced from the "
+                              "build manifest — docs/stats/postings/"
+                              "dictionary/positions seconds, skew ratio, "
+                              "hot terms)")
     _add_common(p_index)
 
     p_search = sub.add_parser("search", help="BM25 top-k query")
@@ -83,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
     p_search.add_argument("--format", choices=["jsonl", "es"], default="jsonl",
                           help="es = Elasticsearch-shaped response object "
                                "(took / hits.total / max_score / _source)")
+    p_search.add_argument("--es-version", type=int, choices=[6, 7], default=7,
+                          help="with --format es: 7 = nested hits.total "
+                               "{value, relation} (SearchResponse7), 6 = "
+                               "flat integer total for pre-ES7 clients "
+                               "(SearchResponse6, run_test.go:416-465)")
     _add_common(p_search)
 
     p_merge = sub.add_parser("merge", help="merge segment indexes")
@@ -303,8 +315,46 @@ def _cmd_index_inner(spark, args, tmp_paths: list) -> int:
         file=sys.stderr,
     )
     stats = dict(stats, n_quarantined=n_quarantined)
+    if getattr(args, "profile_out", None):
+        _write_profile(args.index_dir, args.profile_out, dt)
     print(json.dumps(stats))
     return 0
+
+
+def _write_profile(index_dir: str, out_path: str, wall_sec: float) -> None:
+    """Per-stage timing profile from the build manifest — the engine-side
+    analog of the reference's -cpuprofile flag (run.go:115-122): where
+    the build spent its time, without attaching the Spark UI."""
+    stages = []
+    mp = os.path.join(index_dir, "manifest.jsonl")
+    try:
+        with open(mp) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                e = json.loads(line)
+                if e.get("status") == "done" and "secs" in e:
+                    stages.append(
+                        {
+                            k: v
+                            for k, v in e.items()
+                            if k in ("stage", "secs", "rows", "chunks",
+                                     "skew_ratio", "postings_per_sec",
+                                     "fused", "hot_terms")
+                        }
+                    )
+    except OSError:
+        pass
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "wall_sec": round(wall_sec, 3),
+                "staged_sec": round(sum(s.get("secs", 0) for s in stages), 3),
+                "stages": stages,
+            },
+            f,
+            indent=1,
+        )
 
 
 def _cmd_search(spark, args) -> int:
@@ -313,7 +363,10 @@ def _cmd_search(spark, args) -> int:
     r = IndexReader(spark, args.index_dir)
     with r.interactive():  # AQE off: interactive latency path
         if getattr(args, "format", "jsonl") == "es":
-            resp = r.search_response(args.query, k=args.k, prune=(args.mode == "wand"))
+            resp = r.search_response(
+                args.query, k=args.k, prune=(args.mode == "wand"),
+                es_version=getattr(args, "es_version", 7),
+            )
             print(json.dumps(resp, default=str))
             print(f"{len(resp['hits']['hits'])} hits", file=sys.stderr)
             return 0

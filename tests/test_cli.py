@@ -288,3 +288,37 @@ def test_cli_phrase_mode(spark, tmp_path, capsys):
     # docs a and c match ("beta alpha" does not); c has freq 2
     freqs = {o["doc_id"]: o["phrase_freq"] for o in out}
     assert len(freqs) == 2 and 2 in freqs.values()
+
+
+def test_cli_profile_out_and_es6(spark, tmp_path):
+    """--profile-out (the -cpuprofile analog) dumps per-stage timings
+    from the manifest; --format es --es-version 6 emits the flat total."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from esbulk_spark.corpus import synth_corpus
+
+    src = str(tmp_path / "corpus.parquet")
+    synth_corpus(spark, 120, seed=5).write.mode("overwrite").parquet(src)
+    idx = str(tmp_path / "idx")
+    prof = str(tmp_path / "profile.json")
+    env = dict(__import__("os").environ, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "-m", "esbulk_spark.cli", "index", "--input", src,
+         "--index-dir", idx, "--purge", "--profile-out", prof],
+        capture_output=True, text=True, env=env, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    p = _json.load(open(prof))
+    stage_names = {s["stage"] for s in p["stages"]}
+    assert {"docs", "postings", "dictionary"} <= stage_names
+    assert p["staged_sec"] > 0 and p["wall_sec"] >= p["staged_sec"] * 0.5
+    out6 = subprocess.run(
+        [sys.executable, "-m", "esbulk_spark.cli", "search", "--index-dir",
+         idx, "--query", "getUserName", "--format", "es", "--es-version", "6"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert out6.returncode == 0, out6.stderr[-2000:]
+    resp = _json.loads(out6.stdout.strip().splitlines()[-1])
+    assert isinstance(resp["hits"]["total"], int)
