@@ -103,11 +103,22 @@ def _assign(
     parted = parted.sortWithinPartitions(*keys)
     parted = parted.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # pass 1: per-partition counts -> exclusive prefix sums (driver-side,
-    # one row per partition — this is metadata, not data)
+    # pass 1: per-partition counts AND per-partition distinct-key counts
+    # in ONE job (driver-side result: one row per partition — metadata,
+    # not data). The distinct counts are the uniqueness guard: the
+    # keys-only join-back is only exactly-one-id-per-row when the sort
+    # keys are a total order — with duplicate keys (two byte-identical
+    # documents and the default sort_keys=(content,)) the equi-join
+    # would fan out n_dup^2 rows with duplicated doc_ids, silent index
+    # corruption. Range partitioning co-locates equal keys, so the SUM
+    # of per-partition distincts IS the global distinct count — no
+    # second pass, no exchange (grouping rides the existing partitions).
     counts = (
         parted.groupBy(F.spark_partition_id().alias("__pid"))
-        .count()
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.count_distinct(*keys).alias("__ndist"),
+        )
         .collect()
     )
     by_pid = {r["__pid"]: r["count"] for r in counts}
@@ -117,18 +128,22 @@ def _assign(
         offsets[pid] = acc
         acc += by_pid[pid]
 
-    # uniqueness guard: the keys-only join-back is only exactly-one-id-
-    # per-row when the sort keys are a total order. With duplicate keys
-    # (two byte-identical documents and the default sort_keys=(content,))
-    # the equi-join would fan out n_dup^2 rows with duplicated doc_ids —
-    # silent index corruption. Probe distinctness on the already
-    # range-partitioned keys (RangePartitioning satisfies the aggregate's
-    # ClusteredDistribution, so this is exchange-free) and fall back to
-    # shuffling the full rows when keys are not provably unique.
-    n_distinct = parted.distinct().count()
+    # count_distinct skips rows with NULL keys, so a NULL-key corpus
+    # shows n_distinct < acc even when unique — probe that rare case
+    # separately before falling back
+    n_distinct = sum(int(r["__ndist"]) for r in counts)
     if n_distinct != acc:
-        parted.unpersist()
-        return _assign_full_rows(df, sort_keys, out_col, num_partitions)
+        # could still be unique if the gap is exactly the NULL-key rows
+        # (count_distinct drops NULLs): probe those separately — cheap,
+        # and only on the rare corpus that has NULL sort keys at all
+        null_pred = None
+        for k in keys:
+            c = k.isNull()
+            null_pred = c if null_pred is None else (null_pred | c)
+        n_null_rows = parted.filter(null_pred).count()
+        if n_null_rows == 0 or n_distinct + n_null_rows != acc or n_null_rows > 1:
+            parted.unpersist()
+            return _assign_full_rows(df, sort_keys, out_col, num_partitions)
 
     # pass 2 (pure expressions): offset[pid] + (mono - (pid << 33))
     spark = df.sparkSession
