@@ -488,6 +488,55 @@ def q_bool(spark, sf_dir):
     )
 
 
+PREFIX_QUERY = "s"  # expands to ~6 corpus terms (scan/slow/small/sort/spark/stream)
+
+
+def q_prefix(spark, sf_dir):
+    """ES prefix-query analog: dictionary term expansion (term order,
+    ES max_expansions cap) scored as a BM25 disjunction over the same
+    pruned postings scan any multi-term query uses."""
+    r = _index_for(spark, sf_dir)
+    return r.search_prefix(PREFIX_QUERY, k=10, max_expansions=50, round_to=4)
+
+
+def _sql_prefix() -> str:
+    from esbulk_spark import B, K1
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), norms AS (
+  SELECT doc_id, len(toks) AS dl FROM toks
+), stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM norms
+), qterms AS (
+  SELECT DISTINCT u.t AS term
+  FROM toks t2, unnest(t2.toks) AS u(t)
+  WHERE u.t LIKE '{PREFIX_QUERY}%'
+  ORDER BY term LIMIT 50
+), tf AS (
+  SELECT t.doc_id, u.t AS term, count(*) AS tf
+  FROM toks t, unnest(t.toks) AS u(t)
+  WHERE u.t IN (SELECT term FROM qterms)
+  GROUP BY t.doc_id, u.t
+), dict AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), agg AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1.0 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * {K1 + 1.0}) /
+                 (tf.tf + {K1} * ({1.0 - B} + {B} * n.dl / (SELECT avgdl FROM stats)))), 4) AS score
+  FROM tf
+  JOIN dict d USING (term)
+  JOIN norms n USING (doc_id)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM agg
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 _BOOL_HOT_MUST, _BOOL_HOT_SHOULD = ("batch",), ("merge scan",)
 
 
@@ -1580,6 +1629,7 @@ QUERIES = {
     "bm25_batch_many": (q_bm25_batch, _sql_bm25_batch()),
     "phrase_match_topk": (q_phrase, _sql_phrase()),
     "phrase_hot_first_topk": (q_phrase_hot, _sql_phrase(PHRASE_HOT)),
+    "prefix_query_topk": (q_prefix, _sql_prefix()),
     "bool_query_topk": (q_bool, _sql_bool()),
     "bool_hot_must_topk": (
         q_bool_hot,

@@ -489,6 +489,51 @@ class IndexReader:
             },
         }
 
+    def expand_prefix(self, prefix: str, max_expansions: int = 50) -> dict[str, int]:
+        """ES prefix/term-expansion: dictionary terms starting with
+        ``prefix`` -> df, capped at ``max_expansions`` in term order
+        (ES's index-order cap made deterministic). The dictionary scan
+        cannot bucket-prune (buckets are hash-based, prefixes are
+        ranges) but touches ONLY the dictionary — term-level metadata,
+        1000x smaller than postings; a 10^9-term deployment would add a
+        sorted term-range table for this scan, changing nothing
+        downstream. Results land in the df cache so the scoring plan
+        prunes postings exactly like an explicit multi-term query."""
+        prefix = prefix.strip().lower()
+        if not prefix:
+            return {}
+        rows = (
+            self.dictionary()
+            .filter(F.col("term").startswith(prefix))
+            .select("term", "df")
+            .orderBy("term")
+            .limit(max_expansions)
+            .collect()
+        )
+        out = {r["term"]: int(r["df"]) for r in rows}
+        self._df_cache.update(out)
+        return out
+
+    def search_prefix(
+        self,
+        prefix: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES ``prefix`` query analog: expand the prefix against the
+        dictionary (expand_prefix), then score the expanded terms as a
+        disjunction with standard per-term BM25 idf — the same pruned
+        scan + per-shard scorer every multi-term query uses, so postings
+        of non-matching terms are never read."""
+        dfs = self.expand_prefix(prefix, max_expansions)
+        if not dfs:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        per_shard = self._per_shard_scores({"q": sorted(dfs)}, k, prune=True)
+        if per_shard is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return topk_deterministic(per_shard.select("doc_id", "score"), k, round_to)
+
     def search_phrase(
         self, query: str, k: int = 10, round_to: int | None = None
     ) -> DataFrame:

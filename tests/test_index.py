@@ -666,3 +666,30 @@ def test_search_response_es6_vs_es7_total_shape(reader):
     assert isinstance(r6["hits"]["total"], int)
     assert r6["hits"]["total"] == r7["hits"]["total"]["value"]
     assert r6["hits"]["hits"] == r7["hits"]["hits"]
+
+
+def test_search_prefix_expansion_and_scores(reader):
+    """ES prefix query: dictionary expansion + BM25 disjunction over the
+    expanded terms — identical to an explicit multi-term search over
+    exactly those terms."""
+    from esbulk_spark.functions.analyzer import analyze_query
+
+    dfs = reader.expand_prefix("get")
+    assert dfs and all(t.startswith("get") for t in dfs)
+    # every expanded term survives the analyzer unchanged (all-lowercase
+    # dictionary terms), so the explicit OR query is the same term set
+    joined = " ".join(sorted(dfs))
+    assert sorted(analyze_query(joined)) == sorted(dfs)
+    via_prefix = [
+        (r.doc_id, round(r.score, 6))
+        for r in reader.search_prefix("get", k=10).collect()
+    ]
+    via_or = [
+        (r.doc_id, round(r.score, 6)) for r in reader.search(joined, k=10).collect()
+    ]
+    assert via_prefix == via_or and via_prefix
+    assert reader.search_prefix("zzzznotaprefix").collect() == []
+    assert reader.expand_prefix("") == {}
+    # max_expansions caps in term order
+    one = reader.expand_prefix("get", max_expansions=1)
+    assert len(one) == 1 and list(one) == [sorted(dfs)[0]]
