@@ -537,6 +537,51 @@ LIMIT 10
 """
 
 
+PHRASE_PREFIX_BODY, PHRASE_PREFIX_LAST = "batch", "s"  # "batch s*"
+
+
+def q_phrase_prefix(spark, sf_dir):
+    """ES match_phrase_prefix (search-as-you-type): 'batch' followed
+    immediately by any term starting with 's' (scan/stream/sort/...).
+    Last slot = union of the expansions' position lists; BM25 over
+    phrase_freq with idf = body idfs + idf(clamped sum of expansion
+    dfs)."""
+    r = _index_for(spark, sf_dir)
+    return r.search_phrase_prefix(
+        f"{PHRASE_PREFIX_BODY} {PHRASE_PREFIX_LAST}", k=10, round_to=4
+    )
+
+
+def _sql_phrase_prefix() -> str:
+    b1, pre = PHRASE_PREFIX_BODY, PHRASE_PREFIX_LAST
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+dfs AS (SELECT
+   (SELECT count(*) FROM toks WHERE list_contains(t, '{b1}')) AS df1,
+   least((SELECT coalesce(sum(df), 0) FROM (
+      SELECT count(DISTINCT doc_id) AS df
+      FROM toks, unnest(t) AS u(t) WHERE u.t LIKE '{pre}%'
+      GROUP BY u.t ORDER BY u.t LIMIT 50)),
+     (SELECT n_docs FROM stats)) AS df2),
+pf AS (
+  SELECT doc_id, len(t) AS dl,
+         len(list_filter(range(1, len(t)),
+             i -> t[i] = '{b1}' AND t[i+1] LIKE '{pre}%')) AS phrase_freq
+  FROM toks
+)
+SELECT doc_id, CAST(phrase_freq AS INT) AS phrase_freq,
+       round((ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+              + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5)))
+             * (phrase_freq * ({K1} + 1)) /
+               (phrase_freq + {K1} * (1 - {B} + {B} * dl / avgdl)), 4) AS score
+FROM pf, stats, dfs
+WHERE phrase_freq > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 _BOOL_HOT_MUST, _BOOL_HOT_SHOULD = ("batch",), ("merge scan",)
 
 
@@ -1630,6 +1675,7 @@ QUERIES = {
     "phrase_match_topk": (q_phrase, _sql_phrase()),
     "phrase_hot_first_topk": (q_phrase_hot, _sql_phrase(PHRASE_HOT)),
     "prefix_query_topk": (q_prefix, _sql_prefix()),
+    "phrase_prefix_topk": (q_phrase_prefix, _sql_phrase_prefix()),
     "bool_query_topk": (q_bool, _sql_bool()),
     "bool_hot_must_topk": (
         q_bool_hot,

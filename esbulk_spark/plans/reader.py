@@ -667,6 +667,97 @@ class IndexReader:
             return None
         return np.unique(np.concatenate(parts))
 
+    def search_phrase_prefix(
+        self,
+        query: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES ``match_phrase_prefix`` (search-as-you-type): the query's
+        analyzed tokens must appear consecutively with the LAST token
+        matched as a PREFIX. The last slot's position list is the union
+        of the expanded terms' positions (positions are disjoint across
+        terms within a doc, so the union is a sorted merge); body slots
+        run through the same rarest-first adjacency chain as
+        search_phrase. Scoring: BM25 with tf = phrase_freq and idf =
+        sum of body-slot idfs + idf of the expansion set (its summed
+        dfs, clamped to n_docs — a deterministic dictionary-metadata
+        bound both the engine and the DuckDB oracle compute
+        identically). -> (doc_id, phrase_freq, score)."""
+        from esbulk_spark.functions.analyzer import tokenize_text
+        from esbulk_spark.plans.wand import idf as idf_fn
+
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, phrase_freq int, score double"
+        )
+        terms = tokenize_text(query)
+        if not terms:
+            return empty
+        *body, last = terms
+        exp = self.expand_prefix(last, max_expansions)
+        if not exp:
+            return empty
+        uniq_body = sorted(set(body))
+        dfs = self._dfs_cached(uniq_body)
+        if any(t not in dfs for t in uniq_body):
+            return empty
+        if not self.has_positions():
+            raise ValueError(
+                "phrase-prefix search needs a positions table: this "
+                "index was built without store_positions"
+            )
+        all_terms = sorted(set(body) | set(exp))
+        pruned = self._table("positions").filter(
+            F.col("bucket").isin(self._buckets(all_terms))
+            & F.col("term").isin(all_terms)
+        )
+        n_slots = len(body) + 1
+        # last slot: per-doc union of the expansions' position lists
+        p_last = (
+            pruned.filter(F.col("term").isin(sorted(exp)))
+            .groupBy("doc_id")
+            .agg(
+                F.sort_array(F.flatten(F.collect_list("positions"))).alias(
+                    f"p{n_slots - 1}"
+                )
+            )
+        )
+        base = None
+        for i in (phrase_join_order(body, dfs) if body else []):
+            p_i = pruned.filter(F.col("term") == body[i]).select(
+                "doc_id", F.col("positions").alias(f"p{i}")
+            )
+            base = p_i if base is None else base.join(p_i, "doc_id")
+        base = p_last if base is None else base.join(p_last, "doc_id")
+        s = F.col("p0")
+        for i in range(1, n_slots):
+            s = F.array_intersect(
+                F.transform(s, lambda x: x + 1), F.col(f"p{i}")
+            )
+        cand = (
+            base.withColumn("phrase_freq", F.size(s))
+            .filter(F.col("phrase_freq") > 0)
+            .select("doc_id", "phrase_freq")
+        )
+        df_last = min(sum(exp.values()), self.n_docs)
+        sum_idf = float(
+            sum(idf_fn(dfs[t], self.n_docs) for t in body)
+            + idf_fn(df_last, self.n_docs)
+        )
+        st = self.stats
+        k1, b, avgdl = st["k1"], st["b"], st["avgdl"]
+        tf = F.col("phrase_freq").cast("double")
+        tfn = (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+        )
+        out = cand.join(self.norms().select("doc_id", "dl"), "doc_id").select(
+            "doc_id", "phrase_freq", (F.lit(sum_idf) * tfn).alias("score")
+        )
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def search_and(self, query: str, k: int = 10) -> DataFrame:
         """Conjunctive (AND) search (SURVEY.md B10): only docs containing
         ALL query terms, BM25-ranked. Posting-list intersection expressed

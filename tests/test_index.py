@@ -693,3 +693,35 @@ def test_search_prefix_expansion_and_scores(reader):
     # max_expansions caps in term order
     one = reader.expand_prefix("get", max_expansions=1)
     assert len(one) == 1 and list(one) == [sorted(dfs)[0]]
+
+
+def test_phrase_prefix_semantics(spark, tmp_path):
+    """match_phrase_prefix: body tokens adjacent, LAST token a prefix —
+    the union of expansions' positions fills the last slot."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    rows = [
+        (0, "merge sort join"),          # merge s* -> sort
+        (1, "merge scan filter"),        # merge s* -> scan
+        (2, "merge join sort"),          # 'merge' not followed by s*
+        (3, "sort merge stream again"),  # merge s* -> stream (mid-doc)
+        (4, "merge merge sort"),         # adjacency at slot 2 only
+    ]
+    docs = spark.createDataFrame(rows, "uid long, content string")
+    d = str(tmp_path / "idx_pp")
+    build_index(
+        spark, docs,
+        IndexConfig(index_dir=d, id_col="uid", n_buckets=4, n_shards=2,
+                    store_positions=True),
+        input_sig="pp",
+    )
+    r = IndexReader(spark, d)
+    got = {x.doc_id: x.phrase_freq for x in r.search_phrase_prefix("merge s").collect()}
+    assert set(got) == {0, 1, 3, 4}
+    assert got[4] == 1  # only the second 'merge' is followed by s*
+    # single-token prefix query degenerates to prefix-term positions
+    got1 = {x.doc_id for x in r.search_phrase_prefix("s").collect()}
+    assert got1 == {0, 1, 2, 3, 4}  # every doc containing an s* term
+    assert r.search_phrase_prefix("zzz s").collect() == []  # absent body
+    assert r.search_phrase_prefix("merge zzzz").collect() == []  # no expansion
