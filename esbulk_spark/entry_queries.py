@@ -499,7 +499,12 @@ def q_prefix(spark, sf_dir):
     return r.search_prefix(PREFIX_QUERY, k=10, max_expansions=50, round_to=4)
 
 
-def _sql_prefix() -> str:
+def _sql_expanded(qterm_pred: str, max_expansions: int = 50) -> str:
+    """Shared oracle for the term-expansion queries (prefix / fuzzy /
+    wildcard): expand the dictionary with ``qterm_pred`` (a predicate
+    over the token alias ``u.t``), cap in term order, then score the
+    expansions as a BM25 disjunction — exactly the engine's
+    ``rewrite: scoring_boolean`` semantics."""
     from esbulk_spark import B, K1
 
     return f"""
@@ -512,8 +517,8 @@ WITH toks AS (
 ), qterms AS (
   SELECT DISTINCT u.t AS term
   FROM toks t2, unnest(t2.toks) AS u(t)
-  WHERE u.t LIKE '{PREFIX_QUERY}%'
-  ORDER BY term LIMIT 50
+  WHERE {qterm_pred}
+  ORDER BY term LIMIT {max_expansions}
 ), tf AS (
   SELECT t.doc_id, u.t AS term, count(*) AS tf
   FROM toks t, unnest(t.toks) AS u(t)
@@ -535,6 +540,47 @@ SELECT doc_id, score FROM agg
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
+
+
+def _sql_prefix() -> str:
+    return _sql_expanded(f"u.t LIKE '{PREFIX_QUERY}%'")
+
+
+FUZZY_QUERY, FUZZY_EDITS = "part", 2  # expands to fast/part/sort at sf0.01
+
+
+def q_fuzzy(spark, sf_dir):
+    """ES fuzzy-query analog: dictionary expansion within FUZZY_EDITS
+    Levenshtein edits (length-band pre-pruned, JVM-side distance),
+    scored as a BM25 disjunction over the pruned postings scan."""
+    r = _index_for(spark, sf_dir)
+    return r.search_fuzzy(FUZZY_QUERY, k=10, fuzziness=FUZZY_EDITS, round_to=4)
+
+
+def _sql_fuzzy() -> str:
+    lo, hi = len(FUZZY_QUERY) - FUZZY_EDITS, len(FUZZY_QUERY) + FUZZY_EDITS
+    return _sql_expanded(
+        f"length(u.t) BETWEEN {lo} AND {hi} "
+        f"AND levenshtein(u.t, '{FUZZY_QUERY}') <= {FUZZY_EDITS}"
+    )
+
+
+WILDCARD_PATTERN = "s?a*"  # expands to scan/small/spark at sf0.01
+
+
+def q_wildcard(spark, sf_dir):
+    """ES wildcard-query analog: LIKE-translated dictionary expansion
+    scored as a BM25 disjunction."""
+    r = _index_for(spark, sf_dir)
+    return r.search_wildcard(WILDCARD_PATTERN, k=10, round_to=4)
+
+
+def _sql_wildcard() -> str:
+    from esbulk_spark.plans.reader import wildcard_to_like
+
+    return _sql_expanded(
+        f"u.t LIKE '{wildcard_to_like(WILDCARD_PATTERN)}' ESCAPE '\\'"
+    )
 
 
 PHRASE_PREFIX_BODY, PHRASE_PREFIX_LAST = "batch", "s"  # "batch s*"
@@ -598,7 +644,7 @@ def q_bool_hot(spark, sf_dir):
 
 
 def _sql_bool(
-    must_q=None, should_q=None, not_q=None
+    must_q=None, should_q=None, not_q=None, msm: int = 0
 ) -> str:
     """DuckDB bool-query oracle. CTEs for the must_not exclusion are
     emitted only when the must_not list analyzes to >=1 term — an empty
@@ -611,7 +657,8 @@ def _sql_bool(
     if not scored:
         raise ValueError("_sql_bool needs at least one scored (must/should) term")
     qvals = ", ".join(
-        f"('{t}', {1 if t in must else 0})" for t in scored
+        f"('{t}', {1 if t in must else 0}, {1 if t in should else 0})"
+        for t in scored
     )
     nvals = ", ".join(f"('{t}')" for t in noterms)
     from esbulk_spark import B, K1
@@ -633,7 +680,7 @@ WITH toks AS (
   SELECT doc_id, len(toks) AS dl FROM toks
 ), stats AS (
   SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM norms
-), qterms(term, is_must) AS (
+), qterms(term, is_must, is_should) AS (
   VALUES {qvals}
 {nterms_cte}), tf AS (
   SELECT t.doc_id, u.t AS term, count(*) AS tf
@@ -647,7 +694,8 @@ WITH toks AS (
          round(sum(ln(1.0 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
                * (tf.tf * {K1 + 1.0}) /
                  (tf.tf + {K1} * ({1.0 - B} + {B} * n.dl / (SELECT avgdl FROM stats)))), 4) AS score,
-         count(DISTINCT CASE WHEN q.is_must = 1 THEN tf.term END) AS n_must
+         count(DISTINCT CASE WHEN q.is_must = 1 THEN tf.term END) AS n_must,
+         count(DISTINCT CASE WHEN q.is_should = 1 THEN tf.term END) AS n_should
   FROM tf
   JOIN dict d USING (term)
   JOIN norms n USING (doc_id)
@@ -655,10 +703,26 @@ WITH toks AS (
   GROUP BY tf.doc_id
 ){excl_cte}
 SELECT doc_id, score FROM agg
-WHERE n_must = {len(must)} {excl_pred}
+WHERE n_must = {len(must)} AND n_should >= {msm} {excl_pred}
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
+
+
+_BOOL_MSM_SHOULD, _BOOL_MSM = ("scan", "merge", "window"), 2
+
+
+def q_bool_msm(spark, sf_dir):
+    """ES minimum_should_match: pure-should bool query requiring >= 2
+    of the 3 should terms per doc — the distinct-should count gates
+    matching, scores still sum over every matched term (ES semantics)."""
+    r = _index_for(spark, sf_dir)
+    return r.search_bool(
+        should=_BOOL_MSM_SHOULD,
+        minimum_should_match=_BOOL_MSM,
+        k=10,
+        round_to=4,
+    )
 
 
 def q_conjunctive(spark, sf_dir):
@@ -1675,11 +1739,17 @@ QUERIES = {
     "phrase_match_topk": (q_phrase, _sql_phrase()),
     "phrase_hot_first_topk": (q_phrase_hot, _sql_phrase(PHRASE_HOT)),
     "prefix_query_topk": (q_prefix, _sql_prefix()),
+    "fuzzy_query_topk": (q_fuzzy, _sql_fuzzy()),
+    "wildcard_query_topk": (q_wildcard, _sql_wildcard()),
     "phrase_prefix_topk": (q_phrase_prefix, _sql_phrase_prefix()),
     "bool_query_topk": (q_bool, _sql_bool()),
     "bool_hot_must_topk": (
         q_bool_hot,
         _sql_bool(must_q=_BOOL_HOT_MUST, should_q=_BOOL_HOT_SHOULD, not_q=()),
+    ),
+    "bool_msm_topk": (
+        q_bool_msm,
+        _sql_bool(must_q=(), should_q=_BOOL_MSM_SHOULD, not_q=(), msm=_BOOL_MSM),
     ),
     "conjunctive_and_topk": (q_conjunctive, _sql_bm25(QUERY_AND, require_all=True)),
     "merge_fast_equals_full": (q_merge_fast, _sql_bm25(FLAGSHIP_QUERY)),

@@ -35,6 +35,39 @@ from esbulk_spark.plans.wand import RESULT_SCHEMA, idf as idf_fn, make_group_sco
 from esbulk_spark.plans.score import topk_deterministic
 
 
+def fuzziness_edits(term: str, fuzziness: int | str) -> int:
+    """Resolve an ES fuzziness spec to an edit count. ``AUTO`` follows
+    the public ES ladder: terms of length 0-2 must match exactly, 3-5
+    allow one edit, longer allow two."""
+    if isinstance(fuzziness, str):
+        if fuzziness.upper() != "AUTO":
+            raise ValueError(f"fuzziness must be an int or 'AUTO': {fuzziness!r}")
+        n = len(term)
+        return 0 if n <= 2 else (1 if n <= 5 else 2)
+    if fuzziness < 0:
+        raise ValueError("fuzziness must be >= 0")
+    return int(fuzziness)
+
+
+def wildcard_to_like(pattern: str) -> str:
+    """ES wildcard pattern -> SQL LIKE: ``*`` -> ``%``, ``?`` -> ``_``,
+    literal ``%``/``_``/``\\`` escaped with a backslash (the default
+    LIKE escape in Spark; the DuckDB oracle says ``ESCAPE '\\'``
+    explicitly). Analyzer terms are lowercase alphanumeric runs, so the
+    escapes are defensive, not load-bearing."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def phrase_join_order(terms: list[str], dfs: dict[str, int]) -> list[int]:
     """Slot-join order for phrase search: slot indices sorted by the
     term's document frequency ascending (ties: slot position). The
@@ -502,9 +535,20 @@ class IndexReader:
         prefix = prefix.strip().lower()
         if not prefix:
             return {}
+        return self._expand_terms(
+            F.col("term").startswith(prefix), max_expansions
+        )
+
+    def _expand_terms(self, cond, max_expansions: int) -> dict[str, int]:
+        """Multi-term query expansion core: dictionary terms matching
+        ``cond`` -> df, capped at ``max_expansions`` in term order (ES's
+        index-order cap made deterministic). Touches ONLY the dictionary
+        — term-level metadata, orders of magnitude smaller than postings
+        — and lands results in the df cache so the scoring plan prunes
+        postings exactly like an explicit multi-term query."""
         rows = (
             self.dictionary()
-            .filter(F.col("term").startswith(prefix))
+            .filter(cond)
             .select("term", "df")
             .orderBy("term")
             .limit(max_expansions)
@@ -513,6 +557,92 @@ class IndexReader:
         out = {r["term"]: int(r["df"]) for r in rows}
         self._df_cache.update(out)
         return out
+
+    def expand_fuzzy(
+        self,
+        term: str,
+        fuzziness: int | str = "AUTO",
+        max_expansions: int = 50,
+        prefix_length: int = 0,
+    ) -> dict[str, int]:
+        """ES ``fuzzy``-query term expansion: dictionary terms within
+        ``fuzziness`` Levenshtein edits of ``term`` (AUTO = ES's ladder:
+        0 edits for length 0-2, 1 for 3-5, 2 above — public ES docs).
+        The edit-distance filter is JVM-side (``F.levenshtein``) over
+        the dictionary scan, pre-pruned by the length band |len(t) -
+        len(term)| <= n and the ES ``prefix_length`` exact-prefix guard
+        — Lucene prunes the same scan with a Levenshtein automaton over
+        its FST; the length band is the relational equivalent and the
+        distance call runs distributed, never on the driver."""
+        term = term.strip().lower()
+        if not term:
+            return {}
+        n = fuzziness_edits(term, fuzziness)
+        cond = F.length("term").between(len(term) - n, len(term) + n)
+        if prefix_length > 0:
+            cond &= F.col("term").startswith(term[:prefix_length])
+        cond &= F.levenshtein(F.col("term"), F.lit(term)) <= n
+        return self._expand_terms(cond, max_expansions)
+
+    def search_fuzzy(
+        self,
+        term: str,
+        k: int = 10,
+        fuzziness: int | str = "AUTO",
+        max_expansions: int = 50,
+        prefix_length: int = 0,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES ``fuzzy`` query analog: expand_fuzzy, then score the
+        expanded terms as a BM25 disjunction with per-term idf (ES
+        ``rewrite: scoring_boolean`` semantics, deterministic — the
+        default top_terms_blended_freqs rewrite blends dfs across
+        expansions, trading determinism for score smoothing)."""
+        dfs = self.expand_fuzzy(term, fuzziness, max_expansions, prefix_length)
+        return self._search_expanded(dfs, k, round_to)
+
+    def expand_wildcard(
+        self, pattern: str, max_expansions: int = 50
+    ) -> dict[str, int]:
+        """ES ``wildcard``-query term expansion: dictionary terms
+        matching the pattern (``*`` = any run, ``?`` = one char),
+        translated to a SQL LIKE and pushed into the dictionary scan.
+        A leading ``*`` forces a full dictionary pass (same caveat ES
+        documents); anything else narrows via the parquet term-column
+        statistics."""
+        pattern = pattern.strip().lower()
+        if not pattern:
+            return {}
+        return self._expand_terms(
+            F.col("term").like(wildcard_to_like(pattern)), max_expansions
+        )
+
+    def search_wildcard(
+        self,
+        pattern: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES ``wildcard`` query analog: expand_wildcard, then BM25
+        disjunction over the expansions (``rewrite: scoring_boolean``,
+        as search_prefix/search_fuzzy)."""
+        dfs = self.expand_wildcard(pattern, max_expansions)
+        return self._search_expanded(dfs, k, round_to)
+
+    def _search_expanded(
+        self, dfs: dict[str, int], k: int, round_to: int | None
+    ) -> DataFrame:
+        """Score an expansion result as a multi-term disjunction over
+        the same pruned postings scan + per-shard scorer every
+        multi-term query uses; postings of non-matching terms are never
+        read."""
+        if not dfs:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        per_shard = self._per_shard_scores({"q": sorted(dfs)}, k, prune=True)
+        if per_shard is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return topk_deterministic(per_shard.select("doc_id", "score"), k, round_to)
 
     def search_prefix(
         self,
@@ -527,12 +657,7 @@ class IndexReader:
         scan + per-shard scorer every multi-term query uses, so postings
         of non-matching terms are never read."""
         dfs = self.expand_prefix(prefix, max_expansions)
-        if not dfs:
-            return self.spark.createDataFrame([], "doc_id long, score double")
-        per_shard = self._per_shard_scores({"q": sorted(dfs)}, k, prune=True)
-        if per_shard is None:
-            return self.spark.createDataFrame([], "doc_id long, score double")
-        return topk_deterministic(per_shard.select("doc_id", "score"), k, round_to)
+        return self._search_expanded(dfs, k, round_to)
 
     def search_phrase(
         self, query: str, k: int = 10, round_to: int | None = None
@@ -784,16 +909,21 @@ class IndexReader:
         must_not: tuple | list = (),
         k: int = 10,
         round_to: int | None = None,
+        minimum_should_match: int = 0,
     ) -> DataFrame:
         """ES bool-query analog: top-k docs containing ALL analyzed
         ``must`` terms and NONE of ``must_not``, BM25-scored over the
         must+should contributions (``should`` is purely additive, as in
-        ES). Built on the same pruned-postings decode the intersection
-        search uses, seeded by the rarest MUST term's doc set when one
-        exists (docs lacking it can never satisfy the conjunction, so
-        hot must/should terms skip decoding their non-candidates); the
-        must_not exclusion is a left-anti join against the excluded
-        terms' doc set (never a corpus scan)."""
+        ES). ``minimum_should_match`` > 0 additionally requires that
+        many DISTINCT should terms per doc (ES semantics: the count
+        gates matching, scores still sum over every matched term) — the
+        count rides the same aggregation as the must-term conjunction,
+        zero extra plan nodes. Built on the same pruned-postings decode
+        the intersection search uses, seeded by the rarest MUST term's
+        doc set when one exists (docs lacking it can never satisfy the
+        conjunction, so hot must/should terms skip decoding their
+        non-candidates); the must_not exclusion is a left-anti join
+        against the excluded terms' doc set (never a corpus scan)."""
         must_t = sorted({t for q in must for t in analyze_query(q)})
         should_t = sorted({t for q in should for t in analyze_query(q)})
         not_t = sorted({t for q in must_not for t in analyze_query(q)})
@@ -816,11 +946,20 @@ class IndexReader:
         rows = self._decode_to_rows(
             [t for t in scored_terms if t in dfs], doc_filter=seed
         )
+        msm = int(minimum_should_match)
+        if msm > 0 and msm > len(should_t):
+            return empty  # more should-matches required than clauses exist
         agg = rows.groupBy("doc_id").agg(
             F.sum("contrib").alias("score"),
             F.count(F.when(F.col("term").isin(list(must_t)), 1)).alias("n_must"),
+            F.count(F.when(F.col("term").isin(list(should_t)), 1)).alias(
+                "n_should"
+            ),
         )
-        out = agg.filter(F.col("n_must") == len(must_t)).select("doc_id", "score")
+        keep = F.col("n_must") == len(must_t)
+        if msm > 0:
+            keep &= F.col("n_should") >= msm
+        out = agg.filter(keep).select("doc_id", "score")
         present_not = [t for t, d in self._dfs_cached(not_t).items() if d] if not_t else []
         if present_not:
             excluded = self._decode_to_rows(present_not).select("doc_id").distinct()

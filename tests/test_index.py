@@ -725,3 +725,111 @@ def test_phrase_prefix_semantics(spark, tmp_path):
     assert got1 == {0, 1, 2, 3, 4}  # every doc containing an s* term
     assert r.search_phrase_prefix("zzz s").collect() == []  # absent body
     assert r.search_phrase_prefix("merge zzzz").collect() == []  # no expansion
+
+
+def test_search_fuzzy_expansion_and_scores(reader):
+    """ES fuzzy query: Levenshtein dictionary expansion + BM25
+    disjunction == explicit multi-term search over the expansions."""
+    import itertools
+
+    def lev(a, b):
+        # textbook DP, test-side oracle
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    vocab = {r["term"]: int(r["df"]) for r in reader.dictionary().collect()}
+    probe = sorted(vocab)[0]
+    # fuzziness=1 must at minimum find the probe itself, and exactly
+    # the vocab terms within 1 edit
+    dfs = reader.expand_fuzzy(probe, fuzziness=1)
+    want = {t for t in vocab if lev(t, probe) <= 1}
+    assert set(dfs) == (want if len(want) <= 50 else set(itertools.islice(sorted(want), 50)))
+    assert probe in dfs and dfs[probe] == vocab[probe]
+    # disjunction identity against an explicit OR query
+    joined = " ".join(sorted(dfs))
+    via_fuzzy = [
+        (r.doc_id, round(r.score, 6))
+        for r in reader.search_fuzzy(probe, k=10, fuzziness=1).collect()
+    ]
+    via_or = [
+        (r.doc_id, round(r.score, 6)) for r in reader.search(joined, k=10).collect()
+    ]
+    assert via_fuzzy == via_or and via_fuzzy
+    # AUTO ladder (public ES spec): 0 edits <=2 chars, 1 for 3-5, 2 above
+    from esbulk_spark.plans.reader import fuzziness_edits
+
+    assert [fuzziness_edits("ab" * n, "AUTO") for n in (1, 2, 3)] == [0, 1, 2]
+    # prefix_length pins the head: expansions must share it
+    pl = reader.expand_fuzzy(probe, fuzziness=2, prefix_length=len(probe))
+    assert all(t.startswith(probe) for t in pl)
+    assert reader.search_fuzzy("zzzznotaterm", fuzziness=1).collect() == []
+
+
+def test_search_wildcard(reader):
+    """ES wildcard query: *-/?-pattern dictionary expansion + BM25
+    disjunction."""
+    from esbulk_spark.plans.reader import wildcard_to_like
+
+    assert wildcard_to_like("s?a*") == "s_a%"
+    assert wildcard_to_like("a%b_c\\d*") == "a\\%b\\_c\\\\d%"
+    vocab = sorted(r["term"] for r in reader.dictionary().collect())
+    probe = next(t for t in vocab if t.isalpha() and len(t) >= 3)
+    pat = probe[0] + "*" + probe[-1]
+    want = {t for t in vocab if t.startswith(probe[0]) and t.endswith(probe[-1]) and len(t) >= 2}
+    dfs = reader.expand_wildcard(pat)
+    assert set(dfs) == set(sorted(want)[:50]) and probe in dfs
+    joined = " ".join(sorted(dfs))
+    via_wc = [
+        (r.doc_id, round(r.score, 6))
+        for r in reader.search_wildcard(pat, k=10).collect()
+    ]
+    via_or = [
+        (r.doc_id, round(r.score, 6)) for r in reader.search(joined, k=10).collect()
+    ]
+    assert via_wc == via_or and via_wc
+    assert reader.search_wildcard("zzz*zzz").collect() == []
+
+
+def test_bool_minimum_should_match(spark, tmp_path):
+    """minimum_should_match gates on the DISTINCT should-term count;
+    scores still sum over every matched term."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    rows = [
+        (0, "alpha beta gamma"),   # 3 should terms
+        (1, "alpha beta delta"),   # 2
+        (2, "alpha delta delta"),  # 1
+        (3, "delta delta delta"),  # 0
+    ]
+    docs = spark.createDataFrame(rows, "uid long, content string")
+    d = str(tmp_path / "idx_msm")
+    build_index(
+        spark, docs,
+        IndexConfig(index_dir=d, id_col="uid", n_buckets=4, n_shards=2),
+        input_sig="msm",
+    )
+    r = IndexReader(spark, d)
+    should = ["alpha", "beta", "gamma"]
+    ids = lambda res: sorted(x.doc_id for x in res.collect())  # noqa: E731
+    assert ids(r.search_bool(should=should, minimum_should_match=2)) == [0, 1]
+    assert ids(r.search_bool(should=should, minimum_should_match=3)) == [0]
+    assert ids(r.search_bool(should=should, minimum_should_match=1)) == [0, 1, 2]
+    # msm exceeding the clause count matches nothing
+    assert ids(r.search_bool(should=should, minimum_should_match=4)) == []
+    # composes with must and must_not
+    assert ids(
+        r.search_bool(must=["alpha"], should=should, minimum_should_match=2)
+    ) == [0, 1]
+    assert ids(
+        r.search_bool(
+            should=should, must_not=["gamma"], minimum_should_match=2
+        )
+    ) == [1]
+    # msm=0 (default) keeps the old behavior: any scored term matches
+    assert ids(r.search_bool(should=should)) == [0, 1, 2]
