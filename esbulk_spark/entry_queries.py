@@ -1370,6 +1370,41 @@ ORDER BY id
 """
 
 
+PACK_BUDGET = 512
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing (concat-and-chunk): each doc's slice of
+    the packed global token stream — exclusive prefix sum of token
+    counts via the two-pass partition-offset plan, never a one-reducer
+    global window."""
+    from esbulk_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, "text", "doc_id", budget=PACK_BUDGET).orderBy(
+        "doc_id"
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({TOKS}) AS INT) AS n_tok FROM documents
+), pre AS (
+  SELECT doc_id, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start
+  FROM toks
+)
+SELECT doc_id, n_tok, start,
+       CAST(start // {PACK_BUDGET} AS BIGINT) AS seq_first,
+       CAST((start + greatest(n_tok, 1) - 1) // {PACK_BUDGET} AS BIGINT)
+         AS seq_last,
+       CAST(start % {PACK_BUDGET} AS BIGINT) AS off_in_seq
+FROM pre ORDER BY doc_id
+"""
+
+
 def q_token_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     tc = textstats.token_count(d, "text", "doc_id")
@@ -1767,6 +1802,7 @@ QUERIES = {
     "lang_id_heuristic": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality, SQL_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "doc_winnowing": (q_winnowing, SQL_WINNOWING),
     "quality_gopher": (q_gopher, SQL_GOPHER),

@@ -490,3 +490,59 @@ def test_embed_media_torch_probe(spark):
     assert len(out) == 1 and len(out[0].embedding) == 8
     out2 = multimodal.embed_media(df, "blob", "id", dim=8, encoder="torch").collect()
     assert list(out[0].embedding) == list(out2[0].embedding)  # seeded -> deterministic
+
+
+def test_pack_sequences(spark):
+    """Concat-and-chunk packing: exclusive prefix-sum placement is
+    exact, parallelism-invariant, and well-formed on empty docs."""
+    from pyspark.sql import functions as F
+    from esbulk_spark.operators.packing import pack_sequences
+    from esbulk_spark.functions.analyzer import tokenize_text
+
+    texts = {
+        0: "one two three",
+        1: "",                       # empty doc occupies no tokens
+        2: "four five",
+        3: " ".join(["tok"] * 9),    # straddles the budget boundary
+        4: "after straddle",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    budget = 8
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in pack_sequences(df, "text", "doc_id", budget=budget).collect()
+    }
+    # python-side oracle: literal concatenation
+    start, exp = 0, {}
+    for i in sorted(texts):
+        n = len(tokenize_text(texts[i]))
+        exp[i] = dict(
+            doc_id=i, n_tok=n, start=start,
+            seq_first=start // budget,
+            seq_last=(start + max(n, 1) - 1) // budget,
+            off_in_seq=start % budget,
+        )
+        start += n
+    assert got == exp
+    assert got[3]["seq_first"] == 0 and got[3]["seq_last"] == 1  # straddles
+    assert got[1]["n_tok"] == 0 and got[1]["seq_first"] == got[1]["seq_last"]
+    # placement is partitioning-invariant (two-pass prefix sum contract)
+    for np_ in (1, 7):
+        again = {
+            r["doc_id"]: r.asDict()
+            for r in pack_sequences(
+                df.repartition(3), "text", "doc_id",
+                budget=budget, num_partitions=np_,
+            ).collect()
+        }
+        assert again == exp
+    # total stream length consistency on a bigger synthetic corpus
+    from esbulk_spark.corpus import synth_corpus
+
+    c = synth_corpus(spark, 500, seed=7).withColumnRenamed("content", "text")
+    c = c.withColumn("doc_id", F.monotonically_increasing_id())
+    p = pack_sequences(c, "text", "doc_id", budget=512)
+    tot = p.agg(F.sum("n_tok"), F.max(F.col("start") + F.col("n_tok"))).first()
+    assert tot[0] == tot[1]  # last doc ends exactly at the stream length
