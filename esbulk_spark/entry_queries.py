@@ -709,6 +709,147 @@ LIMIT 10
 """
 
 
+def q_search_after(spark, sf_dir):
+    """ES search_after keyset pagination: page 2 of the QUERY_FULLSCAN
+    ranking — page 1's last (published score, doc_id) is the cursor; the
+    oracle checks it tiles exactly like OFFSET over the same canonical
+    (score DESC, doc_id ASC) order."""
+    r = _index_for(spark, sf_dir)
+    p1 = r.search_page(QUERY_FULLSCAN, k=10, round_to=4).collect()
+    if len(p1) < 10:
+        return r.search_page(QUERY_FULLSCAN, k=10, round_to=4).limit(0)
+    last = p1[-1]
+    return r.search_page(
+        QUERY_FULLSCAN,
+        k=10,
+        search_after=(last.score, last.doc_id),
+        round_to=4,
+    )
+
+
+def _sql_search_after() -> str:
+    sql = _sql_bm25(QUERY_FULLSCAN)
+    assert sql.rstrip().endswith("LIMIT 10")
+    return sql.rstrip() + " OFFSET 10"
+
+
+TERMS_AGG_FIELD = "lang"
+
+
+def q_terms_agg(spark, sf_dir):
+    """ES terms aggregation under a match query: lang buckets over the
+    FULL set of docs matching >=1 QUERY_FULLSCAN term (ES bucket order:
+    doc_count DESC, key ASC)."""
+    r = _index_for(spark, sf_dir)
+    return r.search_aggs_terms(QUERY_FULLSCAN, TERMS_AGG_FIELD, agg_size=10)
+
+
+def _sql_terms_agg() -> str:
+    preds = " OR ".join(
+        f"list_contains(t, '{x}')" for x in analyze_query(QUERY_FULLSCAN)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TERMS_AGG_FIELD}, {TOKS} AS t FROM documents),
+m AS (SELECT DISTINCT doc_id, {TERMS_AGG_FIELD} FROM toks WHERE {preds})
+SELECT CAST({TERMS_AGG_FIELD} AS VARCHAR) AS key, count(*) AS doc_count
+FROM m GROUP BY {TERMS_AGG_FIELD}
+ORDER BY doc_count DESC, key ASC LIMIT 10
+"""
+
+
+MULTI_MATCH_QUERY = "batch src3"  # one text-vocab term + one source term
+_SRC_INDEX_CACHE: dict[str, str] = {}
+
+
+def _source_index_for(spark, sf_dir):
+    """Second per-field index (over ``source``) for multi_match — each
+    field is its own index with its own statistics, Lucene-style."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+    from esbulk_spark.plans.reader import IndexReader
+
+    key = hashlib.sha1((sf_dir + ":source").encode()).hexdigest()[:10]
+    idx_dir = _SRC_INDEX_CACHE.get(sf_dir) or f"/tmp/esbulk_spark_srcidx_{key}"
+    cfg = IndexConfig(
+        index_dir=idx_dir,
+        id_col="doc_id",
+        text_col="source",
+        n_buckets=4,
+        n_shards=2,
+        overwrite=True,
+    )
+    build_index(
+        spark,
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        cfg,
+        input_sig=sf_dir + ":source",
+    )
+    _SRC_INDEX_CACHE[sf_dir] = idx_dir
+    return IndexReader(spark, idx_dir)
+
+
+def q_multi_match(spark, sf_dir):
+    """ES multi_match best_fields across the text and source field
+    indexes: per-field BM25 with per-field statistics, combined per doc
+    by max (dis_max, tie_breaker=0)."""
+    from esbulk_spark.plans.reader import multi_match
+
+    readers = {
+        "text": _index_for(spark, sf_dir),
+        "source": _source_index_for(spark, sf_dir),
+    }
+    return multi_match(readers, MULTI_MATCH_QUERY, "best_fields", k=10, round_to=4)
+
+
+def _sql_multi_match() -> str:
+    from esbulk_spark import B, K1
+    from esbulk_spark.functions.analyzer import duckdb_tokens_sql
+
+    terms = analyze_query(MULTI_MATCH_QUERY)
+    values = ", ".join(f"('{t}')" for t in terms)
+
+    def field_ctes(a: str, tok_expr: str) -> str:
+        return f"""{a}toks AS (
+  SELECT doc_id, {tok_expr} AS toks FROM documents
+), {a}norms AS (
+  SELECT doc_id, len(toks) AS dl FROM {a}toks
+), {a}stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM {a}norms
+), {a}tf AS (
+  SELECT t.doc_id, u.t AS term, count(*) AS tf
+  FROM {a}toks t, unnest(t.toks) AS u(t)
+  WHERE u.t IN (SELECT term FROM qterms)
+  GROUP BY t.doc_id, u.t
+), {a}dict AS (
+  SELECT term, count(*) AS df FROM {a}tf GROUP BY term
+), {a}score AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + ((SELECT n FROM {a}stats) - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * {K1 + 1.0}) /
+               (tf.tf + {K1} * ({1.0 - B} + {B} * n.dl / (SELECT avgdl FROM {a}stats)))) AS score
+  FROM {a}tf AS tf
+  JOIN {a}dict d USING (term)
+  JOIN {a}norms n USING (doc_id)
+  GROUP BY tf.doc_id
+)"""
+
+    return f"""
+WITH qterms(term) AS (
+  VALUES {values}
+), {field_ctes("t_", TOKS)},
+{field_ctes("s_", duckdb_tokens_sql("source"))},
+u AS (
+  SELECT doc_id, score FROM t_score
+  UNION ALL
+  SELECT doc_id, score FROM s_score
+)
+SELECT doc_id, round(max(score), 4) AS score
+FROM u GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 _BOOL_MSM_SHOULD, _BOOL_MSM = ("scan", "merge", "window"), 2
 
 
@@ -1786,6 +1927,9 @@ QUERIES = {
         q_bool_msm,
         _sql_bool(must_q=(), should_q=_BOOL_MSM_SHOULD, not_q=(), msm=_BOOL_MSM),
     ),
+    "search_after_page2": (q_search_after, _sql_search_after()),
+    "terms_agg_by_lang": (q_terms_agg, _sql_terms_agg()),
+    "multi_match_best_fields": (q_multi_match, _sql_multi_match()),
     "conjunctive_and_topk": (q_conjunctive, _sql_bm25(QUERY_AND, require_all=True)),
     "merge_fast_equals_full": (q_merge_fast, _sql_bm25(FLAGSHIP_QUERY)),
     # training-data pipeline operators

