@@ -82,11 +82,24 @@ def main(argv: list[str] | None = None) -> int:
     p_search.add_argument("--index-dir", required=True)
     p_search.add_argument("--query", required=True)
     p_search.add_argument("-k", type=int, default=10)
-    p_search.add_argument("--mode", choices=["wand", "fullscan", "and", "phrase"],
+    p_search.add_argument("--mode", choices=["wand", "fullscan", "and", "phrase",
+                                             "phrase_prefix", "prefix", "fuzzy",
+                                             "wildcard"],
                           default="wand",
-                          help="phrase = match_phrase over the positions "
-                               "table (index must be built with "
-                               "--store-positions)")
+                          help="phrase/phrase_prefix = positional queries "
+                               "over the positions table (index must be "
+                               "built with --store-positions); prefix/fuzzy/"
+                               "wildcard = dictionary term expansion scored "
+                               "as a BM25 disjunction")
+    p_search.add_argument("--fuzziness", default="AUTO",
+                          help="fuzzy mode: edit budget (int) or AUTO "
+                               "(ES ladder by term length)")
+    p_search.add_argument("--max-expansions", type=int, default=50,
+                          help="prefix/fuzzy/wildcard/phrase_prefix: cap on "
+                               "expanded dictionary terms (ES max_expansions)")
+    p_search.add_argument("--search-after", default=None,
+                          help="keyset pagination cursor 'score,doc_id' "
+                               "(the previous page's last hit, verbatim)")
     p_search.add_argument("--format", choices=["jsonl", "es"], default="jsonl",
                           help="es = Elasticsearch-shaped response object "
                                "(took / hits.total / max_score / _source)")
@@ -374,12 +387,39 @@ def _cmd_search(spark, args) -> int:
             df = r.search_and(args.query, k=args.k)
         elif args.mode == "phrase":
             df = r.search_phrase(args.query, k=args.k)
+        elif args.mode == "phrase_prefix":
+            df = r.search_phrase_prefix(
+                args.query, k=args.k,
+                max_expansions=getattr(args, "max_expansions", 50),
+            )
+        elif args.mode == "prefix":
+            df = r.search_prefix(
+                args.query, k=args.k,
+                max_expansions=getattr(args, "max_expansions", 50),
+            )
+        elif args.mode == "fuzzy":
+            fz = getattr(args, "fuzziness", "AUTO")
+            df = r.search_fuzzy(
+                args.query, k=args.k,
+                fuzziness=fz if fz == "AUTO" else int(fz),
+                max_expansions=getattr(args, "max_expansions", 50),
+            )
+        elif args.mode == "wildcard":
+            df = r.search_wildcard(
+                args.query, k=args.k,
+                max_expansions=getattr(args, "max_expansions", 50),
+            )
+        elif getattr(args, "search_after", None) is not None:
+            s, _, d = args.search_after.partition(",")
+            df = r.search_page(
+                args.query, k=args.k, search_after=(float(s), int(d))
+            )
         else:
             df = r.search(args.query, k=args.k, prune=(args.mode == "wand"))
         rows = df.collect()
     for rank, row in enumerate(rows, 1):
         rec = {"rank": rank, "doc_id": row.doc_id, "score": row.score}
-        if args.mode == "phrase":
+        if args.mode in ("phrase", "phrase_prefix"):
             rec["phrase_freq"] = row.phrase_freq
         print(json.dumps(rec))
     print(f"{len(rows)} hits", file=sys.stderr)

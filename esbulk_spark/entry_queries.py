@@ -850,6 +850,63 @@ LIMIT 10
 """
 
 
+SUGGEST_INPUT = "bacth merg windoww scann"  # all misspelled vocab terms
+_SUGGEST_SIZE, _SUGGEST_EDITS = 3, 2
+
+
+def q_suggest(spark, sf_dir):
+    """ES term-suggester ("did you mean"): per misspelled input token,
+    dictionary corrections within 2 edits sharing the first char,
+    ranked (distance ASC, freq DESC, term ASC), top 3. Candidate scan
+    is JVM-side; ranking is driver-side dictionary metadata."""
+    r = _index_for(spark, sf_dir)
+    sug = r.suggest_terms(
+        SUGGEST_INPUT, size=_SUGGEST_SIZE, max_edits=_SUGGEST_EDITS,
+        prefix_length=1,
+    )
+    rows = [
+        (tok, o["text"], o["freq"], o["distance"], rank)
+        for tok in sorted(sug)
+        for rank, o in enumerate(sug[tok], 1)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "input_term string, suggestion string, freq long, distance int, rank int",
+    ).orderBy("input_term", "rank")
+
+
+def _sql_suggest() -> str:
+    inputs = ", ".join(f"('{t}')" for t in sorted(set(analyze_query(SUGGEST_INPUT))))
+    e = _SUGGEST_EDITS
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+vocab AS (
+  SELECT u.t AS term, count(DISTINCT doc_id) AS df
+  FROM toks, unnest(t) AS u(t) GROUP BY u.t
+),
+inputs(input_term) AS (VALUES {inputs}),
+cand AS (
+  SELECT i.input_term, v.term AS suggestion, v.df AS freq,
+         levenshtein(v.term, i.input_term) AS distance
+  FROM inputs i JOIN vocab v
+    ON length(v.term) BETWEEN length(i.input_term) - {e}
+                          AND length(i.input_term) + {e}
+   AND substr(v.term, 1, 1) = substr(i.input_term, 1, 1)
+   AND levenshtein(v.term, i.input_term) <= {e}
+   AND v.term != i.input_term
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY input_term ORDER BY distance, freq DESC, suggestion
+  ) AS rank FROM cand
+)
+SELECT input_term, suggestion, CAST(freq AS BIGINT) AS freq,
+       CAST(distance AS INT) AS distance, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_SUGGEST_SIZE}
+ORDER BY input_term, rank
+"""
+
+
 _BOOL_MSM_SHOULD, _BOOL_MSM = ("scan", "merge", "window"), 2
 
 
@@ -1927,6 +1984,7 @@ QUERIES = {
         q_bool_msm,
         _sql_bool(must_q=(), should_q=_BOOL_MSM_SHOULD, not_q=(), msm=_BOOL_MSM),
     ),
+    "suggest_corrections": (q_suggest, _sql_suggest()),
     "search_after_page2": (q_search_after, _sql_search_after()),
     "terms_agg_by_lang": (q_terms_agg, _sql_terms_agg()),
     "multi_match_best_fields": (q_multi_match, _sql_multi_match()),

@@ -1174,6 +1174,76 @@ class IndexReader:
             .limit(agg_size)
         )
 
+    def suggest_terms(
+        self,
+        text: str,
+        size: int = 5,
+        max_edits: int = 2,
+        prefix_length: int = 1,
+        suggest_mode: str = "missing",
+    ) -> dict[str, list[dict]]:
+        """ES term-suggester analog ("did you mean"): per analyzed input
+        token, correction candidates from the dictionary within
+        ``max_edits`` Levenshtein edits sharing the first
+        ``prefix_length`` chars, ranked the way Lucene's
+        DirectSpellChecker ranks (distance ASC, doc freq DESC, term ASC)
+        and capped at ``size``. ``suggest_mode="missing"`` (ES default)
+        suggests only for tokens ABSENT from the corpus;
+        ``"always"`` suggests for every token (the exact term itself is
+        never offered). The candidate scan is the same JVM-side
+        length-band + prefix + levenshtein dictionary filter as
+        search_fuzzy; the final rank runs driver-side over the collected
+        candidates — dictionary metadata, not data."""
+        if suggest_mode not in ("missing", "always"):
+            raise ValueError(f"suggest_mode must be missing|always: {suggest_mode}")
+        out: dict[str, list[dict]] = {}
+        for tok in analyze_query(text):
+            if tok in out:
+                continue
+            known = self._dfs_cached([tok])
+            if suggest_mode == "missing" and tok in known:
+                out[tok] = []
+                continue
+            cond = F.length("term").between(
+                len(tok) - max_edits, len(tok) + max_edits
+            )
+            if prefix_length > 0:
+                cond &= F.col("term").startswith(tok[:prefix_length])
+            cond &= F.levenshtein(F.col("term"), F.lit(tok)) <= max_edits
+            cand = [
+                (r["term"], int(r["df"]))
+                for r in self.dictionary().filter(cond).select("term", "df").collect()
+                if r["term"] != tok
+            ]
+            ranked = sorted(
+                cand, key=lambda td: (_levenshtein(td[0], tok), -td[1], td[0])
+            )
+            out[tok] = [
+                {"text": t, "freq": df, "distance": _levenshtein(t, tok)}
+                for t, df in ranked[:size]
+            ]
+        return out
+
+    def get_doc(self, doc_id: int) -> dict:
+        """ES GET-by-id analog: one doc's stored fields. A doc_id
+        equality filter over the docs table (parquet min/max row-group
+        pruning on the id column); returns the ES document envelope
+        with ``found`` False when absent."""
+        index_name = os.path.basename(os.path.normpath(self.index_dir))
+        row = self.docs().filter(F.col("doc_id") == int(doc_id)).first()
+        if row is None:
+            return {"_index": index_name, "_type": "_doc",
+                    "_id": int(doc_id), "found": False}
+        src = row.asDict()
+        src.pop("doc_id", None)
+        return {
+            "_index": index_name,
+            "_type": "_doc",
+            "_id": int(doc_id),
+            "found": True,
+            "_source": src,
+        }
+
 
 def multi_match(
     readers: dict[str, "IndexReader"],
@@ -1200,3 +1270,15 @@ def multi_match(
     ).alias("score")
     out = combined.groupBy("doc_id").agg(agg)
     return topk_deterministic(out, k, round_to)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain DP edit distance for the suggester's driver-side ranking
+    (candidate sets are <= a few hundred dictionary rows — metadata)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]

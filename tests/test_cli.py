@@ -322,3 +322,41 @@ def test_cli_profile_out_and_es6(spark, tmp_path):
     assert out6.returncode == 0, out6.stderr[-2000:]
     resp = _json.loads(out6.stdout.strip().splitlines()[-1])
     assert isinstance(resp["hits"]["total"], int)
+
+
+def test_cli_expansion_modes_and_paging(spark, tmp_path, capsys):
+    """search --mode prefix/fuzzy/wildcard and --search-after paging."""
+    docs = [
+        {"k": "a", "body": "alpha beta gamma"},
+        {"k": "b", "body": "alphabet soup"},
+        {"k": "c", "body": "gamma delta"},
+    ]
+    p = str(tmp_path / "xm.jsonl")
+    _write_jsonl(p, docs)
+    idx = str(tmp_path / "idx_xm")
+    rc = cli_mod._cmd_index(
+        spark, _args(input=p, index_dir=idx, id_spec="k", purge=True)
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    def run(**kw):
+        kw.setdefault("k", 10)
+        args = argparse.Namespace(index_dir=idx, format="jsonl", **kw)
+        assert cli_mod._cmd_search(spark, args) == 0
+        return [
+            json.loads(l)
+            for l in capsys.readouterr().out.strip().splitlines()
+            if '"rank"' in l
+        ]
+
+    assert len(run(query="alpha", mode="prefix")) == 2  # alpha + alphabet
+    assert len(run(query="alpa", mode="fuzzy", fuzziness="1")) >= 1
+    assert len(run(query="ga?ma", mode="wildcard")) == 2
+    full = run(query="gamma", mode="wand")
+    p1 = run(query="gamma", mode="wand", k=1)
+    p2 = run(
+        query="gamma", mode="wand", k=1,
+        search_after=f"{p1[0]['score']},{p1[0]['doc_id']}",
+    )
+    assert [(x["doc_id"]) for x in p1 + p2] == [x["doc_id"] for x in full]

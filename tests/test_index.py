@@ -927,3 +927,36 @@ def test_multi_match_best_and_most_fields(spark, tmp_path):
 
     with pytest.raises(ValueError, match="match_type"):
         multi_match(readers, "alpha", "cross_fields")
+
+
+def test_suggest_terms_and_get_doc(reader):
+    """Term suggester ranks (distance ASC, freq DESC, term ASC) and only
+    fires for corpus-absent tokens in missing mode; get_doc returns the
+    ES GET envelope."""
+    vocab = {r["term"]: int(r["df"]) for r in reader.dictionary().collect()}
+    present = max(vocab, key=lambda t: (len(t), vocab[t]))
+    typo = present[:-1] + ("x" if present[-1] != "x" else "y")
+    sug = reader.suggest_terms(f"{present} {typo}", size=5)
+    assert sug[present] == []  # in-vocab token: no suggestion (missing mode)
+    opts = sug[typo]
+    assert opts and opts[0]["text"] == present and opts[0]["distance"] == 1
+    assert opts[0]["freq"] == vocab[present]
+    keys = [(o["distance"], -o["freq"], o["text"]) for o in opts]
+    assert keys == sorted(keys)
+    assert all(o["text"] != typo for o in opts)
+    # always mode suggests even for present tokens (never the exact term)
+    always = reader.suggest_terms(present, suggest_mode="always")
+    assert all(o["text"] != present for o in always[present])
+    import pytest
+
+    with pytest.raises(ValueError, match="suggest_mode"):
+        reader.suggest_terms("x", suggest_mode="popular")
+    # get_doc envelope
+    some_id = reader.docs().select("doc_id").orderBy("doc_id").first().doc_id
+    got = reader.get_doc(some_id)
+    assert got["found"] and got["_id"] == some_id and "content" in got["_source"]
+    missing = reader.get_doc(-999_999)
+    assert missing == {
+        "_index": got["_index"], "_type": "_doc", "_id": -999_999,
+        "found": False,
+    }
