@@ -81,3 +81,41 @@ def test_whole_stage_codegen_on_native_tokenizer(spark, corpus):
     # the analyzer adds NO Python evaluation (corpus generation is
     # MapInPandas, which is fine — it is the synthetic source, not the path)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_terms_agg_docs_scan_is_column_pruned(reader):
+    """search_aggs_terms must never read the content column: the docs
+    scan's ReadSchema carries only doc_id + the bucketed field."""
+    agg = reader.search_aggs_terms("getUserName", "n_terms", agg_size=5)
+    plan = _plan(agg)
+    # every parquet scan's ReadSchema in this plan must exclude content
+    for chunk in plan.split("ReadSchema")[1:]:
+        rs = chunk.splitlines()[0]
+        assert "content" not in rs, rs
+
+
+def test_expansion_scans_touch_only_dictionary(reader):
+    """Fuzzy/wildcard expansion is a dictionary-only scan: no postings,
+    docs, or positions relation appears in the expansion plan."""
+    cond = (
+        F.length("term").between(3, 7)
+        & F.levenshtein(F.col("term"), F.lit("getx")) <= 2
+    )
+    d = reader.dictionary().filter(
+        F.col("term").like("get%")
+    ).select("term", "df").orderBy("term").limit(50)
+    plan = _plan(d)
+    for other in ("postings", "docs", "positions"):
+        assert f"/{other}" not in plan, other
+
+
+def test_search_page_keyset_filter_below_topk(reader):
+    """The keyset predicate must sit below the TakeOrderedAndProject in
+    the paging plan (filter before the top-k heap, not after)."""
+    page = reader.search_page(
+        "getUserName", k=5, search_after=(1.5, 100), round_to=4
+    )
+    plan = _plan(page)
+    assert "TakeOrderedAndProject" in plan
+    after_topk, _, below = plan.partition("TakeOrderedAndProject")
+    assert "Filter" in below  # the keyset filter feeds the top-k
