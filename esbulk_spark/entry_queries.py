@@ -850,6 +850,48 @@ LIMIT 10
 """
 
 
+SIGTERMS_QUERY = "dup"  # rare foreground: the injected near-dup cluster
+
+
+def q_significant_terms(spark, sf_dir):
+    """ES significant_terms aggregation (JLH): terms anomalously
+    frequent in the docs matching 'dup' (the injected near-duplicate
+    cluster) vs the whole corpus. Only matched docs are re-tokenized;
+    background counts come from the dictionary."""
+    r = _index_for(spark, sf_dir)
+    return r.search_aggs_significant_terms(
+        SIGTERMS_QUERY, agg_size=10, min_doc_count=3, round_to=4
+    )
+
+
+def _sql_significant_terms() -> str:
+    q = SIGTERMS_QUERY
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+fg AS (SELECT doc_id, t FROM toks WHERE list_contains(t, '{q}')),
+nfg AS (SELECT count(*) AS n FROM fg),
+fgc AS (
+  SELECT u.t AS key, count(DISTINCT doc_id) AS doc_count
+  FROM fg, unnest(t) AS u(t) GROUP BY u.t
+),
+bg AS (
+  SELECT u.t AS key, count(DISTINCT doc_id) AS bg_count
+  FROM toks, unnest(t) AS u(t) GROUP BY u.t
+),
+stats AS (SELECT count(*) AS n_bg FROM toks),
+scored AS (
+  SELECT key, doc_count, bg_count,
+         round(((doc_count * 1.0 / n) - (bg_count * 1.0 / n_bg))
+               * ((doc_count * 1.0 / n) / (bg_count * 1.0 / n_bg)), 4) AS score
+  FROM fgc JOIN bg USING (key), nfg, stats
+  WHERE doc_count >= 3 AND key != '{q}'
+)
+SELECT key, doc_count, bg_count, score FROM scored
+WHERE score > 0
+ORDER BY score DESC, key ASC LIMIT 10
+"""
+
+
 SUGGEST_INPUT = "bacth merg windoww scann"  # all misspelled vocab terms
 _SUGGEST_SIZE, _SUGGEST_EDITS = 3, 2
 
@@ -1987,6 +2029,7 @@ QUERIES = {
     "suggest_corrections": (q_suggest, _sql_suggest()),
     "search_after_page2": (q_search_after, _sql_search_after()),
     "terms_agg_by_lang": (q_terms_agg, _sql_terms_agg()),
+    "significant_terms_agg": (q_significant_terms, _sql_significant_terms()),
     "multi_match_best_fields": (q_multi_match, _sql_multi_match()),
     "conjunctive_and_topk": (q_conjunctive, _sql_bm25(QUERY_AND, require_all=True)),
     "merge_fast_equals_full": (q_merge_fast, _sql_bm25(FLAGSHIP_QUERY)),

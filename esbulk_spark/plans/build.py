@@ -406,6 +406,7 @@ def build_index(
             "n_buckets": cfg.n_buckets,
             "store_content": cfg.store_content,
             "store_positions": bool(cfg.store_positions),
+            "text_col": cfg.text_col,
             "chunk_cap": cfg.chunk_cap,
             "block_size": cfg.block_size,
             "fingerprint": fp,

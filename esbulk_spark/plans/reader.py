@@ -1224,6 +1224,91 @@ class IndexReader:
             ]
         return out
 
+    def _text_col(self) -> str:
+        """The indexed text column's name in the docs table. New indexes
+        record it in stats.json; for pre-r4 indexes fall back to the
+        first non-derived docs column (docs keeps source columns in
+        input order, text first by convention)."""
+        tc = self.stats.get("text_col")
+        cols = self.docs().columns
+        if tc and tc in cols:
+            return tc
+        meta = {"doc_id", "content_sha", "dl", "n_terms"}
+        cands = [c for c in cols if c not in meta]
+        if "content" in cands:
+            return "content"
+        if not cands:
+            raise ValueError("no stored text column in this index "
+                             "(built with store_content=False?)")
+        return cands[0]
+
+    def search_aggs_significant_terms(
+        self,
+        query: str,
+        agg_size: int = 10,
+        min_doc_count: int = 3,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES significant_terms aggregation: terms anomalously frequent
+        in the docs matching ``query`` (foreground) vs the whole index
+        (background), scored with ES's default JLH heuristic (public ES
+        docs): (fg% - bg%) * (fg% / bg%), buckets by score DESC / key
+        ASC. Query terms themselves are excluded (they are trivially
+        significant — ES filters them via the background-is-superset
+        guard; explicit here for determinism).
+
+        Plan: the match set (pruned decode of the QUERY terms only)
+        joins the docs table, ONLY the matched docs are re-tokenized
+        (codegen analyzer), one explode + hash agg gives foreground doc
+        counts, and the background counts come from the dictionary —
+        never a corpus-wide tokenize. Foreground size bounds the
+        expensive work, exactly like ES's shard-local sampling."""
+        from esbulk_spark.functions.analyzer import tokens_col
+
+        terms = analyze_query(query)
+        dfs = self._dfs_cached(terms)
+        empty = self.spark.createDataFrame(
+            [],
+            "key string, doc_count long, bg_count long, score double",
+        )
+        if not dfs:
+            return empty
+        matched = self._decode_to_rows(sorted(dfs)).select("doc_id").distinct()
+        n_fg = matched.count()
+        if n_fg == 0:
+            return empty
+        text_col = self._text_col()
+        fg = (
+            matched.join(self.docs().select("doc_id", text_col), "doc_id")
+            .select(
+                F.explode(
+                    F.array_distinct(tokens_col(F.col(text_col)))
+                ).alias("key")
+            )
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .filter(F.col("doc_count") >= min_doc_count)
+            .filter(~F.col("key").isin(sorted(dfs)))
+        )
+        n_bg = self.n_docs
+        joined = fg.join(
+            self.dictionary().select(
+                F.col("term").alias("key"), F.col("df").alias("bg_count")
+            ),
+            "key",
+        )
+        fg_pct = F.col("doc_count") / F.lit(float(n_fg))
+        bg_pct = F.col("bg_count") / F.lit(float(n_bg))
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        out = joined.withColumn("score", score)
+        if round_to is not None:
+            # round BEFORE the positivity filter and the ordering so
+            # cross-engine selection is stable at both boundaries (same
+            # contract as topk_deterministic)
+            out = out.withColumn("score", F.round("score", round_to))
+        out = out.filter(F.col("score") > 0)
+        return out.orderBy(F.desc("score"), F.asc("key")).limit(agg_size)
+
     def get_doc(self, doc_id: int) -> dict:
         """ES GET-by-id analog: one doc's stored fields. A doc_id
         equality filter over the docs table (parquet min/max row-group

@@ -960,3 +960,39 @@ def test_suggest_terms_and_get_doc(reader):
         "_index": got["_index"], "_type": "_doc", "_id": -999_999,
         "found": False,
     }
+
+
+def test_significant_terms_jlh(spark, tmp_path):
+    """significant_terms: a term co-occurring only with the query term
+    outranks globally-common terms; query terms and sub-threshold
+    counts are excluded; JLH score matches a hand computation."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    rows = []
+    for i in range(5):  # foreground cluster: special + cluster together
+        rows.append((i, "special cluster common filler"))
+    for i in range(5, 20):  # background: common everywhere, cluster absent
+        rows.append((i, "common filler other words"))
+    docs = spark.createDataFrame(rows, "uid long, body string")
+    d = str(tmp_path / "idx_sig")
+    build_index(
+        spark, docs,
+        IndexConfig(index_dir=d, id_col="uid", text_col="body",
+                    n_buckets=4, n_shards=2),
+        input_sig="sig",
+    )
+    r = IndexReader(spark, d)
+    assert r.stats["text_col"] == "body"  # recorded at build time
+    got = {x.key: x for x in r.search_aggs_significant_terms("special").collect()}
+    # 'cluster' is fg-exclusive: fg_pct=1, bg_pct=5/20 -> (1-.25)*(1/.25)=3.0
+    assert "cluster" in got
+    assert abs(got["cluster"].score - 3.0) < 1e-9
+    assert got["cluster"].doc_count == 5 and got["cluster"].bg_count == 5
+    # the query term itself is excluded; corpus-wide terms score <= 0
+    assert "special" not in got
+    assert "common" not in got and "filler" not in got  # fg% == bg% -> 0
+    # min_doc_count prunes the tail
+    none = r.search_aggs_significant_terms("special", min_doc_count=6).collect()
+    assert none == []
+    assert r.search_aggs_significant_terms("zzznotaterm").collect() == []
