@@ -1367,3 +1367,34 @@ def _levenshtein(a: str, b: str) -> int:
             cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
         prev = cur
     return prev[-1]
+
+
+def search_indices(
+    readers: dict[str, IndexReader],
+    query: str,
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """ES multi-index search (``GET /idx1,idx2/_search``, the alias
+    fan-out): run the match query against every index and merge the
+    hits globally by score — each index scores with its OWN statistics
+    (df, avgdl), exactly ES's default query_then_fetch across indices.
+    -> (_index, doc_id, score), top-k over the union (``_index`` as
+    in the ES hit envelope — and because bare ``index`` collides with
+    Row.index on collect). The per-index
+    inputs are the tiny per-shard winner sets, so the merge moves
+    n_indices * k rows, not data."""
+    parts = []
+    for name, r in readers.items():
+        s = r.search(query, k=k)
+        parts.append(s.select(F.lit(name).alias("_index"), "doc_id", "score"))
+    if not parts:
+        raise ValueError("search_indices needs at least one reader")
+    combined = parts[0]
+    for p in parts[1:]:
+        combined = combined.unionByName(p)
+    if round_to is not None:
+        combined = combined.withColumn("score", F.round("score", round_to))
+    return combined.orderBy(
+        F.desc("score"), F.asc("_index"), F.asc("doc_id")
+    ).limit(k)

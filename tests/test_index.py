@@ -996,3 +996,42 @@ def test_significant_terms_jlh(spark, tmp_path):
     none = r.search_aggs_significant_terms("special", min_doc_count=6).collect()
     assert none == []
     assert r.search_aggs_significant_terms("zzznotaterm").collect() == []
+
+
+def test_search_indices_cross_index_merge(spark, tmp_path):
+    """Multi-index search: global top-k over per-index hits, each index
+    scored with its own statistics; the per-index top-k is a superset
+    of each index's contribution to the merged page."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+    from esbulk_spark.plans.reader import search_indices
+
+    corpora = {
+        "idx_a": [(0, "needle alpha beta"), (1, "alpha beta gamma")],
+        "idx_b": [(0, "needle needle beta"), (1, "gamma delta")],
+    }
+    readers = {}
+    for name, rows in corpora.items():
+        docs = spark.createDataFrame(rows, "uid long, content string")
+        d = str(tmp_path / name)
+        build_index(
+            spark, docs,
+            IndexConfig(index_dir=d, id_col="uid", n_buckets=4, n_shards=2),
+            input_sig=name,
+        )
+        readers[name] = IndexReader(spark, d)
+    got = search_indices(readers, "needle", k=10).collect()
+    assert {(r["_index"], r.doc_id) for r in got} == {("idx_a", 0), ("idx_b", 0)}
+    # per-index scores match the single-index search exactly
+    for r in got:
+        solo = readers[r["_index"]].search("needle", k=1).first()
+        assert solo.doc_id == r.doc_id and abs(solo.score - r.score) < 1e-12
+    # global order: scores descending
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+    # k truncates the merged page
+    assert len(search_indices(readers, "beta", k=1).collect()) == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one reader"):
+        search_indices({}, "x")
