@@ -98,8 +98,10 @@ def main(argv: list[str] | None = None) -> int:
                           help="prefix/fuzzy/wildcard/phrase_prefix: cap on "
                                "expanded dictionary terms (ES max_expansions)")
     p_search.add_argument("--search-after", default=None,
-                          help="keyset pagination cursor 'score,doc_id' "
-                               "(the previous page's last hit, verbatim)")
+                          help="keyset pagination cursor 'score,doc_id' — "
+                               "start a paging session with 'inf,-1' (page "
+                               "1), then feed each page's last hit back "
+                               "verbatim; wand/fullscan modes only")
     p_search.add_argument("--format", choices=["jsonl", "es"], default="jsonl",
                           help="es = Elasticsearch-shaped response object "
                                "(took / hits.total / max_score / _source)")
@@ -374,6 +376,14 @@ def _cmd_search(spark, args) -> int:
     from esbulk_spark.plans.reader import IndexReader
 
     r = IndexReader(spark, args.index_dir)
+    search_after = getattr(args, "search_after", None)
+    if search_after is not None and args.mode not in ("wand", "fullscan"):
+        print(
+            f"error: --search-after only pages match queries "
+            f"(--mode wand|fullscan), not {args.mode}",
+            file=sys.stderr,
+        )
+        return 2
     with r.interactive():  # AQE off: interactive latency path
         if getattr(args, "format", "jsonl") == "es":
             resp = r.search_response(
@@ -383,7 +393,18 @@ def _cmd_search(spark, args) -> int:
             print(json.dumps(resp, default=str))
             print(f"{len(resp['hits']['hits'])} hits", file=sys.stderr)
             return 0
-        if args.mode == "and":
+        if search_after is not None:
+            # keyset paging: BOTH pages must come from the same scoring
+            # path with the same published (rounded) sort key, or float
+            # accumulation-order differences can drop/duplicate the
+            # boundary doc — so page 1 of a paging session is
+            # --search-after 'inf,-1', not a plain search
+            s, _, d = search_after.partition(",")
+            df = r.search_page(
+                args.query, k=args.k,
+                search_after=(float(s), int(d)), round_to=4,
+            )
+        elif args.mode == "and":
             df = r.search_and(args.query, k=args.k)
         elif args.mode == "phrase":
             df = r.search_phrase(args.query, k=args.k)
@@ -398,21 +419,16 @@ def _cmd_search(spark, args) -> int:
                 max_expansions=getattr(args, "max_expansions", 50),
             )
         elif args.mode == "fuzzy":
-            fz = getattr(args, "fuzziness", "AUTO")
+            fz = str(getattr(args, "fuzziness", "AUTO"))
             df = r.search_fuzzy(
                 args.query, k=args.k,
-                fuzziness=fz if fz == "AUTO" else int(fz),
+                fuzziness=int(fz) if fz.isdigit() else fz,  # AUTO any case
                 max_expansions=getattr(args, "max_expansions", 50),
             )
         elif args.mode == "wildcard":
             df = r.search_wildcard(
                 args.query, k=args.k,
                 max_expansions=getattr(args, "max_expansions", 50),
-            )
-        elif getattr(args, "search_after", None) is not None:
-            s, _, d = args.search_after.partition(",")
-            df = r.search_page(
-                args.query, k=args.k, search_after=(float(s), int(d))
             )
         else:
             df = r.search(args.query, k=args.k, prune=(args.mode == "wand"))

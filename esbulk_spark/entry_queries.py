@@ -600,21 +600,29 @@ def q_phrase_prefix(spark, sf_dir):
 
 def _sql_phrase_prefix() -> str:
     b1, pre = PHRASE_PREFIX_BODY, PHRASE_PREFIX_LAST
+    # the expansion set is CAPPED at 50 in term order (ES max_expansions),
+    # and the adjacency predicate must use the SAME capped set the engine
+    # uses — an uncapped LIKE would count matches through expansion #51+
+    # on a corpus with >50 matching dictionary terms
     return f"""
 WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
 stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+exps AS (
+  SELECT u.t AS term, count(DISTINCT doc_id) AS df
+  FROM toks, unnest(t) AS u(t) WHERE u.t LIKE '{pre}%'
+  GROUP BY u.t ORDER BY u.t LIMIT 50
+),
+explist AS (SELECT list(term ORDER BY term) AS ts FROM exps),
 dfs AS (SELECT
    (SELECT count(*) FROM toks WHERE list_contains(t, '{b1}')) AS df1,
-   least((SELECT coalesce(sum(df), 0) FROM (
-      SELECT count(DISTINCT doc_id) AS df
-      FROM toks, unnest(t) AS u(t) WHERE u.t LIKE '{pre}%'
-      GROUP BY u.t ORDER BY u.t LIMIT 50)),
+   least((SELECT coalesce(sum(df), 0) FROM exps),
      (SELECT n_docs FROM stats)) AS df2),
 pf AS (
   SELECT doc_id, len(t) AS dl,
          len(list_filter(range(1, len(t)),
-             i -> t[i] = '{b1}' AND t[i+1] LIKE '{pre}%')) AS phrase_freq
-  FROM toks
+             i -> t[i] = '{b1}' AND list_contains(ts, t[i+1])))
+           AS phrase_freq
+  FROM toks, explist
 )
 SELECT doc_id, CAST(phrase_freq AS INT) AS phrase_freq,
        round((ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))

@@ -42,7 +42,26 @@ def pack_sequences(
     budget: int = 512,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Assign each document its slice of the packed training stream.
+    """pack_sequences_pinned without the cache handle — convenient for
+    one-shot use; a pipeline calling this repeatedly should use the
+    pinned variant and ``unpersist()`` after materializing, or the
+    per-call MEMORY_AND_DISK intermediates accumulate for the session
+    (same contract as docids.assign_doc_ids_pinned)."""
+    return pack_sequences_pinned(df, text_col, id_col, budget, num_partitions)[0]
+
+
+def pack_sequences_pinned(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Assign each document its slice of the packed training stream;
+    returns (result, pinned) where ``pinned`` is the internally
+    persisted range-partitioned (id, n_tok) DataFrame the result plan
+    depends on — callers unpersist exactly that cache once the result
+    is materialized.
 
     Documents are ordered by ``id_col`` (must be unique), tokenized with
     the standard analyzer, and conceptually concatenated; sequences are
@@ -128,4 +147,4 @@ def pack_sequences(
         .withColumn("off_in_seq", (F.col("start") % budget).cast("long"))
         .select(id_col, "n_tok", "start", "seq_first", "seq_last", "off_in_seq")
     )
-    return out
+    return out, parted

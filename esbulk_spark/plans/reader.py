@@ -470,9 +470,7 @@ class IndexReader:
                 for r in self.docs().filter(F.col("doc_id").isin(ids)).collect()
             }
             for h in hits:
-                s = dict(src.get(h["_id"], {}))
-                s.pop("doc_id", None)
-                h["_source"] = s
+                h["_source"] = self._source_fields(dict(src.get(h["_id"], {})))
             if highlight is not None:
                 import re as _re
 
@@ -573,17 +571,31 @@ class IndexReader:
         — term-level metadata, orders of magnitude smaller than postings
         — and lands results in the df cache so the scoring plan prunes
         postings exactly like an explicit multi-term query."""
-        rows = (
+        rows = self._expansion_df(cond, max_expansions).collect()
+        out = {r["term"]: int(r["df"]) for r in rows}
+        self._df_cache.update(out)
+        return out
+
+    def _expansion_df(self, cond, max_expansions: int) -> DataFrame:
+        """The expansion scan as a DataFrame — split out so plan tests
+        can assert it touches ONLY the dictionary relation."""
+        return (
             self.dictionary()
             .filter(cond)
             .select("term", "df")
             .orderBy("term")
             .limit(max_expansions)
-            .collect()
         )
-        out = {r["term"]: int(r["df"]) for r in rows}
-        self._df_cache.update(out)
-        return out
+
+    def _fuzzy_cond(self, term: str, n_edits: int, prefix_length: int):
+        """Shared fuzzy candidate predicate (expand_fuzzy + the term
+        suggester): length band, optional exact-prefix guard, JVM-side
+        Levenshtein — one definition so the two callers cannot
+        diverge."""
+        cond = F.length("term").between(len(term) - n_edits, len(term) + n_edits)
+        if prefix_length > 0:
+            cond &= F.col("term").startswith(term[:prefix_length])
+        return cond & (F.levenshtein(F.col("term"), F.lit(term)) <= n_edits)
 
     def expand_fuzzy(
         self,
@@ -605,11 +617,9 @@ class IndexReader:
         if not term:
             return {}
         n = fuzziness_edits(term, fuzziness)
-        cond = F.length("term").between(len(term) - n, len(term) + n)
-        if prefix_length > 0:
-            cond &= F.col("term").startswith(term[:prefix_length])
-        cond &= F.levenshtein(F.col("term"), F.lit(term)) <= n
-        return self._expand_terms(cond, max_expansions)
+        return self._expand_terms(
+            self._fuzzy_cond(term, n, prefix_length), max_expansions
+        )
 
     def search_fuzzy(
         self,
@@ -1204,12 +1214,7 @@ class IndexReader:
             if suggest_mode == "missing" and tok in known:
                 out[tok] = []
                 continue
-            cond = F.length("term").between(
-                len(tok) - max_edits, len(tok) + max_edits
-            )
-            if prefix_length > 0:
-                cond &= F.col("term").startswith(tok[:prefix_length])
-            cond &= F.levenshtein(F.col("term"), F.lit(tok)) <= max_edits
+            cond = self._fuzzy_cond(tok, max_edits, prefix_length)
             cand = [
                 (r["term"], int(r["df"]))
                 for r in self.dictionary().filter(cond).select("term", "df").collect()
@@ -1224,6 +1229,17 @@ class IndexReader:
             ]
         return out
 
+    # build-derived docs columns that are NOT part of the user document
+    # and must not leak into ES _source envelopes
+    _DOC_META_COLS = ("doc_id", "content_sha", "dl", "n_terms")
+
+    def _source_fields(self, row_dict: dict) -> dict:
+        """Strip build-derived columns from a docs row: ES ``_source``
+        carries only the original document fields."""
+        return {
+            k: v for k, v in row_dict.items() if k not in self._DOC_META_COLS
+        }
+
     def _text_col(self) -> str:
         """The indexed text column's name in the docs table. New indexes
         record it in stats.json; for pre-r4 indexes fall back to the
@@ -1233,8 +1249,7 @@ class IndexReader:
         cols = self.docs().columns
         if tc and tc in cols:
             return tc
-        meta = {"doc_id", "content_sha", "dl", "n_terms"}
-        cands = [c for c in cols if c not in meta]
+        cands = [c for c in cols if c not in self._DOC_META_COLS]
         if "content" in cands:
             return "content"
         if not cands:
@@ -1319,14 +1334,12 @@ class IndexReader:
         if row is None:
             return {"_index": index_name, "_type": "_doc",
                     "_id": int(doc_id), "found": False}
-        src = row.asDict()
-        src.pop("doc_id", None)
         return {
             "_index": index_name,
             "_type": "_doc",
             "_id": int(doc_id),
             "found": True,
-            "_source": src,
+            "_source": self._source_fields(row.asDict()),
         }
 
 
@@ -1346,6 +1359,8 @@ def multi_match(
     per-field match sets (never a corpus scan). -> (doc_id, score)."""
     if match_type not in ("best_fields", "most_fields"):
         raise ValueError(f"match_type must be best_fields|most_fields: {match_type}")
+    if not readers:
+        raise ValueError("multi_match needs at least one reader")
     parts = [r.score_all(query) for r in readers.values()]
     combined = parts[0]
     for p in parts[1:]:

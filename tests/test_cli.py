@@ -353,10 +353,18 @@ def test_cli_expansion_modes_and_paging(spark, tmp_path, capsys):
     assert len(run(query="alpha", mode="prefix")) == 2  # alpha + alphabet
     assert len(run(query="alpa", mode="fuzzy", fuzziness="1")) >= 1
     assert len(run(query="ga?ma", mode="wildcard")) == 2
-    full = run(query="gamma", mode="wand")
-    p1 = run(query="gamma", mode="wand", k=1)
+    # paging sessions start at 'inf,-1' so BOTH pages come from the
+    # same scoring path with the same published (rounded) sort key
+    full = run(query="gamma", mode="wand", k=10, search_after="inf,-1")
+    p1 = run(query="gamma", mode="wand", k=1, search_after="inf,-1")
     p2 = run(
         query="gamma", mode="wand", k=1,
         search_after=f"{p1[0]['score']},{p1[0]['doc_id']}",
     )
-    assert [(x["doc_id"]) for x in p1 + p2] == [x["doc_id"] for x in full]
+    assert [x["doc_id"] for x in p1 + p2] == [x["doc_id"] for x in full]
+    # --search-after composes only with match modes: clear error, rc 2
+    args = argparse.Namespace(index_dir=idx, k=10, format="jsonl",
+                              query="alpha", mode="prefix",
+                              search_after="inf,-1")
+    assert cli_mod._cmd_search(spark, args) == 2
+    assert "only pages match queries" in capsys.readouterr().err

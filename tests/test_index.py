@@ -856,9 +856,11 @@ def test_search_page_tiles_ranking(reader):
             for r in reader.search_page(q, k=5, search_after=after2, round_to=rt).collect()
         ]
         assert p1 + p2 + p3 == full
-    # page 1 head == search() head (same canonical order)
-    s = [(r.doc_id,) for r in reader.search(q, k=5).collect()]
-    assert [(d,) for d, _ in reader.search_page(q, k=5).collect()[:5]] == s[:5] or s
+    # page 1 == search() head: same docs in the same canonical order
+    # (cross-path consistency between the WAND scorer and score_all)
+    s = [r.doc_id for r in reader.search(q, k=5).collect()]
+    p = [r.doc_id for r in reader.search_page(q, k=5).collect()]
+    assert p == s and p
     assert reader.search_page("zzznotaterm").collect() == []
 
 

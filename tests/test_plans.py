@@ -95,18 +95,25 @@ def test_terms_agg_docs_scan_is_column_pruned(reader):
 
 
 def test_expansion_scans_touch_only_dictionary(reader):
-    """Fuzzy/wildcard expansion is a dictionary-only scan: no postings,
-    docs, or positions relation appears in the expansion plan."""
-    cond = (
-        F.length("term").between(3, 7)
-        & F.levenshtein(F.col("term"), F.lit("getx")) <= 2
+    """Fuzzy/wildcard expansion is a dictionary-only scan: the ACTUAL
+    expansion DataFrames (the ones expand_fuzzy/expand_wildcard
+    collect) must reference no postings/docs/positions relation."""
+    from esbulk_spark.plans.reader import wildcard_to_like
+
+    fuzzy_df = reader._expansion_df(reader._fuzzy_cond("getx", 2, 1), 50)
+    wild_df = reader._expansion_df(
+        F.col("term").like(wildcard_to_like("get*me")), 50
     )
-    d = reader.dictionary().filter(
-        F.col("term").like("get%")
-    ).select("term", "df").orderBy("term").limit(50)
-    plan = _plan(d)
-    for other in ("postings", "docs", "positions"):
-        assert f"/{other}" not in plan, other
+    for d in (fuzzy_df, wild_df):
+        plan = _plan(d)
+        for other in ("postings", "docs", "positions"):
+            assert f"/{other}" not in plan, other
+    assert "levenshtein" in _plan(fuzzy_df)
+    # Catalyst rewrites the anchored LIKE into pushed-down prefix/suffix
+    # string filters on the parquet term column
+    wplan = _plan(wild_df)
+    assert "StringStartsWith(term,get)" in wplan
+    assert "StringEndsWith(term,me)" in wplan
 
 
 def test_search_page_keyset_filter_below_topk(reader):
