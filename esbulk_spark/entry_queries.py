@@ -652,7 +652,8 @@ def q_bool_hot(spark, sf_dir):
 
 
 def _sql_bool(
-    must_q=None, should_q=None, not_q=None, msm: int = 0
+    must_q=None, should_q=None, not_q=None, msm: int = 0,
+    filter_sql: str | None = None,
 ) -> str:
     """DuckDB bool-query oracle. CTEs for the must_not exclusion are
     emitted only when the must_not list analyzes to >=1 term — an empty
@@ -680,6 +681,11 @@ def _sql_bool(
 )""" if noterms else ""
     excl_pred = (
         "AND doc_id NOT IN (SELECT doc_id FROM excl)" if noterms else ""
+    )
+    flt_pred = (
+        f"AND doc_id IN (SELECT doc_id FROM documents WHERE {filter_sql})"
+        if filter_sql
+        else ""
     )
     return f"""
 WITH toks AS (
@@ -711,7 +717,7 @@ WITH toks AS (
   GROUP BY tf.doc_id
 ){excl_cte}
 SELECT doc_id, score FROM agg
-WHERE n_must = {len(must)} AND n_should >= {msm} {excl_pred}
+WHERE n_must = {len(must)} AND n_should >= {msm} {excl_pred} {flt_pred}
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
 """
@@ -955,6 +961,20 @@ SELECT input_term, suggestion, CAST(freq AS BIGINT) AS freq,
 FROM ranked WHERE rank <= {_SUGGEST_SIZE}
 ORDER BY input_term, rank
 """
+
+
+_BOOL_FILTER_MUST, _BOOL_FILTER_SQL = ("batch",), "lang = 'en'"
+
+
+def q_bool_filter(spark, sf_dir):
+    """ES filter context: must=['batch'] scored normally, then a
+    NON-SCORING stored-field filter (lang='en') applied as a semi-join
+    against the pushed-down docs scan — scores identical to the
+    unfiltered query for surviving docs (ES filter-clause semantics)."""
+    r = _index_for(spark, sf_dir)
+    return r.search_bool(
+        must=_BOOL_FILTER_MUST, filter=_BOOL_FILTER_SQL, k=10, round_to=4
+    )
 
 
 _BOOL_MSM_SHOULD, _BOOL_MSM = ("scan", "merge", "window"), 2
@@ -1618,6 +1638,70 @@ ORDER BY id
 """
 
 
+_MIX_RATES = {"src1": 1.0, "src2": 0.5, "src3": 0.0}
+_MIX_DEFAULT = 0.25
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Deterministic data-mixture sampling: per-source keep rates via a
+    permanent-random-number hash of the doc id — membership is
+    partitioning- and rerun-invariant (pure per-row filter, no
+    shuffle)."""
+    from esbulk_spark.operators.mixing import sample_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        sample_mixture(d, _MIX_RATES, "source", "doc_id",
+                       default_rate=_MIX_DEFAULT)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_sample_mixture() -> str:
+    cases = " ".join(
+        f"WHEN source = '{k}' THEN {float(r)}"
+        for k, r in sorted(_MIX_RATES.items())
+    )
+    u = _duck_md5i("doc_id || ':mix'")
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE ({u}) % 1000000
+      < (CASE {cases} ELSE {float(_MIX_DEFAULT)} END) * 1000000
+ORDER BY doc_id
+"""
+
+
+_DECON_N, _DECON_MOD = 3, 97  # eval set = every 97th doc; 3-gram overlap
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing >= 1 word 3-gram
+    with the held-out eval slice (doc_id % 97 == 0) — the published
+    n-gram-overlap pretraining practice, as a broadcast shingle join."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % _DECON_MOD != 0)
+    eval_df = d.filter(F.col("doc_id") % _DECON_MOD == 0)
+    return dedup.ngram_contamination(
+        corpus, eval_df, "text", "doc_id", n=_DECON_N
+    ).orderBy("doc_id")
+
+
+SQL_DECONTAMINATE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, {_duck_md5i('s')} AS sh
+  FROM (SELECT doc_id, unnest({_duck_shingles(_DECON_N)}) AS s FROM documents)
+  WHERE s <> ''
+),
+eg AS (SELECT DISTINCT id AS eval_id, sh FROM sh WHERE id % {_DECON_MOD} = 0),
+cg AS (SELECT id, sh FROM sh WHERE id % {_DECON_MOD} != 0)
+SELECT cg.id AS doc_id, count(DISTINCT cg.sh) AS n_shared,
+       count(DISTINCT eval_id) AS n_eval_docs
+FROM cg JOIN eg USING (sh)
+GROUP BY cg.id ORDER BY doc_id
+"""
+
+
 PACK_BUDGET = 512
 
 
@@ -2030,6 +2114,11 @@ QUERIES = {
         q_bool_hot,
         _sql_bool(must_q=_BOOL_HOT_MUST, should_q=_BOOL_HOT_SHOULD, not_q=()),
     ),
+    "bool_filter_context": (
+        q_bool_filter,
+        _sql_bool(must_q=_BOOL_FILTER_MUST, should_q=(), not_q=(),
+                  filter_sql=_BOOL_FILTER_SQL),
+    ),
     "bool_msm_topk": (
         q_bool_msm,
         _sql_bool(must_q=(), should_q=_BOOL_MSM_SHOULD, not_q=(), msm=_BOOL_MSM),
@@ -2056,6 +2145,8 @@ QUERIES = {
     "quality_score": (q_quality, SQL_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "decontaminate_ngram_overlap": (q_decontaminate, SQL_DECONTAMINATE),
+    "sample_mixture_rates": (q_sample_mixture, _sql_sample_mixture()),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "doc_winnowing": (q_winnowing, SQL_WINNOWING),
     "quality_gopher": (q_gopher, SQL_GOPHER),

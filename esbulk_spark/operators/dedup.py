@@ -285,3 +285,41 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return agg.select("id", fp.cast("long").alias("simhash"))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+    n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >= 1 word
+    n-gram with any document of an evaluation set (the published
+    pretraining practice — GPT-3 appendix C and successors use 8-13-gram
+    overlap; public method). -> (doc_id, n_shared, n_eval_docs) for
+    contaminated docs only.
+
+    Scale shape: both sides reduce to DISTINCT (id, shingle_hash) rows
+    (ngram_shingles); the eval side is benchmark-sized (10^3-10^6
+    grams), so it broadcasts and the corpus side streams through a map
+    join — no shuffle of corpus grams. Set ``broadcast_eval=False`` for
+    an unusually large eval set to fall back to a shuffled hash join."""
+    csh = ngram_shingles(corpus, text_col, id_col, n)
+    esh = ngram_shingles(
+        eval_df, eval_text_col or text_col, eval_id_col or id_col, n
+    ).withColumnRenamed("id", "eval_id")
+    if broadcast_eval:
+        esh = F.broadcast(esh)
+    return (
+        csh.join(esh, "sh")
+        .groupBy("id")
+        .agg(
+            F.count_distinct("sh").alias("n_shared"),
+            F.count_distinct("eval_id").alias("n_eval_docs"),
+        )
+        .withColumnRenamed("id", "doc_id")
+    )

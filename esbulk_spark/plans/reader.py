@@ -947,11 +947,18 @@ class IndexReader:
         k: int = 10,
         round_to: int | None = None,
         minimum_should_match: int = 0,
+        filter: "str | None" = None,
     ) -> DataFrame:
         """ES bool-query analog: top-k docs containing ALL analyzed
         ``must`` terms and NONE of ``must_not``, BM25-scored over the
         must+should contributions (``should`` is purely additive, as in
-        ES). ``minimum_should_match`` > 0 additionally requires that
+        ES). ``filter`` is ES's non-scoring filter context: a SQL
+        predicate over the STORED doc fields (e.g. ``"lang = 'en'"``)
+        applied as a semi-join of the scored candidates against the
+        filtered docs table — the predicate pushes into the parquet
+        scan (column-pruned to doc_id + referenced fields) and never
+        contributes to the score, exactly ES filter-clause semantics.
+        ``minimum_should_match`` > 0 additionally requires that
         many DISTINCT should terms per doc (ES semantics: the count
         gates matching, scores still sum over every matched term) — the
         count rides the same aggregation as the must-term conjunction,
@@ -1001,6 +1008,9 @@ class IndexReader:
         if present_not:
             excluded = self._decode_to_rows(present_not).select("doc_id").distinct()
             out = out.join(excluded, "doc_id", "left_anti")
+        if filter is not None:
+            allowed = self.docs().filter(filter).select("doc_id")
+            out = out.join(allowed, "doc_id", "left_semi")
         return topk_deterministic(out, k, round_to)
 
     def _decode_to_rows(self, terms: list[str], doc_filter=None) -> DataFrame:

@@ -1037,3 +1037,30 @@ def test_search_indices_cross_index_merge(spark, tmp_path):
 
     with pytest.raises(ValueError, match="at least one reader"):
         search_indices({}, "x")
+
+
+def test_bool_filter_context(spark, tmp_path):
+    """ES filter context: non-scoring stored-field predicate — hits are
+    the unfiltered hits restricted to passing docs, scores unchanged."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    rows = [
+        (0, "alpha beta", "en"),
+        (1, "alpha gamma", "de"),
+        (2, "alpha alpha", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "uid long, content string, lang string")
+    d = str(tmp_path / "idx_flt")
+    build_index(
+        spark, docs,
+        IndexConfig(index_dir=d, id_col="uid", n_buckets=4, n_shards=2),
+        input_sig="flt",
+    )
+    r = IndexReader(spark, d)
+    unfiltered = {x.doc_id: x.score for x in r.search_bool(must=["alpha"]).collect()}
+    filtered = {x.doc_id: x.score for x in r.search_bool(must=["alpha"], filter="lang = 'en'").collect()}
+    assert set(unfiltered) == {0, 1, 2} and set(filtered) == {0, 2}
+    for i in filtered:  # filter never changes scores
+        assert abs(filtered[i] - unfiltered[i]) < 1e-12
+    assert r.search_bool(must=["alpha"], filter="lang = 'xx'").collect() == []

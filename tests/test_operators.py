@@ -546,3 +546,73 @@ def test_pack_sequences(spark):
     p = pack_sequences(c, "text", "doc_id", budget=512)
     tot = p.agg(F.sum("n_tok"), F.max(F.col("start") + F.col("n_tok"))).first()
     assert tot[0] == tot[1]  # last doc ends exactly at the stream length
+
+
+def test_ngram_contamination(spark):
+    """Decontamination: only corpus docs sharing a FULL n-gram with the
+    eval set are flagged; counts are exact."""
+    from esbulk_spark.operators.dedup import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),     # shares 'quick brown fox'
+            (1, "a quick brown dog sleeps"),      # no full 3-gram shared
+            (2, "quick brown fox quick brown fox extra"),  # shares, twice in text
+            (3, "totally unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "quick brown fox benchmarks"), (101, "brown fox benchmarks too")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shared, r.n_eval_docs)
+        for r in ngram_contamination(corpus, eval_df, "text", "doc_id", n=3).collect()
+    }
+    assert set(got) == {0, 2}
+    assert got[0] == (1, 1)  # one shared distinct gram, one eval doc
+    # doc 2: 'quick brown fox' (shared w/ eval 100) + 'brown fox quick'? not in eval;
+    # 'fox quick brown' not in eval -> still just the one distinct gram
+    assert got[2] == (1, 1)
+    # broadcast off path gives identical results
+    got2 = {
+        r.doc_id: (r.n_shared, r.n_eval_docs)
+        for r in ngram_contamination(
+            corpus, eval_df, "text", "doc_id", n=3, broadcast_eval=False
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_sample_mixture_deterministic(spark):
+    """Mixture sampling: rate 0/1 are exact, membership is
+    partitioning-invariant, and the kept set is id-stable when an
+    unrelated source's rate changes."""
+    import pytest
+    from pyspark.sql import functions as F
+    from esbulk_spark.operators.mixing import sample_mixture
+
+    rows = [(i, "web" if i % 2 == 0 else "wiki") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = sample_mixture(df, {"web": 1.0, "wiki": 0.0}, "source", "doc_id")
+    got = kept.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {"web": 200}
+    # fractional rate: deterministic across repartitioning
+    a = sorted(r.doc_id for r in sample_mixture(df, {"web": 0.3, "wiki": 0.7}).collect())
+    b = sorted(
+        r.doc_id
+        for r in sample_mixture(df.repartition(13), {"web": 0.3, "wiki": 0.7}).collect()
+    )
+    assert a == b and 0 < len(a) < 400
+    # permanent-random-number property: changing wiki's rate never
+    # changes which WEB rows survive
+    web_a = {r.doc_id for r in sample_mixture(df, {"web": 0.3, "wiki": 0.7}).collect() if r.doc_id % 2 == 0}
+    web_b = {r.doc_id for r in sample_mixture(df, {"web": 0.3, "wiki": 0.1}).collect() if r.doc_id % 2 == 0}
+    assert web_a == web_b
+    # monotone: raising a rate only ADDS rows
+    lo = {r.doc_id for r in sample_mixture(df, {"web": 0.2}, default_rate=0.0).collect()}
+    hi = {r.doc_id for r in sample_mixture(df, {"web": 0.6}, default_rate=0.0).collect()}
+    assert lo <= hi
+    with pytest.raises(ValueError, match="rate"):
+        sample_mixture(df, {"web": 1.5})
