@@ -906,6 +906,67 @@ ORDER BY score DESC, key ASC LIMIT 10
 """
 
 
+_MLT_SEED, _MLT_TERMS, _MLT_MIN_DF = 0, 10, 5
+
+
+def q_more_like_this(spark, sf_dir):
+    """ES more_like_this for doc 0: top-10 characteristic terms by
+    tf * Lucene-MLT idf (selection score rounded to 6 places so both
+    engines cut the same boundary), BM25 disjunction, seed excluded."""
+    r = _index_for(spark, sf_dir)
+    return r.more_like_this(
+        _MLT_SEED, k=10, max_query_terms=_MLT_TERMS,
+        min_term_freq=1, min_doc_freq=_MLT_MIN_DF, round_to=4,
+    )
+
+
+def _sql_more_like_this() -> str:
+    from esbulk_spark import B, K1
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), norms AS (
+  SELECT doc_id, len(toks) AS dl FROM toks
+), stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM norms
+), seedtf AS (
+  SELECT u.t AS term, count(*) AS tf
+  FROM toks, unnest(toks) AS u(t) WHERE doc_id = {_MLT_SEED} GROUP BY u.t
+), fulldict AS (
+  SELECT u.t AS term, count(DISTINCT doc_id) AS df
+  FROM toks, unnest(toks) AS u(t) GROUP BY u.t
+), sel AS (
+  SELECT s.term
+  FROM seedtf s JOIN fulldict fd USING (term)
+  WHERE s.tf >= 1 AND fd.df >= {_MLT_MIN_DF}
+  ORDER BY round(s.tf * (ln((SELECT n FROM stats) / (fd.df + 1.0)) + 1.0), 6)
+           DESC, s.term ASC
+  LIMIT {_MLT_TERMS}
+), tf AS (
+  SELECT t.doc_id, u.t AS term, count(*) AS tf
+  FROM toks t, unnest(t.toks) AS u(t)
+  WHERE u.t IN (SELECT term FROM sel)
+  GROUP BY t.doc_id, u.t
+), dict AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), agg AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1.0 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * {K1 + 1.0}) /
+                 (tf.tf + {K1} * ({1.0 - B} + {B} * n.dl / (SELECT avgdl FROM stats)))), 4) AS score
+  FROM tf
+  JOIN dict d USING (term)
+  JOIN norms n USING (doc_id)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM agg
+WHERE doc_id != {_MLT_SEED}
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 SUGGEST_INPUT = "bacth merg windoww scann"  # all misspelled vocab terms
 _SUGGEST_SIZE, _SUGGEST_EDITS = 3, 2
 
@@ -2124,6 +2185,7 @@ QUERIES = {
         _sql_bool(must_q=(), should_q=_BOOL_MSM_SHOULD, not_q=(), msm=_BOOL_MSM),
     ),
     "suggest_corrections": (q_suggest, _sql_suggest()),
+    "more_like_this_topk": (q_more_like_this, _sql_more_like_this()),
     "search_after_page2": (q_search_after, _sql_search_after()),
     "terms_agg_by_lang": (q_terms_agg, _sql_terms_agg()),
     "significant_terms_agg": (q_significant_terms, _sql_significant_terms()),

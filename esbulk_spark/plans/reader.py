@@ -1334,6 +1334,68 @@ class IndexReader:
         out = out.filter(F.col("score") > 0)
         return out.orderBy(F.desc("score"), F.asc("key")).limit(agg_size)
 
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 5,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES ``more_like_this`` for one indexed document: select the
+        doc's most characteristic terms — tf(term in doc) * MLT idf,
+        idf = ln(n_docs / (df + 1)) + 1 (Lucene MoreLikeThis's classic
+        formula, public) — keep terms passing ``min_term_freq`` /
+        ``min_doc_freq``, cap at ``max_query_terms`` (score DESC, term
+        ASC; the selection score is rounded to 6 places so both engines
+        cut the same boundary), then run the standard BM25 disjunction
+        over the selected terms with the seed document excluded (ES
+        excludes ``like`` input docs from the hits).
+
+        Term selection is driver-side arithmetic over ONE document's
+        token counts plus a dictionary metadata lookup; the search is
+        the same pruned-postings plan every multi-term query uses."""
+        import math
+
+        from esbulk_spark.functions.analyzer import tokenize_text
+
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        doc = self.get_doc(doc_id)
+        if not doc.get("found"):
+            return empty
+        text = doc["_source"].get(self._text_col())
+        if not isinstance(text, str):
+            raise ValueError(
+                "more_like_this needs stored content (store_content index)"
+            )
+        tfs: dict[str, int] = {}
+        for t in tokenize_text(text):
+            tfs[t] = tfs.get(t, 0) + 1
+        dfs = self._dfs_cached(sorted(tfs))
+        cand = [
+            (
+                round(
+                    tfs[t] * (math.log(self.n_docs / (dfs[t] + 1.0)) + 1.0), 6
+                ),
+                t,
+            )
+            for t in dfs
+            if tfs[t] >= min_term_freq and dfs[t] >= min_doc_freq
+        ]
+        selected = sorted(cand, key=lambda st: (-st[0], st[1]))[:max_query_terms]
+        if not selected:
+            return empty
+        per_shard = self._per_shard_scores(
+            {"q": sorted(t for _, t in selected)}, k + 1, prune=True
+        )
+        if per_shard is None:
+            return empty
+        out = per_shard.select("doc_id", "score").filter(
+            F.col("doc_id") != int(doc_id)
+        )
+        return topk_deterministic(out, k, round_to)
+
     def get_doc(self, doc_id: int) -> dict:
         """ES GET-by-id analog: one doc's stored fields. A doc_id
         equality filter over the docs table (parquet min/max row-group

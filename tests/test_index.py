@@ -1064,3 +1064,40 @@ def test_bool_filter_context(spark, tmp_path):
     for i in filtered:  # filter never changes scores
         assert abs(filtered[i] - unfiltered[i]) < 1e-12
     assert r.search_bool(must=["alpha"], filter="lang = 'xx'").collect() == []
+
+
+def test_more_like_this(spark, tmp_path):
+    """MLT: seed excluded, most-similar doc ranks first, term selection
+    honors min_doc_freq and the max_query_terms cap."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    rows = [
+        (0, "alpha beta gamma delta"),        # seed
+        (1, "alpha beta gamma delta extra"),  # near-copy -> top hit
+        (2, "alpha beta other words"),        # partial overlap
+        (3, "unrelated stuff entirely"),
+        (4, "alpha solo"),
+    ]
+    docs = spark.createDataFrame(rows, "uid long, content string")
+    d = str(tmp_path / "idx_mlt")
+    build_index(
+        spark, docs,
+        IndexConfig(index_dir=d, id_col="uid", n_buckets=4, n_shards=2),
+        input_sig="mlt",
+    )
+    r = IndexReader(spark, d)
+    got = [x.doc_id for x in r.more_like_this(0, min_doc_freq=1).collect()]
+    assert got and got[0] == 1      # the near-copy wins
+    assert 0 not in got             # seed excluded
+    assert 3 not in got             # no shared selected terms
+    # min_doc_freq prunes rare terms from the selection: with
+    # min_doc_freq=2, 'delta' (df=2) stays but doc-4-only overlap
+    # ('alpha', df=4) still matches doc 4
+    got2 = [x.doc_id for x in r.more_like_this(0, min_doc_freq=2).collect()]
+    assert got2[0] == 1
+    # max_query_terms=1 keeps only the rarest-weighted term
+    got3 = r.more_like_this(0, max_query_terms=1, min_doc_freq=1).collect()
+    assert got3  # still returns similar docs via the single term
+    # absent seed -> empty
+    assert r.more_like_this(999).collect() == []
