@@ -1396,6 +1396,45 @@ class IndexReader:
         )
         return topk_deterministic(out, k, round_to)
 
+    def analyze(self, text: str) -> list[dict]:
+        """ES ``_analyze`` API analog: the token stream the index-time
+        analyzer produces for ``text``, with positions — the contract
+        debugging tool (ES returns [{token, position}, ...]). Pure
+        driver-side; zero Spark jobs."""
+        from esbulk_spark.functions.analyzer import tokenize_text
+
+        return [
+            {"token": t, "position": i}
+            for i, t in enumerate(tokenize_text(text))
+        ]
+
+    def term_vectors(self, doc_id: int, term_statistics: bool = False) -> dict:
+        """ES ``_termvectors`` analog for one stored document: per-term
+        term_freq + token positions, optionally joined with dictionary
+        statistics (doc_freq) like ES ``term_statistics=true``. One
+        docs-table point lookup + (optionally) one bucket-pruned
+        dictionary lookup — metadata, not data."""
+        doc = self.get_doc(doc_id)
+        if not doc.get("found"):
+            return {"_id": int(doc_id), "found": False}
+        text = doc["_source"].get(self._text_col())
+        if not isinstance(text, str):
+            raise ValueError(
+                "term_vectors needs stored content (store_content index)"
+            )
+        from esbulk_spark.functions.analyzer import tokenize_text
+
+        terms: dict[str, dict] = {}
+        for i, t in enumerate(tokenize_text(text)):
+            e = terms.setdefault(t, {"term_freq": 0, "positions": []})
+            e["term_freq"] += 1
+            e["positions"].append(i)
+        if term_statistics:
+            dfs = self._dfs_cached(sorted(terms))
+            for t, e in terms.items():
+                e["doc_freq"] = dfs.get(t, 0)
+        return {"_id": int(doc_id), "found": True, "terms": terms}
+
     def get_doc(self, doc_id: int) -> dict:
         """ES GET-by-id analog: one doc's stored fields. A doc_id
         equality filter over the docs table (parquet min/max row-group

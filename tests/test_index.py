@@ -1101,3 +1101,24 @@ def test_more_like_this(spark, tmp_path):
     assert got3  # still returns similar docs via the single term
     # absent seed -> empty
     assert r.more_like_this(999).collect() == []
+
+
+def test_analyze_api_and_term_vectors(reader):
+    """_analyze returns the index-time token stream with positions;
+    _termvectors agrees with it and with dictionary statistics."""
+    toks = reader.analyze("getUserName flushBuffer")
+    assert [t["position"] for t in toks] == list(range(len(toks)))
+    from esbulk_spark.functions.analyzer import tokenize_text
+
+    assert [t["token"] for t in toks] == tokenize_text("getUserName flushBuffer")
+    some_id = int(reader.docs().select("doc_id").orderBy("doc_id").first().doc_id)
+    tv = reader.term_vectors(some_id, term_statistics=True)
+    assert tv["found"]
+    content = reader.get_doc(some_id)["_source"]["content"]
+    stream = tokenize_text(content)
+    for t, e in tv["terms"].items():
+        assert e["term_freq"] == len(e["positions"]) == stream.count(t)
+        assert [stream[p] for p in e["positions"]] == [t] * e["term_freq"]
+        assert e["doc_freq"] >= 1  # the doc itself carries the term
+    assert sum(e["term_freq"] for e in tv["terms"].values()) == len(stream)
+    assert reader.term_vectors(-5)["found"] is False
