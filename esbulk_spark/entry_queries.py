@@ -906,6 +906,62 @@ ORDER BY score DESC, key ASC LIMIT 10
 """
 
 
+_BOOSTING_NEG, _BOOSTING_FACTOR = "merge", 0.5
+
+
+def q_boosting(spark, sf_dir):
+    """ES boosting query: QUERY_FULLSCAN hits, with docs also matching
+    'merge' demoted by 0.5 (kept in the ranking, never excluded)."""
+    from esbulk_spark.plans.reader import boosting_query
+
+    r = _index_for(spark, sf_dir)
+    return boosting_query(
+        r, QUERY_FULLSCAN, _BOOSTING_NEG,
+        negative_boost=_BOOSTING_FACTOR, k=10, round_to=4,
+    )
+
+
+def _sql_boosting() -> str:
+    from esbulk_spark import B, K1
+
+    values = ", ".join(f"('{t}')" for t in analyze_query(QUERY_FULLSCAN))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), norms AS (
+  SELECT doc_id, len(toks) AS dl FROM toks
+), stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM norms
+), qterms(term) AS (
+  VALUES {values}
+), tf AS (
+  SELECT t.doc_id, u.t AS term, count(*) AS tf
+  FROM toks t, unnest(t.toks) AS u(t)
+  WHERE u.t IN (SELECT term FROM qterms)
+  GROUP BY t.doc_id, u.t
+), dict AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), agg AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * {K1 + 1.0}) /
+               (tf.tf + {K1} * ({1.0 - B} + {B} * n.dl / (SELECT avgdl FROM stats)))) AS score
+  FROM tf
+  JOIN dict d USING (term)
+  JOIN norms n USING (doc_id)
+  GROUP BY tf.doc_id
+), neg AS (
+  SELECT DISTINCT doc_id FROM toks WHERE list_contains(toks, '{_BOOSTING_NEG}')
+)
+SELECT doc_id,
+       round(CASE WHEN doc_id IN (SELECT doc_id FROM neg)
+                  THEN score * {_BOOSTING_FACTOR} ELSE score END, 4) AS score
+FROM agg
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 _MLT_SEED, _MLT_TERMS, _MLT_MIN_DF = 0, 10, 5
 
 
@@ -2186,6 +2242,7 @@ QUERIES = {
     ),
     "suggest_corrections": (q_suggest, _sql_suggest()),
     "more_like_this_topk": (q_more_like_this, _sql_more_like_this()),
+    "boosting_query_topk": (q_boosting, _sql_boosting()),
     "search_after_page2": (q_search_after, _sql_search_after()),
     "terms_agg_by_lang": (q_terms_agg, _sql_terms_agg()),
     "significant_terms_agg": (q_significant_terms, _sql_significant_terms()),

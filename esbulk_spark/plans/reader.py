@@ -1460,27 +1460,74 @@ def multi_match(
     match_type: str = "best_fields",
     k: int = 10,
     round_to: int | None = None,
+    tie_breaker: float = 0.0,
 ) -> DataFrame:
     """ES ``multi_match`` across per-field indexes: score the query
     against each field's index independently, then combine per doc —
-    ``best_fields`` takes the best single field (ES dis_max with
-    tie_breaker=0), ``most_fields`` sums all fields. Each field is its
-    own index with its own statistics (df, avgdl), exactly Lucene's
-    per-field scoring; the combine is a union + hash agg over the
-    per-field match sets (never a corpus scan). -> (doc_id, score)."""
+    ``best_fields`` is ES dis_max: best field + ``tie_breaker`` times
+    every other matching field (tie_breaker=0 -> pure max, 1 -> sum);
+    ``most_fields`` sums all fields. Each field is its own index with
+    its own statistics (df, avgdl), exactly Lucene's per-field scoring;
+    the combine is a union + hash agg over the per-field match sets
+    (never a corpus scan). -> (doc_id, score)."""
     if match_type not in ("best_fields", "most_fields"):
         raise ValueError(f"match_type must be best_fields|most_fields: {match_type}")
     if not readers:
         raise ValueError("multi_match needs at least one reader")
+    if not (0.0 <= tie_breaker <= 1.0):
+        raise ValueError(f"tie_breaker must be in [0, 1]: {tie_breaker}")
     parts = [r.score_all(query) for r in readers.values()]
     combined = parts[0]
     for p in parts[1:]:
         combined = combined.unionByName(p)
-    agg = (
-        F.max("score") if match_type == "best_fields" else F.sum("score")
-    ).alias("score")
+    if match_type == "most_fields":
+        agg = F.sum("score").alias("score")
+    elif tie_breaker == 0.0:
+        agg = F.max("score").alias("score")
+    else:  # dis_max: max + tie_breaker * (sum of the other fields)
+        agg = (
+            F.max("score")
+            + F.lit(float(tie_breaker)) * (F.sum("score") - F.max("score"))
+        ).alias("score")
     out = combined.groupBy("doc_id").agg(agg)
     return topk_deterministic(out, k, round_to)
+
+
+def boosting_query(
+    reader: "IndexReader",
+    positive: str,
+    negative: str,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """ES ``boosting`` query: hits come from the ``positive`` match
+    query; any hit ALSO matching ``negative`` keeps its rank presence
+    but its score is multiplied by ``negative_boost`` (demotion without
+    exclusion — the compound ES offers between bool.must_not and
+    nothing). The negative side only needs a doc-id set, so it is a
+    pruned decode of the negative terms' postings + a left-semi-style
+    membership flag, never a corpus scan."""
+    if not (0.0 <= negative_boost <= 1.0):
+        raise ValueError(f"negative_boost must be in [0, 1]: {negative_boost}")
+    pos = reader.score_all(positive)
+    neg_terms = analyze_query(negative)
+    neg_dfs = reader._dfs_cached(neg_terms)
+    if neg_dfs:
+        neg = (
+            reader._decode_to_rows(sorted(neg_dfs))
+            .select("doc_id")
+            .distinct()
+            .withColumn("__neg", F.lit(True))
+        )
+        pos = pos.join(neg, "doc_id", "left").withColumn(
+            "score",
+            F.when(
+                F.col("__neg").isNotNull(),
+                F.col("score") * float(negative_boost),
+            ).otherwise(F.col("score")),
+        ).drop("__neg")
+    return topk_deterministic(pos, k, round_to)
 
 
 def _levenshtein(a: str, b: str) -> int:

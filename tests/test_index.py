@@ -1122,3 +1122,58 @@ def test_analyze_api_and_term_vectors(reader):
         assert e["doc_freq"] >= 1  # the doc itself carries the term
     assert sum(e["term_freq"] for e in tv["terms"].values()) == len(stream)
     assert reader.term_vectors(-5)["found"] is False
+
+
+def test_boosting_query_and_tie_breaker(spark, tmp_path):
+    """boosting: negative matches demoted (never dropped); dis_max
+    tie_breaker interpolates between max and sum of field scores."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+    from esbulk_spark.plans.reader import boosting_query, multi_match
+
+    rows = [
+        (0, "alpha beta", "news"),
+        (1, "alpha old deprecated", "blog"),
+        (2, "alpha fresh", "alpha"),
+    ]
+    docs = spark.createDataFrame(rows, "uid long, body string, kind string")
+    d = str(tmp_path / "idx_boost")
+    build_index(
+        spark, docs.select("uid", F.col("body").alias("content")),
+        IndexConfig(index_dir=d, id_col="uid", n_buckets=4, n_shards=2),
+        input_sig="boost",
+    )
+    r = IndexReader(spark, d)
+    base = {x.doc_id: x.score for x in r.score_all("alpha").collect()}
+    got = {x.doc_id: x.score for x in boosting_query(r, "alpha", "deprecated", 0.5).collect()}
+    assert set(got) == set(base)  # demotion never excludes
+    assert abs(got[1] - base[1] * 0.5) < 1e-12
+    for i in (0, 2):
+        assert abs(got[i] - base[i]) < 1e-12
+    # negative term absent from corpus: scores unchanged
+    same = {x.doc_id: x.score for x in boosting_query(r, "alpha", "zzz", 0.5).collect()}
+    assert all(abs(same[i] - base[i]) < 1e-12 for i in base)
+    import pytest
+
+    with pytest.raises(ValueError, match="negative_boost"):
+        boosting_query(r, "alpha", "old", 1.5)
+    # dis_max tie_breaker: build per-field indexes and check
+    # max + tb * (sum - max) exactly
+    readers = {}
+    for field in ("body", "kind"):
+        df2 = str(tmp_path / f"idx_tb_{field}")
+        build_index(
+            spark, docs.select("uid", field),
+            IndexConfig(index_dir=df2, id_col="uid", text_col=field,
+                        n_buckets=4, n_shards=2),
+            input_sig=f"tb_{field}",
+        )
+        readers[field] = IndexReader(spark, df2)
+    best = {x.doc_id: x.score for x in multi_match(readers, "alpha", "best_fields").collect()}
+    most = {x.doc_id: x.score for x in multi_match(readers, "alpha", "most_fields").collect()}
+    tb = {x.doc_id: x.score for x in multi_match(readers, "alpha", "best_fields", tie_breaker=0.3).collect()}
+    for i in tb:
+        want = best[i] + 0.3 * (most[i] - best[i])
+        assert abs(tb[i] - want) < 1e-9, i
+    with pytest.raises(ValueError, match="tie_breaker"):
+        multi_match(readers, "alpha", "best_fields", tie_breaker=2.0)
