@@ -1435,6 +1435,38 @@ class IndexReader:
                 e["doc_freq"] = dfs.get(t, 0)
         return {"_id": int(doc_id), "found": True, "terms": terms}
 
+    def count(self, query: str) -> int:
+        """ES ``_count`` API analog: the number of docs matching >= 1
+        analyzed query term — the same pruned decode + distinct count
+        ``track_total_hits`` runs, without scoring or fetching."""
+        terms = analyze_query(query)
+        dfs = self._dfs_cached(terms)
+        if not dfs:
+            return 0
+        return (
+            self._decode_to_rows(sorted(dfs)).select("doc_id").distinct().count()
+        )
+
+    def get_docs(self, doc_ids: list[int]) -> list[dict]:
+        """ES ``_mget`` analog: the stored fields of many ids in ONE
+        docs-table scan (id IN-list pushes into parquet row-group
+        pruning), results in request order with per-id found flags."""
+        ids = [int(i) for i in doc_ids]
+        index_name = os.path.basename(os.path.normpath(self.index_dir))
+        found = {
+            int(r["doc_id"]): self._source_fields(r.asDict())
+            for r in self.docs().filter(F.col("doc_id").isin(ids)).collect()
+        }
+        out = []
+        for i in ids:
+            if i in found:
+                out.append({"_index": index_name, "_type": "_doc",
+                            "_id": i, "found": True, "_source": found[i]})
+            else:
+                out.append({"_index": index_name, "_type": "_doc",
+                            "_id": i, "found": False})
+        return out
+
     def get_doc(self, doc_id: int) -> dict:
         """ES GET-by-id analog: one doc's stored fields. A doc_id
         equality filter over the docs table (parquet min/max row-group

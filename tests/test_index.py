@@ -1177,3 +1177,17 @@ def test_boosting_query_and_tie_breaker(spark, tmp_path):
         assert abs(tb[i] - want) < 1e-9, i
     with pytest.raises(ValueError, match="tie_breaker"):
         multi_match(readers, "alpha", "best_fields", tie_breaker=2.0)
+
+
+def test_count_and_mget(reader):
+    """_count == the track_total_hits total; _mget preserves request
+    order and per-id found flags in one scan."""
+    q = "getUserName"
+    resp = reader.search_response(q, k=1, track_total_hits=True)
+    assert reader.count(q) == resp["hits"]["total"]["value"]
+    assert reader.count("zzznotaterm") == 0
+    ids = [int(r.doc_id) for r in reader.docs().select("doc_id").orderBy("doc_id").limit(2).collect()]
+    got = reader.get_docs([ids[1], -7, ids[0]])
+    assert [g["_id"] for g in got] == [ids[1], -7, ids[0]]
+    assert [g["found"] for g in got] == [True, False, True]
+    assert got[0]["_source"] == reader.get_doc(ids[1])["_source"]
