@@ -384,6 +384,16 @@ def _cmd_search(spark, args) -> int:
             file=sys.stderr,
         )
         return 2
+    if (
+        getattr(args, "format", "jsonl") == "es"
+        and args.mode not in ("wand", "fullscan")
+    ):
+        print(
+            f"error: --format es renders the match-query response; "
+            f"--mode {args.mode} emits jsonl rows",
+            file=sys.stderr,
+        )
+        return 2
     with r.interactive():  # AQE off: interactive latency path
         if getattr(args, "format", "jsonl") == "es":
             resp = r.search_response(

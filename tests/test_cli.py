@@ -368,3 +368,19 @@ def test_cli_expansion_modes_and_paging(spark, tmp_path, capsys):
                               search_after="inf,-1")
     assert cli_mod._cmd_search(spark, args) == 2
     assert "only pages match queries" in capsys.readouterr().err
+
+
+def test_cli_es_format_rejects_expansion_modes(spark, tmp_path, capsys):
+    """--format es composes only with match modes: clear error, rc 2."""
+    docs = [{"k": "a", "body": "alpha beta"}]
+    p = str(tmp_path / "esm.jsonl")
+    _write_jsonl(p, docs)
+    idx = str(tmp_path / "idx_esm")
+    assert cli_mod._cmd_index(
+        spark, _args(input=p, index_dir=idx, id_spec="k", purge=True)
+    ) == 0
+    capsys.readouterr()
+    args = argparse.Namespace(index_dir=idx, k=10, format="es",
+                              query="alp", mode="prefix")
+    assert cli_mod._cmd_search(spark, args) == 2
+    assert "emits jsonl rows" in capsys.readouterr().err
