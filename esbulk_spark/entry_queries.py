@@ -906,6 +906,128 @@ ORDER BY score DESC, key ASC LIMIT 10
 """
 
 
+_RESCORE_WINDOW, _RESCORE_W = 50, 2.0  # rescore phrase weight
+
+
+def q_rescore(spark, sf_dir):
+    """ES rescore: top-50 QUERY_FULLSCAN hits re-ranked by original +
+    2.0 x phrase('table hash') score, the phrase pass restricted to the
+    window's doc ids (two-phase cost model)."""
+    r = _index_for(spark, sf_dir)
+    return r.rescore_phrase(
+        QUERY_FULLSCAN, " ".join(PHRASE_QUERY), k=10,
+        window_size=_RESCORE_WINDOW, query_weight=1.0,
+        rescore_weight=_RESCORE_W, round_to=4,
+    )
+
+
+def _sql_rescore() -> str:
+    from esbulk_spark import B, K1
+
+    t1, t2 = PHRASE_QUERY
+    values = ", ".join(f"('{t}')" for t in analyze_query(QUERY_FULLSCAN))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), norms AS (
+  SELECT doc_id, len(toks) AS dl FROM toks
+), stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM norms
+), qterms(term) AS (
+  VALUES {values}
+), tf AS (
+  SELECT t.doc_id, u.t AS term, count(*) AS tf
+  FROM toks t, unnest(t.toks) AS u(t)
+  WHERE u.t IN (SELECT term FROM qterms)
+  GROUP BY t.doc_id, u.t
+), dict AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), agg AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1.0 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * {K1 + 1.0}) /
+                 (tf.tf + {K1} * ({1.0 - B} + {B} * n.dl / (SELECT avgdl FROM stats)))), 4) AS qs
+  FROM tf
+  JOIN dict d USING (term)
+  JOIN norms n USING (doc_id)
+  GROUP BY tf.doc_id
+), win AS (
+  SELECT doc_id, qs FROM agg ORDER BY qs DESC, doc_id ASC LIMIT {_RESCORE_WINDOW}
+), pdfs AS (SELECT
+   (SELECT count(*) FROM toks WHERE list_contains(toks, '{t1}')) AS df1,
+   (SELECT count(*) FROM toks WHERE list_contains(toks, '{t2}')) AS df2),
+ph AS (
+  SELECT doc_id,
+         round((ln(1 + ((SELECT n FROM stats) - df1 + 0.5) / (df1 + 0.5))
+                + ln(1 + ((SELECT n FROM stats) - df2 + 0.5) / (df2 + 0.5)))
+               * (phrase_freq * ({K1} + 1)) /
+                 (phrase_freq + {K1} * (1 - {B} + {B} * dl / (SELECT avgdl FROM stats))), 4) AS ps
+  FROM (
+    SELECT doc_id, len(toks) AS dl,
+           len(list_filter(range(1, len(toks)),
+               i -> toks[i] = '{t1}' AND toks[i+1] = '{t2}')) AS phrase_freq
+    FROM toks WHERE doc_id IN (SELECT doc_id FROM win)
+  ), pdfs
+  WHERE phrase_freq > 0
+)
+SELECT w.doc_id, round(w.qs * 1.0 + coalesce(p.ps, 0) * {_RESCORE_W}, 4) AS score
+FROM win w LEFT JOIN ph p USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+_FSCORE_FIELD, _FSCORE_FACTOR = "n_chars", 0.01
+
+
+def q_function_score(spark, sf_dir):
+    """ES function_score field_value_factor: BM25 x log1p(0.01 x
+    n_chars) — the standard stored-field popularity/length boost."""
+    r = _index_for(spark, sf_dir)
+    return r.function_score(
+        QUERY_FULLSCAN, _FSCORE_FIELD, k=10, modifier="log1p",
+        factor=_FSCORE_FACTOR, round_to=4,
+    )
+
+
+def _sql_function_score() -> str:
+    from esbulk_spark import B, K1
+
+    values = ", ".join(f"('{t}')" for t in analyze_query(QUERY_FULLSCAN))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), norms AS (
+  SELECT doc_id, len(toks) AS dl FROM toks
+), stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM norms
+), qterms(term) AS (
+  VALUES {values}
+), tf AS (
+  SELECT t.doc_id, u.t AS term, count(*) AS tf
+  FROM toks t, unnest(t.toks) AS u(t)
+  WHERE u.t IN (SELECT term FROM qterms)
+  GROUP BY t.doc_id, u.t
+), dict AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), agg AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * {K1 + 1.0}) /
+               (tf.tf + {K1} * ({1.0 - B} + {B} * n.dl / (SELECT avgdl FROM stats)))) AS score
+  FROM tf
+  JOIN dict d USING (term)
+  JOIN norms n USING (doc_id)
+  GROUP BY tf.doc_id
+)
+SELECT a.doc_id,
+       round(a.score * ln(1.0 + coalesce(d.{_FSCORE_FIELD}, 1.0) * {_FSCORE_FACTOR}), 4) AS score
+FROM agg a JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 _BOOSTING_NEG, _BOOSTING_FACTOR = "merge", 0.5
 
 
@@ -2243,6 +2365,8 @@ QUERIES = {
     "suggest_corrections": (q_suggest, _sql_suggest()),
     "more_like_this_topk": (q_more_like_this, _sql_more_like_this()),
     "boosting_query_topk": (q_boosting, _sql_boosting()),
+    "rescore_phrase_topk": (q_rescore, _sql_rescore()),
+    "function_score_topk": (q_function_score, _sql_function_score()),
     "search_after_page2": (q_search_after, _sql_search_after()),
     "terms_agg_by_lang": (q_terms_agg, _sql_terms_agg()),
     "significant_terms_agg": (q_significant_terms, _sql_significant_terms()),

@@ -720,6 +720,17 @@ class IndexReader:
         no longer drives the join with the biggest position lists.
         Join order is invisible to the adjacency math, which addresses
         slots by index (p0..p{n-1}) regardless of join sequence."""
+        out = self._phrase_scores(query)
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _phrase_scores(self, query: str, doc_ids: list[int] | None = None) -> DataFrame:
+        """search_phrase's core: unrounded, un-limited (doc_id,
+        phrase_freq, score) for every phrase match — optionally
+        restricted to ``doc_ids`` (a small candidate set, e.g. a rescore
+        window: the id IN-list pushes into every slot's positions scan,
+        so only the candidates' position lists are ever joined)."""
         from esbulk_spark.functions.analyzer import tokenize_text
         from esbulk_spark.plans.wand import idf as idf_fn
 
@@ -743,6 +754,11 @@ class IndexReader:
         pruned = self._table("positions").filter(
             F.col("bucket").isin(self._buckets(uniq)) & F.col("term").isin(uniq)
         )
+        if doc_ids is not None:
+            ids = [int(i) for i in doc_ids]
+            if not ids:
+                return empty
+            pruned = pruned.filter(F.col("doc_id").isin(ids))
         base = None
         for i in phrase_join_order(terms, dfs):
             p_i = pruned.filter(F.col("term") == terms[i]).select(
@@ -766,17 +782,86 @@ class IndexReader:
         tfn = (tf * (k1 + 1.0)) / (
             tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
         )
-        out = (
-            cand.join(self.norms().select("doc_id", "dl"), "doc_id")
+        return cand.join(self.norms().select("doc_id", "dl"), "doc_id").select(
+            "doc_id", "phrase_freq", (F.lit(sum_idf) * tfn).alias("score")
+        )
+
+    def rescore_phrase(
+        self,
+        query: str,
+        rescore_query: str,
+        k: int = 10,
+        window_size: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES ``rescore`` (score_mode=total): take the top
+        ``window_size`` match-query hits, run the more expensive phrase
+        scorer ONLY over that window, and re-rank by query_weight *
+        original + rescore_weight * phrase score (window docs without
+        the phrase keep their weighted original — ES semantics). The
+        window ids inline as an IN-list literal into the positions
+        scan, so the second pass touches window_size documents' position
+        lists, never the corpus — exactly the two-phase cost model ES
+        rescoring exists for. Both passes publish rounded scores when
+        ``round_to`` is set, so the window cut and the final order are
+        cross-engine stable."""
+        win = self.search(query, k=window_size, round_to=round_to)
+        rows = win.collect()  # <= window_size (doc_id, score) rows
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        ph = self._phrase_scores(
+            rescore_query, doc_ids=[int(r["doc_id"]) for r in rows]
+        ).select("doc_id", F.col("score").alias("__ph"))
+        if round_to is not None:
+            ph = ph.withColumn("__ph", F.round("__ph", round_to))
+        combined = (
+            win.join(ph, "doc_id", "left")
             .select(
                 "doc_id",
-                "phrase_freq",
-                (F.lit(sum_idf) * tfn).alias("score"),
+                (
+                    F.col("score") * float(query_weight)
+                    + F.coalesce(F.col("__ph"), F.lit(0.0))
+                    * float(rescore_weight)
+                ).alias("score"),
             )
         )
-        if round_to is not None:
-            out = out.withColumn("score", F.round("score", round_to))
-        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return topk_deterministic(combined, k, round_to)
+
+    def function_score(
+        self,
+        query: str,
+        field: str,
+        k: int = 10,
+        modifier: str = "log1p",
+        factor: float = 1.0,
+        missing: float = 1.0,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES ``function_score`` with a ``field_value_factor``: multiply
+        each hit's BM25 score by modifier(factor * doc[field]) — the
+        standard recency/popularity boost. Modifiers: ``none``,
+        ``log1p``, ``sqrt`` (the public ES set's most-used members);
+        NULL field values take ``missing``. One column-pruned docs join
+        against the match set, no corpus scan."""
+        mods = {
+            "none": lambda c: c,
+            "log1p": lambda c: F.log1p(c),
+            "sqrt": lambda c: F.sqrt(c),
+        }
+        if modifier not in mods:
+            raise ValueError(f"modifier must be one of {sorted(mods)}: {modifier}")
+        scored = self.score_all(query)
+        val = F.coalesce(
+            F.col(field).cast("double"), F.lit(float(missing))
+        ) * float(factor)
+        boost = mods[modifier](val)
+        out = (
+            scored.join(self.docs().select("doc_id", field), "doc_id")
+            .select("doc_id", (F.col("score") * boost).alias("score"))
+        )
+        return topk_deterministic(out, k, round_to)
 
     # conjunctive-seed gate: when the rarest required term's df is under
     # this bound, its doc-id set is decoded driver-side (one pruned scan

@@ -1191,3 +1191,56 @@ def test_count_and_mget(reader):
     assert [g["_id"] for g in got] == [ids[1], -7, ids[0]]
     assert [g["found"] for g in got] == [True, False, True]
     assert got[0]["_source"] == reader.get_doc(ids[1])["_source"]
+
+
+def test_rescore_and_function_score(spark, tmp_path):
+    """rescore: phrase matches inside the window get boosted, window
+    docs without the phrase keep their weighted original; function_score
+    multiplies BM25 by modifier(factor * field)."""
+    import math
+
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    rows = [
+        (0, "alpha beta gamma", 100),
+        (1, "alpha gamma beta", 100),   # same terms, no "beta gamma" phrase
+        (2, "alpha only here", 10000),  # phrase absent; big boost field
+    ]
+    docs = spark.createDataFrame(rows, "uid long, content string, views long")
+    d = str(tmp_path / "idx_rsc")
+    build_index(
+        spark, docs,
+        IndexConfig(index_dir=d, id_col="uid", n_buckets=4, n_shards=2,
+                    store_positions=True),
+        input_sig="rsc",
+    )
+    r = IndexReader(spark, d)
+    base = {x.doc_id: x.score for x in r.score_all("alpha").collect()}
+    got = {
+        x.doc_id: x.score
+        for x in r.rescore_phrase(
+            "alpha", "beta gamma", window_size=10,
+            query_weight=1.0, rescore_weight=2.0,
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2}  # window preserved, nothing dropped
+    ph0 = {x.doc_id: x.score for x in r.search_phrase("beta gamma", k=10).collect()}
+    assert set(ph0) == {0}
+    assert abs(got[0] - (base[0] + 2.0 * ph0[0])) < 1e-9
+    for i in (1, 2):  # no phrase -> weighted original only
+        assert abs(got[i] - base[i]) < 1e-9
+    # function_score: log1p(0.01 * views) multiplier, exact
+    fs = {
+        x.doc_id: x.score
+        for x in r.function_score("alpha", "views", factor=0.01).collect()
+    }
+    for i, v in ((0, 100), (1, 100), (2, 10000)):
+        assert abs(fs[i] - base[i] * math.log1p(0.01 * v)) < 1e-9
+    # the big-views doc outranks despite equal-or-lower BM25
+    top = max(fs, key=lambda i: fs[i])
+    assert top == 2
+    import pytest
+
+    with pytest.raises(ValueError, match="modifier"):
+        r.function_score("alpha", "views", modifier="square")
