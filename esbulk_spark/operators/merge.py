@@ -114,6 +114,12 @@ def merge_segments(
         "n_buckets": out_cfg.n_buckets,
         "chunk_cap": out_cfg.chunk_cap,
         "block_size": out_cfg.block_size,
+        "text_col": out_cfg.text_col,
+        # positions merge outcome (exact union under the disjoint-range
+        # contract); recorded so has_positions() answers without probing
+        "store_positions": _merge_positions(
+            spark, segment_dirs, out, out_cfg.n_buckets, man
+        ),
         "fingerprint": fp,
     }
     with open(os.path.join(out, STATS_FILE), "w") as f:
@@ -260,20 +266,28 @@ def merge_segments_fast(
     )
     _atomic_write(dictionary, os.path.join(out, "dictionary"), partition_by=["bucket"])
     man.record("dictionary")
-    _merge_positions(spark, segment_dirs, out, stats["n_buckets"], man)
+    merged_pos = _merge_positions(spark, segment_dirs, out, stats["n_buckets"], man)
+    if bool(stats.get("store_positions", False)) != merged_pos:
+        # seg_stats[0]'s flag can disagree with the union outcome (e.g.
+        # mixed segments): rewrite the recorded flag to the truth
+        stats["store_positions"] = merged_pos
+        with open(os.path.join(out, STATS_FILE), "w") as f:
+            json.dump(stats, f, indent=1)
     return stats
 
 
-def _merge_positions(spark, segment_dirs, out, n_buckets, man):
+def _merge_positions(spark, segment_dirs, out, n_buckets, man) -> bool:
     """Carry the opt-in positions table through a merge: disjoint doc
-    ids make it a plain union, re-bucketed for the merged layout."""
+    ids make it a plain union, re-bucketed for the merged layout.
+    Returns whether a merged positions table was written (only when
+    EVERY segment carries one)."""
     from esbulk_spark.plans.build import bucket_col
 
     from pyspark.sql import functions as F
 
     seg_pos = [os.path.join(sd, "positions") for sd in segment_dirs]
     if not all(os.path.exists(p) for p in seg_pos):
-        return
+        return False
     pos = None
     for p in seg_pos:
         d = spark.read.parquet(p)
@@ -283,3 +297,4 @@ def _merge_positions(spark, segment_dirs, out, n_buckets, man):
     ).repartition(n_buckets, "bucket")
     _atomic_write(pos, os.path.join(out, "positions"), partition_by=["bucket"])
     man.record("positions", mode="union")
+    return True

@@ -40,6 +40,7 @@ class StreamingIndexer:
         sort_keys: tuple[str, ...] = ("repo", "path", "commit"),
         n_buckets: int = 8,
         segment_shard_docs: int = 4_000_000,
+        store_positions: bool = False,
     ):
         self.spark = spark
         self.base_dir = base_dir
@@ -47,6 +48,11 @@ class StreamingIndexer:
         self.sort_keys = sort_keys
         self.n_buckets = n_buckets
         self.segment_shard_docs = segment_shard_docs
+        # opt-in positional segments: each micro-batch segment carries a
+        # positions table, and compact()'s merge unions them (disjoint
+        # doc-id ranges make that exact) — phrase queries work on the
+        # streamed index just like the batch one
+        self.store_positions = store_positions
         os.makedirs(self.segments_dir, exist_ok=True)
 
     @property
@@ -96,6 +102,7 @@ class StreamingIndexer:
             n_buckets=self.n_buckets,
             n_shards=max(1, math.ceil(max(n, 1) / self.segment_shard_docs)),
             overwrite=True,
+            store_positions=self.store_positions,
         )
         build_index(self.spark, docs, cfg, input_sig=f"seg{batch_id}:{base}")
 

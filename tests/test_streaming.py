@@ -199,3 +199,55 @@ def test_windowed_counts_streaming_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM win_counts").collect()
     }
     assert got == batch
+
+
+def test_incremental_positions_phrase_on_compacted(spark, tmp_path):
+    """store_positions=True streams positional segments; compact()'s
+    merge unions them (disjoint ids), and phrase search on the merged
+    index matches a token-stream oracle."""
+    from esbulk_spark.functions.analyzer import tokenize_text
+
+    base = str(tmp_path)
+    corpus = synth_corpus(spark, 40, seed=13).cache()
+    rows = corpus.collect()
+    src = f"{base}/incoming"
+    os.makedirs(src)
+    import shutil
+
+    for w in range(2):
+        part = spark.createDataFrame(rows[w * 20: (w + 1) * 20], corpus.schema)
+        part.coalesce(1).write.mode("overwrite").parquet(f"{base}/wv{w}")
+        for f in os.listdir(f"{base}/wv{w}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{base}/wv{w}/{f}", f"{src}/w{w}.parquet")
+
+    indexer = StreamingIndexer(
+        spark, f"{base}/stream_pos", n_buckets=8, store_positions=True
+    )
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = indexer.start(stream, f"{base}/ckpt_pos", available_now=True)
+    q.awaitTermination(300)
+    for s in indexer.segment_dirs():
+        assert IndexReader(spark, s).has_positions()
+
+    indexer.compact(f"{base}/compacted_pos")
+    r = IndexReader(spark, f"{base}/compacted_pos")
+    assert r.has_positions() and r.stats["store_positions"] is True
+
+    # phrase oracle: bigrams of the analyzed token stream per doc
+    docs = {x["doc_id"]: x["content"] for x in r.docs().collect()}
+    for phrase in [("return", "self"), ("def", "get")]:
+        want = set()
+        for i, c in docs.items():
+            ts = tokenize_text(c)
+            if any(a == phrase[0] and b == phrase[1] for a, b in zip(ts, ts[1:])):
+                want.add(i)
+        got = {
+            x.doc_id
+            for x in r.search_phrase(" ".join(phrase), k=100).collect()
+        }
+        assert got == want, phrase
