@@ -384,13 +384,17 @@ def _cmd_search(spark, args) -> int:
             file=sys.stderr,
         )
         return 2
-    if (
-        getattr(args, "format", "jsonl") == "es"
-        and args.mode not in ("wand", "fullscan")
+    if getattr(args, "format", "jsonl") == "es" and (
+        args.mode not in ("wand", "fullscan") or search_after is not None
     ):
+        what = (
+            "--search-after paging"
+            if search_after is not None
+            else f"--mode {args.mode}"
+        )
         print(
             f"error: --format es renders the match-query response; "
-            f"--mode {args.mode} emits jsonl rows",
+            f"{what} emits jsonl rows",
             file=sys.stderr,
         )
         return 2

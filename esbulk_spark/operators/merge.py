@@ -115,11 +115,15 @@ def merge_segments(
         "chunk_cap": out_cfg.chunk_cap,
         "block_size": out_cfg.block_size,
         "text_col": out_cfg.text_col,
-        # positions merge outcome (exact union under the disjoint-range
-        # contract); recorded so has_positions() answers without probing
+        # positions outcome: merged from segments (exact union under the
+        # disjoint-range contract), OR rebuilt from content by the
+        # build_index positions stage when the caller's cfg asks for
+        # positions the segments don't carry. Recorded so
+        # has_positions() answers without probing.
         "store_positions": _merge_positions(
             spark, segment_dirs, out, out_cfg.n_buckets, man
-        ),
+        )
+        or bool(out_cfg.store_positions),
         "fingerprint": fp,
     }
     with open(os.path.join(out, STATS_FILE), "w") as f:

@@ -804,15 +804,24 @@ class IndexReader:
         window ids inline as an IN-list literal into the positions
         scan, so the second pass touches window_size documents' position
         lists, never the corpus — exactly the two-phase cost model ES
-        rescoring exists for. Both passes publish rounded scores when
-        ``round_to`` is set, so the window cut and the final order are
-        cross-engine stable."""
-        win = self.search(query, k=window_size, round_to=round_to)
-        rows = win.collect()  # <= window_size (doc_id, score) rows
+        rescoring exists for. With ``k > window_size``, hits past the
+        window keep their ORIGINAL unweighted score (ES backfill
+        semantics). Both passes publish rounded scores when ``round_to``
+        is set, so the window cut and the final order are cross-engine
+        stable. The first pass runs ONCE: its collected top rows rebuild
+        as a local DataFrame instead of re-executing the scoring plan."""
+        rows = self.search(
+            query, k=max(k, window_size), round_to=round_to
+        ).collect()
         if not rows:
             return self.spark.createDataFrame([], "doc_id long, score double")
+        win_rows = rows[:window_size]
+        win = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in win_rows],
+            "doc_id long, score double",
+        )
         ph = self._phrase_scores(
-            rescore_query, doc_ids=[int(r["doc_id"]) for r in rows]
+            rescore_query, doc_ids=[int(r["doc_id"]) for r in win_rows]
         ).select("doc_id", F.col("score").alias("__ph"))
         if round_to is not None:
             ph = ph.withColumn("__ph", F.round("__ph", round_to))
@@ -827,6 +836,14 @@ class IndexReader:
                 ).alias("score"),
             )
         )
+        tail = rows[window_size:]
+        if tail:  # beyond-window hits: original scores, unmodified (ES)
+            combined = combined.unionByName(
+                self.spark.createDataFrame(
+                    [(int(r["doc_id"]), float(r["score"])) for r in tail],
+                    "doc_id long, score double",
+                )
+            )
         return topk_deterministic(combined, k, round_to)
 
     def function_score(
@@ -843,8 +860,11 @@ class IndexReader:
         each hit's BM25 score by modifier(factor * doc[field]) — the
         standard recency/popularity boost. Modifiers: ``none``,
         ``log1p``, ``sqrt`` (the public ES set's most-used members);
-        NULL field values take ``missing``. One column-pruned docs join
-        against the match set, no corpus scan."""
+        NULL field values take ``missing``. Rows whose modifier output
+        is NaN/NULL (negative inputs to sqrt/log1p — ES throws at query
+        time) are DROPPED rather than silently ranked (Spark sorts NaN
+        above every number in a descending sort). One column-pruned
+        docs join against the match set, no corpus scan."""
         mods = {
             "none": lambda c: c,
             "log1p": lambda c: F.log1p(c),
@@ -860,6 +880,7 @@ class IndexReader:
         out = (
             scored.join(self.docs().select("doc_id", field), "doc_id")
             .select("doc_id", (F.col("score") * boost).alias("score"))
+            .filter(F.col("score").isNotNull() & ~F.isnan("score"))
         )
         return topk_deterministic(out, k, round_to)
 
