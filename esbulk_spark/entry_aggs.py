@@ -1,0 +1,326 @@
+"""Graded driver-contract entries for the ES aggregation framework
+(esbulk_spark/plans/aggs.py) — each Spark plan paired with a DuckDB
+oracle over the same parquet tables.
+
+ES reference behavior modeled: the _search aggregations body served by
+the cluster esbulk feeds (date_histogram / histogram / range / filters /
+composite / terms+sub-metrics / stats / extended_stats / percentiles /
+cardinality / top_hits). Reference parity point: esbulk verifies ingest
+via the same ES endpoints these aggs ride on (run_test.go hits _search
+and _count after bulk indexing).
+
+Rounding conventions match entry_queries.py: computed floats rounded to
+a fixed dp on BOTH sides; every bucket ordering is total (key-asc or
+count-desc with key tie-break)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esbulk_spark.plans import aggs as A
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ------------------------------------------------- date_histogram (1d)
+
+
+def q_agg_date_histogram(spark, sf_dir):
+    return A.compile_aggs(
+        _t(spark, sf_dir, "events"),
+        {
+            "by_day": {
+                "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+                "aggs": {"avg_value": {"avg": {"field": "value"}}},
+            }
+        },
+    )
+
+
+SQL_AGG_DATE_HISTOGRAM = """
+SELECT (floor(epoch(ts) / 86400))::BIGINT * 86400 AS key,
+       count(*) AS doc_count,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------- histogram (numeric)
+
+
+def q_agg_histogram_price(spark, sf_dir):
+    return A.compile_aggs(
+        _t(spark, sf_dir, "orders"),
+        {"price_hist": {"histogram": {"field": "o_totalprice", "interval": 25000}}},
+    )
+
+
+SQL_AGG_HISTOGRAM_PRICE = """
+SELECT floor(o_totalprice / 25000) * 25000 AS key, count(*) AS doc_count
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------- range buckets
+
+
+def q_agg_range_quantity(spark, sf_dir):
+    return A.compile_aggs(
+        _t(spark, sf_dir, "lineitem"),
+        {
+            "qty_ranges": {
+                "range": {
+                    "field": "l_quantity",
+                    "ranges": [
+                        {"to": 10, "key": "low"},
+                        {"from": 10, "to": 25, "key": "mid"},
+                        {"from": 25, "key": "high"},
+                    ],
+                },
+                "aggs": {"avg_price": {"avg": {"field": "l_extendedprice"}}},
+            }
+        },
+    )
+
+
+SQL_AGG_RANGE_QUANTITY = """
+SELECT CASE WHEN l_quantity < 10 THEN 'low'
+            WHEN l_quantity >= 10 AND l_quantity < 25 THEN 'mid'
+            ELSE 'high' END AS key,
+       count(*) AS doc_count,
+       round(avg(l_extendedprice), 4) AS avg_price
+FROM lineitem GROUP BY 1 ORDER BY key
+"""
+
+
+# ------------------------------------------------- extended_stats
+
+
+def q_agg_extended_stats(spark, sf_dir):
+    return A.compile_aggs(
+        _t(spark, sf_dir, "lineitem"),
+        {"qty": {"extended_stats": {"field": "l_quantity"}}},
+    )
+
+
+SQL_AGG_EXTENDED_STATS = """
+SELECT count(l_quantity) AS qty_count,
+       round(min(l_quantity), 4) AS qty_min,
+       round(max(l_quantity), 4) AS qty_max,
+       round(avg(l_quantity), 4) AS qty_avg,
+       round(sum(l_quantity), 4) AS qty_sum,
+       round(var_pop(l_quantity), 4) AS qty_variance,
+       round(stddev_pop(l_quantity), 4) AS qty_std_deviation
+FROM lineitem
+"""
+
+
+# ------------------------------------------------- percentiles (exact)
+
+
+def q_agg_percentiles(spark, sf_dir):
+    return A.compile_aggs(
+        _t(spark, sf_dir, "orders"),
+        {
+            "price": {
+                "percentiles": {
+                    "field": "o_totalprice",
+                    "percents": [25.0, 50.0, 75.0, 99.0],
+                }
+            }
+        },
+        round_to=2,
+    )
+
+
+SQL_AGG_PERCENTILES = """
+SELECT round(quantile_cont(o_totalprice, 0.25), 2) AS price_p25,
+       round(quantile_cont(o_totalprice, 0.50), 2) AS price_p50,
+       round(quantile_cont(o_totalprice, 0.75), 2) AS price_p75,
+       round(quantile_cont(o_totalprice, 0.99), 2) AS price_p99
+FROM orders
+"""
+
+
+# ------------------------------------------------- cardinality per bucket
+
+
+def q_agg_cardinality(spark, sf_dir):
+    return A.compile_aggs(
+        _t(spark, sf_dir, "events"),
+        {
+            "by_type": {
+                "terms": {"field": "event_type"},
+                "aggs": {"users": {"cardinality": {"field": "user_id"}}},
+            }
+        },
+    )
+
+
+SQL_AGG_CARDINALITY = """
+SELECT event_type AS key, count(*) AS doc_count,
+       count(DISTINCT user_id) AS users
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------- terms + sub-metrics, count-desc
+
+
+def q_agg_terms_subagg(spark, sf_dir):
+    return A.compile_aggs(
+        _t(spark, sf_dir, "events"),
+        {
+            "by_type": {
+                "terms": {"field": "event_type", "order": "count_desc", "size": 5},
+                "aggs": {
+                    "avg_value": {"avg": {"field": "value"}},
+                    "sum_value": {"sum": {"field": "value"}},
+                },
+            }
+        },
+    )
+
+
+SQL_AGG_TERMS_SUBAGG = """
+SELECT event_type AS key, count(*) AS doc_count,
+       round(avg(value), 4) AS avg_value,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 5
+"""
+
+
+# ------------------------------------------------- filters agg
+
+
+def q_agg_filters(spark, sf_dir):
+    return A.compile_aggs(
+        _t(spark, sf_dir, "events"),
+        {
+            "named": {
+                "filters": {
+                    "filters": {
+                        "clicks": "event_type = 'click'",
+                        "errors": "event_type = 'error'",
+                        "high_value": "value > 250.0",
+                    }
+                }
+            }
+        },
+    )
+
+
+SQL_AGG_FILTERS = """
+SELECT 'clicks' AS key, count(*) FILTER (event_type = 'click') AS doc_count FROM events
+UNION ALL
+SELECT 'errors', count(*) FILTER (event_type = 'error') FROM events
+UNION ALL
+SELECT 'high_value', count(*) FILTER (value > 250.0) FROM events
+ORDER BY key
+"""
+
+
+# ------------------------------------------------- composite paging
+
+
+_COMPOSITE_AFTER = ["en", "src12"]
+
+
+def q_agg_composite(spark, sf_dir):
+    return A.compile_aggs(
+        _t(spark, sf_dir, "documents"),
+        {
+            "pages": {
+                "composite": {
+                    "sources": [
+                        {"lang": {"terms": {"field": "lang"}}},
+                        {"source": {"terms": {"field": "source"}}},
+                    ],
+                    "size": 5,
+                    "after": _COMPOSITE_AFTER,
+                }
+            }
+        },
+    )
+
+
+SQL_AGG_COMPOSITE = f"""
+SELECT lang, source, count(*) AS doc_count
+FROM documents
+GROUP BY lang, source
+HAVING (lang > '{_COMPOSITE_AFTER[0]}')
+    OR (lang = '{_COMPOSITE_AFTER[0]}' AND source > '{_COMPOSITE_AFTER[1]}')
+ORDER BY lang, source LIMIT 5
+"""
+
+
+# ------------------------------------------------- nested bucket (terms x day)
+
+
+def q_agg_nested_type_day(spark, sf_dir):
+    return A.compile_aggs(
+        _t(spark, sf_dir, "events"),
+        {
+            "by_type": {
+                "terms": {"field": "event_type"},
+                "aggs": {
+                    "by_day": {
+                        "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+                        "aggs": {"avg_value": {"avg": {"field": "value"}}},
+                    }
+                },
+            }
+        },
+    )
+
+
+SQL_AGG_NESTED = """
+SELECT event_type AS key,
+       (floor(epoch(ts) / 86400))::BIGINT * 86400 AS key_2,
+       count(*) AS doc_count,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ------------------------------------------------- top_hits
+
+
+def q_agg_top_hits(spark, sf_dir):
+    return A.top_hits(
+        _t(spark, sf_dir, "documents"),
+        group_field="lang",
+        sort=[("n_chars", "desc"), ("doc_id", "asc")],
+        size=2,
+        select=["doc_id", "n_chars"],
+    )
+
+
+SQL_AGG_TOP_HITS = """
+SELECT lang, hit_rank, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS hit_rank
+  FROM documents
+) WHERE hit_rank <= 2 ORDER BY lang, hit_rank
+"""
+
+
+AGG_QUERIES = {
+    "agg_date_histogram": (q_agg_date_histogram, SQL_AGG_DATE_HISTOGRAM),
+    "agg_histogram_price": (q_agg_histogram_price, SQL_AGG_HISTOGRAM_PRICE),
+    "agg_range_quantity": (q_agg_range_quantity, SQL_AGG_RANGE_QUANTITY),
+    "agg_extended_stats": (q_agg_extended_stats, SQL_AGG_EXTENDED_STATS),
+    "agg_percentiles": (q_agg_percentiles, SQL_AGG_PERCENTILES),
+    "agg_cardinality_by_type": (q_agg_cardinality, SQL_AGG_CARDINALITY),
+    "agg_terms_subagg": (q_agg_terms_subagg, SQL_AGG_TERMS_SUBAGG),
+    "agg_filters_named": (q_agg_filters, SQL_AGG_FILTERS),
+    "agg_composite_page": (q_agg_composite, SQL_AGG_COMPOSITE),
+    "agg_nested_type_day": (q_agg_nested_type_day, SQL_AGG_NESTED),
+    "agg_top_hits_per_lang": (q_agg_top_hits, SQL_AGG_TOP_HITS),
+}

@@ -2406,3 +2406,8 @@ QUERIES = {
     "topk_orders_window": (q_topk_window, SQL_TOPK_WINDOW),
     "join_customer_nation_region": (q_join_dims, SQL_JOIN_DIMS),
 }
+
+# ES aggregation framework entries (esbulk_spark/entry_aggs.py)
+from esbulk_spark.entry_aggs import AGG_QUERIES  # noqa: E402
+
+QUERIES.update(AGG_QUERIES)

