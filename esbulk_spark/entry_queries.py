@@ -449,6 +449,68 @@ def q_phrase_hot(spark, sf_dir):
     return r.search_phrase(" ".join(PHRASE_HOT), k=10, round_to=4)
 
 
+QS_QUERY = 'table AND (part OR value) -window'
+
+
+def q_query_string(spark, sf_dir):
+    """ES query_string query: the Lucene mini-language parsed and
+    compiled onto the bool/postings machinery
+    (plans/querystring.py). This fixed query is semantically a bool
+    query (must=table, should=[part,value] with minimum_should_match=1,
+    must_not=[window]) — the oracle reuses the bool-query SQL."""
+    r = _index_for(spark, sf_dir)
+    return r.search_query_string(QS_QUERY, k=10, round_to=4)
+
+
+SLOP_TERMS = ("table", "part", "value")  # loose trigram; see q_phrase_slop
+SLOP = 2
+
+
+def q_phrase_slop(spark, sf_dir):
+    """ES match_phrase with slop: tokens in order, total positional
+    displacement (sum over consecutive pairs of |gap-1|) <= slop.
+    sloppy_freq = distinct starting positions admitting a chain; BM25
+    with tf = sloppy_freq (plans/reader.py search_phrase_sloppy)."""
+    r = _index_for(spark, sf_dir)
+    return r.search_phrase_sloppy(" ".join(SLOP_TERMS), slop=SLOP, k=10, round_to=4)
+
+
+def _sql_phrase_slop(terms: tuple[str, str, str] = SLOP_TERMS, slop: int = SLOP) -> str:
+    t1, t2, t3 = terms
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+dfs AS (SELECT
+   (SELECT count(*) FROM toks WHERE list_contains(t, '{t1}')) AS df1,
+   (SELECT count(*) FROM toks WHERE list_contains(t, '{t2}')) AS df2,
+   (SELECT count(*) FROM toks WHERE list_contains(t, '{t3}')) AS df3),
+pos AS (
+  SELECT doc_id, len(t) AS dl,
+     list_filter(range(1, len(t)+1), i -> t[i] = '{t1}') AS p1,
+     list_filter(range(1, len(t)+1), i -> t[i] = '{t2}') AS p2,
+     list_filter(range(1, len(t)+1), i -> t[i] = '{t3}') AS p3
+  FROM toks
+),
+sf AS (
+  SELECT doc_id, dl,
+    len(list_filter(p1, a -> len(list_filter(p2, b -> abs(b-a-1) <= {slop} AND
+         len(list_filter(p3, c -> abs(b-a-1) + abs(c-b-1) <= {slop})) > 0)) > 0))
+    AS sloppy_freq
+  FROM pos
+)
+SELECT doc_id, CAST(sloppy_freq AS INT) AS sloppy_freq,
+       round((ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+              + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+              + ln(1 + (n_docs - df3 + 0.5) / (df3 + 0.5)))
+             * (sloppy_freq * ({K1} + 1)) /
+               (sloppy_freq + {K1} * (1 - {B} + {B} * dl / avgdl)), 4) AS score
+FROM sf, stats, dfs
+WHERE sloppy_freq > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def _sql_phrase(pair: tuple[str, str] = PHRASE_QUERY) -> str:
     t1, t2 = pair
     return f"""
@@ -2344,6 +2406,12 @@ QUERIES = {
     "bm25_batch_many": (q_bm25_batch, _sql_bm25_batch()),
     "phrase_match_topk": (q_phrase, _sql_phrase()),
     "phrase_hot_first_topk": (q_phrase_hot, _sql_phrase(PHRASE_HOT)),
+    "phrase_slop_topk": (q_phrase_slop, _sql_phrase_slop()),
+    "query_string_topk": (
+        q_query_string,
+        _sql_bool(must_q=("table",), should_q=("part", "value"),
+                  not_q=("window",), msm=1),
+    ),
     "prefix_query_topk": (q_prefix, _sql_prefix()),
     "fuzzy_query_topk": (q_fuzzy, _sql_fuzzy()),
     "wildcard_query_topk": (q_wildcard, _sql_wildcard()),

@@ -725,6 +725,111 @@ class IndexReader:
             out = out.withColumn("score", F.round("score", round_to))
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_phrase_sloppy(
+        self, query: str, slop: int, k: int = 10, round_to: int | None = None
+    ) -> DataFrame:
+        """match_phrase with ``slop``: docs where the query's analyzed
+        tokens appear in order with total positional displacement
+        <= slop (sum over consecutive slot pairs of |gap - 1|; slop=0
+        is the exact phrase, a transposed pair costs 2 — the public
+        Lucene edit-distance framing of sloppy matching).
+
+        ``sloppy_freq`` counts DISTINCT starting positions that admit at
+        least one valid chain. Documented divergences from Lucene's
+        SloppyPhraseScorer (both consistent with the oracle): freq is a
+        plain count, not Lucene's 1/(1+matchLength) weighting, and
+        repeated query terms may align to the same occurrence.
+
+        Plan: each slot's pruned positions explode to (doc_id, pos)
+        rows, then a dynamic program runs down the phrase — join slot
+        i on doc_id, accumulate cost, filter > slop, and collapse to
+        min-cost per (doc_id, start, pos_i). After the first hash
+        exchange on doc_id every join and groupBy is co-located
+        (grouping keys ⊇ doc_id), so the chain adds no further
+        shuffles; per-step state is bounded by |positions(slot_0)| x
+        |positions(slot_i)| per doc. Scoring = BM25 with
+        tf = sloppy_freq, idf = sum of slot idfs (as search_phrase)."""
+        from esbulk_spark.functions.analyzer import tokenize_text
+
+        terms = tokenize_text(query)
+        if terms and (len(terms) == 1 or slop <= 0):
+            out = self.search_phrase(query, k=k, round_to=round_to)
+            return out.withColumnRenamed("phrase_freq", "sloppy_freq")
+        out = self._sloppy_scores(query, slop)
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _sloppy_scores(self, query: str, slop: int) -> DataFrame:
+        """search_phrase_sloppy's core: unrounded, un-limited
+        (doc_id, sloppy_freq, score) for every sloppy-phrase match."""
+        from esbulk_spark.functions.analyzer import tokenize_text
+
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, sloppy_freq int, score double"
+        )
+        terms = tokenize_text(query)
+        if not terms:
+            return empty
+        uniq = sorted(set(terms))
+        dfs = self._dfs_cached(uniq)
+        if any(t not in dfs for t in uniq):
+            return empty
+        if not self.has_positions():
+            raise ValueError(
+                "sloppy phrase search needs a positions table (rebuild "
+                "with IndexConfig(store_positions=True))"
+            )
+        pruned = self._table("positions").filter(
+            F.col("bucket").isin(self._buckets(uniq)) & F.col("term").isin(uniq)
+        )
+
+        def slot(i: int, name: str) -> DataFrame:
+            return pruned.filter(F.col("term") == terms[i]).select(
+                "doc_id", F.explode("positions").alias(name)
+            )
+
+        base = slot(0, "q0").select(
+            "doc_id", "q0", F.col("q0").alias("prev"), F.lit(0).alias("cost")
+        )
+        base = base.repartition("doc_id")
+        for i in range(1, len(terms)):
+            base = (
+                base.join(slot(i, f"q{i}"), "doc_id")
+                .withColumn(
+                    "cost",
+                    F.col("cost") + F.abs(F.col(f"q{i}") - F.col("prev") - 1),
+                )
+                .filter(F.col("cost") <= slop)
+                .groupBy("doc_id", "q0", f"q{i}")
+                .agg(F.min("cost").alias("cost"))
+                .withColumn("prev", F.col(f"q{i}"))
+            )
+        cand = base.groupBy("doc_id").agg(
+            F.count_distinct("q0").cast("int").alias("sloppy_freq")
+        )
+        return self._score_phrase_cand(cand, terms, dfs, freq_col="sloppy_freq")
+
+    def _score_phrase_cand(
+        self, cand: DataFrame, terms: list[str], dfs: dict[str, int],
+        freq_col: str = "phrase_freq",
+    ) -> DataFrame:
+        """BM25 over a (doc_id, freq) candidate set with idf = sum of
+        per-slot idfs — the shared scoring tail of the exact and sloppy
+        phrase paths (Lucene PhraseQuery scoring, public)."""
+        from esbulk_spark.plans.wand import idf as idf_fn
+
+        sum_idf = float(sum(idf_fn(dfs[t], self.n_docs) for t in terms))
+        st = self.stats
+        k1, b, avgdl = st["k1"], st["b"], st["avgdl"]
+        tf = F.col(freq_col).cast("double")
+        tfn = (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+        )
+        return cand.join(self.norms().select("doc_id", "dl"), "doc_id").select(
+            "doc_id", freq_col, (F.lit(sum_idf) * tfn).alias("score")
+        )
+
     def _phrase_scores(self, query: str, doc_ids: list[int] | None = None) -> DataFrame:
         """search_phrase's core: unrounded, un-limited (doc_id,
         phrase_freq, score) for every phrase match — optionally
@@ -732,7 +837,6 @@ class IndexReader:
         window: the id IN-list pushes into every slot's positions scan,
         so only the candidates' position lists are ever joined)."""
         from esbulk_spark.functions.analyzer import tokenize_text
-        from esbulk_spark.plans.wand import idf as idf_fn
 
         empty = self.spark.createDataFrame(
             [], "doc_id long, phrase_freq int, score double"
@@ -775,16 +879,7 @@ class IndexReader:
             .filter(F.col("phrase_freq") > 0)
             .select("doc_id", "phrase_freq")
         )
-        sum_idf = float(sum(idf_fn(dfs[t], self.n_docs) for t in terms))
-        st = self.stats
-        k1, b, avgdl = st["k1"], st["b"], st["avgdl"]
-        tf = F.col("phrase_freq").cast("double")
-        tfn = (tf * (k1 + 1.0)) / (
-            tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
-        )
-        return cand.join(self.norms().select("doc_id", "dl"), "doc_id").select(
-            "doc_id", "phrase_freq", (F.lit(sum_idf) * tfn).alias("score")
-        )
+        return self._score_phrase_cand(cand, terms, dfs)
 
     def rescore_phrase(
         self,
@@ -1118,6 +1213,23 @@ class IndexReader:
             allowed = self.docs().filter(filter).select("doc_id")
             out = out.join(allowed, "doc_id", "left_semi")
         return topk_deterministic(out, k, round_to)
+
+    def search_query_string(
+        self,
+        q: str,
+        k: int = 10,
+        round_to: int | None = None,
+        default_operator: str = "OR",
+    ) -> DataFrame:
+        """ES query_string query: Lucene mini-language (AND/OR/NOT,
+        +/-, "phrase"~slop, prefix*/wild?card, parentheses,
+        field:term) parsed and compiled onto the pruned-postings
+        search machinery — see plans/querystring.py."""
+        from esbulk_spark.plans.querystring import search_query_string
+
+        return search_query_string(
+            self, q, k=k, round_to=round_to, default_operator=default_operator
+        )
 
     def _decode_to_rows(self, terms: list[str], doc_filter=None) -> DataFrame:
         """Decode pruned postings chunks -> (term, doc_id, contrib) rows.

@@ -1244,3 +1244,48 @@ def test_rescore_and_function_score(spark, tmp_path):
 
     with pytest.raises(ValueError, match="modifier"):
         r.function_score("alpha", "views", modifier="square")
+
+
+def test_sloppy_phrase_semantics(spark, tmp_path):
+    """match_phrase with slop: in-order chains whose cumulative
+    |gap-1| displacement <= slop. slop=0 == exact phrase; a transposed
+    pair needs slop 2; sloppy_freq counts distinct chain starts."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    rows = [
+        (0, "merge sort join"),            # exact
+        (1, "merge big sort join"),        # one gap   -> cost 1
+        (2, "sort merge join here"),       # transposed pair
+        (3, "merge big big sort join"),    # two gaps  -> cost 2
+        (4, "join sort merge"),            # fully reversed
+        (5, "merge sort small merge sort"),  # two chain starts
+    ]
+    docs = spark.createDataFrame(rows, "uid long, content string")
+    d = str(tmp_path / "idx_slop")
+    cfg = IndexConfig(index_dir=d, id_col="uid", n_buckets=4, n_shards=2,
+                      store_positions=True)
+    build_index(spark, docs, cfg, input_sig="slop")
+    r = IndexReader(spark, d)
+
+    def ids(q, slop, col="sloppy_freq"):
+        return {x.doc_id: x[col] for x in r.search_phrase_sloppy(q, slop=slop).collect()}
+
+    # slop=0 routes to the exact path (renamed freq column)
+    exact = ids("merge sort join", 0)
+    assert set(exact) == {0}
+    # slop=1 admits one inserted token
+    assert set(ids("merge sort join", 1)) == {0, 1}
+    # slop=2 admits two gaps; the transposed leading pair displaces the
+    # following slot too under the consecutive-gap metric (cost 2+1=3)
+    assert set(ids("merge sort join", 2)) == {0, 1, 3}
+    assert set(ids("merge sort join", 3)) == {0, 1, 2, 3}
+    # transposition costs exactly 2: "sort merge" as query, doc 0 has
+    # "merge sort" -> needs slop 2
+    assert 0 not in ids("sort merge", 1)
+    assert 0 in ids("sort merge", 2)
+    # distinct chain starts counted once each
+    assert ids("merge sort", 0)[5] == 2
+    # exact phrase_freq agrees with search_phrase for slop=0
+    ref = {x.doc_id: x.phrase_freq for x in r.search_phrase("merge sort").collect()}
+    assert ids("merge sort", 0) == ref
