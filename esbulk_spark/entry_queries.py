@@ -449,6 +449,52 @@ def q_phrase_hot(spark, sf_dir):
     return r.search_phrase(" ".join(PHRASE_HOT), k=10, round_to=4)
 
 
+def q_stem_variants(spark, sf_dir):
+    """S-stemmer rendering identity: stem every distinct corpus token
+    plus its constructed -s / -ies variants (the corpus vocabulary has
+    no plurals, so the variants exercise all three rules) — the Spark
+    Catalyst rendering must match the DuckDB CASE rendering exactly
+    (functions/analyzer.py stem_s*)."""
+    from esbulk_spark.functions.analyzer import stem_s_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens_col(F.col("text"))).alias("token")
+    ).distinct()
+    return toks.select(
+        "token",
+        stem_s_col(F.col("token")).alias("stem0"),
+        stem_s_col(F.concat(F.col("token"), F.lit("s"))).alias("stem_s"),
+        stem_s_col(F.concat(F.col("token"), F.lit("ies"))).alias("stem_ies"),
+    ).orderBy("token")
+
+
+def _sql_stem_variants() -> str:
+    from esbulk_spark.functions.analyzer import duckdb_stem_sql
+
+    return f"""
+WITH toks AS (SELECT DISTINCT unnest({TOKS}) AS token FROM documents)
+SELECT token,
+       {duckdb_stem_sql("token")} AS stem0,
+       {duckdb_stem_sql("(token || 's')")} AS stem_s,
+       {duckdb_stem_sql("(token || 'ies')")} AS stem_ies
+FROM toks ORDER BY token
+"""
+
+
+SYN_MAP = {"merge": ["join"], "fast": ["slow"]}
+SYN_QUERY = "merge fast"
+
+
+def q_synonym_query(spark, sf_dir):
+    """ES query-time synonym expansion: tokens expand to their synonym
+    groups, scored as the BM25 disjunction of the expanded term set
+    (scoring_boolean) — identical to querying the expanded terms
+    directly, which is exactly what the oracle does."""
+    r = _index_for(spark, sf_dir)
+    return r.search_synonyms(SYN_QUERY, SYN_MAP, k=10, round_to=4)
+
+
 QS_QUERY = 'table AND (part OR value) -window'
 
 
@@ -2407,6 +2453,8 @@ QUERIES = {
     "phrase_match_topk": (q_phrase, _sql_phrase()),
     "phrase_hot_first_topk": (q_phrase_hot, _sql_phrase(PHRASE_HOT)),
     "phrase_slop_topk": (q_phrase_slop, _sql_phrase_slop()),
+    "stem_s_variants": (q_stem_variants, _sql_stem_variants()),
+    "synonym_query_topk": (q_synonym_query, _sql_bm25("merge join fast slow")),
     "query_string_topk": (
         q_query_string,
         _sql_bool(must_q=("table",), should_q=("part", "value"),

@@ -229,3 +229,77 @@ def duckdb_tokens_sql(col_expr: str) -> str:
         f"t -> t <> '' AND length(t) <= {MAX_TOKEN_LEN} "
         f"AND t NOT IN ({stop}))"
     )
+
+
+# ---------------------------------------------------------------- stemming
+#
+# Harman S-stemmer (public: Donna Harman, "How Effective Is Suffixing?",
+# JASIS 1991): three ordered plural-stripping rules. Like the tokenizer,
+# it is defined ONCE and rendered three ways (Python / Catalyst SQL /
+# DuckDB SQL) that must agree byte-identically:
+#   1. -ies -> -y      unless the word ends in -eies / -aies
+#   2. -es  -> -e      (drop the s) unless it ends in -aes / -ees / -oes
+#   3. -s   -> drop    unless it ends in -us / -ss, and only for words
+#                      longer than 3 chars (guard added to the public
+#                      rule set so 2-3 letter tokens never shrink)
+# The FIRST matching ending decides: an exception leaves the word
+# unchanged (no fall-through — "goes" and "trees" keep their s).
+
+def stem_s(token: str) -> str:
+    """Pure-Python rendering of the S-stemmer."""
+    t = token
+    if t.endswith("ies"):
+        return t if t.endswith(("eies", "aies")) else t[:-3] + "y"
+    if t.endswith("es"):
+        return t if t.endswith(("aes", "ees", "oes")) else t[:-1]
+    if t.endswith("s"):
+        if t.endswith(("us", "ss")) or len(t) <= 3:
+            return t
+        return t[:-1]
+    return t
+
+
+def stem_s_col(c: Column) -> Column:
+    """Catalyst rendering: per-token S-stemmer expression (usable on a
+    string column or inside a transform lambda) — stays in codegen."""
+    drop = lambda n: F.substr(c, F.lit(1), F.length(c) - n)
+    return (
+        F.when(
+            c.endswith("ies"),
+            F.when(
+                c.endswith("eies") | c.endswith("aies"), c
+            ).otherwise(F.concat(drop(3), F.lit("y"))),
+        )
+        .when(
+            c.endswith("es"),
+            F.when(
+                c.endswith("aes") | c.endswith("ees") | c.endswith("oes"), c
+            ).otherwise(drop(1)),
+        )
+        .when(
+            c.endswith("s"),
+            F.when(
+                c.endswith("us") | c.endswith("ss") | (F.length(c) <= 3), c
+            ).otherwise(drop(1)),
+        )
+        .otherwise(c)
+    )
+
+
+def duckdb_stem_sql(var: str) -> str:
+    """DuckDB rendering of the same rules over the SQL expression
+    ``var`` (oracle side)."""
+    return (
+        f"CASE WHEN {var} LIKE '%ies' THEN "
+        f"(CASE WHEN {var} LIKE '%eies' OR {var} LIKE '%aies' THEN {var} "
+        f"ELSE substr({var}, 1, length({var}) - 3) || 'y' END) "
+        f"WHEN {var} LIKE '%es' THEN "
+        f"(CASE WHEN {var} LIKE '%aes' OR {var} LIKE '%ees' "
+        f"OR {var} LIKE '%oes' THEN {var} "
+        f"ELSE substr({var}, 1, length({var}) - 1) END) "
+        f"WHEN {var} LIKE '%s' THEN "
+        f"(CASE WHEN {var} LIKE '%us' OR {var} LIKE '%ss' "
+        f"OR length({var}) <= 3 THEN {var} "
+        f"ELSE substr({var}, 1, length({var}) - 1) END) "
+        f"ELSE {var} END"
+    )

@@ -696,6 +696,62 @@ class IndexReader:
         dfs = self.expand_prefix(prefix, max_expansions)
         return self._search_expanded(dfs, k, round_to)
 
+    def expand_stem(self, token: str, max_expansions: int = 50) -> dict[str, int]:
+        """Stemming as QUERY-TIME dictionary expansion: every dictionary
+        term whose S-stem equals the query token's S-stem -> df, capped
+        in term order. Stemming at query time over the (tiny) dictionary
+        is the scale-correct design for an existing index — semantics of
+        a stemmed field with zero reindex of the corpus; a greenfield
+        100 TB deployment could still bake stems in at build time."""
+        from esbulk_spark.functions.analyzer import stem_s, stem_s_col
+
+        target = stem_s(token.strip().lower())
+        if not target:
+            return {}
+        return self._expand_terms(
+            stem_s_col(F.col("term")) == F.lit(target), max_expansions
+        )
+
+    def search_stemmed(
+        self, query: str, k: int = 10, round_to: int | None = None,
+        max_expansions: int = 50,
+    ) -> DataFrame:
+        """ES stemmed-match analog (analyzer with an S-stemmer filter):
+        each analyzed query token expands to its stem-equivalence class
+        via expand_stem, and the union scores as a BM25 disjunction with
+        per-term idfs (scoring_boolean rewrite) over the same pruned
+        postings scan every multi-term query uses."""
+        dfs: dict[str, int] = {}
+        for t in analyze_query(query):
+            dfs.update(self.expand_stem(t, max_expansions))
+        return self._search_expanded(dfs, k, round_to)
+
+    def search_synonyms(
+        self,
+        query: str,
+        synonyms: dict[str, list[str]],
+        k: int = 10,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES query-time synonym expansion (`synonym` token filter in
+        the search analyzer): each analyzed query token expands to
+        itself + its mapped synonyms (themselves analyzed; duplicates
+        dropped), then the expanded set scores as the plain BM25
+        disjunction with each term's own idf — ES's scoring_boolean
+        rewrite of synonym expansion. The synonym map is a driver-side
+        dict (ES: index-settings resource); expansion adds zero jobs."""
+        from esbulk_spark.functions.analyzer import tokenize_text
+
+        expanded: list[str] = []
+        for t in analyze_query(query):
+            for cand in (t, *(x for s in synonyms.get(t, ())
+                              for x in tokenize_text(s))):
+                if cand not in expanded:
+                    expanded.append(cand)
+        if not expanded:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(" ".join(expanded), k=k, round_to=round_to)
+
     def search_phrase(
         self, query: str, k: int = 10, round_to: int | None = None
     ) -> DataFrame:

@@ -109,3 +109,56 @@ def test_fast_catalyst_rendering_equals_spec_rendering(spark):
 def test_stopwords_are_lowercase_ascii():
     for w in STOPWORDS:
         assert w == w.lower() and w.isascii()
+
+
+# ---------------------------------------------------------------- stemmer
+
+
+STEM_GOLDENS = [
+    ("tables", "table"), ("queries", "query"), ("values", "value"),
+    ("gas", "gas"), ("class", "class"), ("bus", "bus"),
+    ("boxes", "boxe"),          # weak stemmer: -es drops only the s
+    ("goes", "goes"),           # -oes exception is terminal
+    ("trees", "trees"),         # -ees exception is terminal
+    ("movies", "movy"),         # S-stemmer is aggressive on -ies
+    ("eies", "eies"), ("aies", "aies"),
+    ("ies", "y"), ("as", "as"), ("s", "s"), ("", ""),
+    ("cats", "cat"), ("axes", "axe"), ("dogs", "dog"),
+]
+
+
+def test_stem_goldens():
+    from esbulk_spark.functions.analyzer import stem_s
+
+    for w, want in STEM_GOLDENS:
+        assert stem_s(w) == want, w
+
+
+def test_stem_catalyst_matches_python(spark):
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from esbulk_spark.functions.analyzer import stem_s, stem_s_col
+
+    rng = random.Random(11)
+    words = [w for w, _ in STEM_GOLDENS if w]
+    words += ["".join(rng.choices(string.ascii_lowercase, k=rng.randint(1, 12)))
+              + rng.choice(["", "s", "es", "ies", "ss", "us", "oes"])
+              for _ in range(300)]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = [r.s for r in df.select(stem_s_col(F.col("w")).alias("s")).collect()]
+    assert got == [stem_s(w) for w in words]
+
+
+def test_stem_duckdb_matches_python():
+    import duckdb as _dd
+
+    from esbulk_spark.functions.analyzer import duckdb_stem_sql, stem_s
+
+    con = _dd.connect()
+    for w, want in STEM_GOLDENS:
+        # the rendering repeats its operand; inline a literal, not a `?`
+        got = con.execute(f"SELECT {duckdb_stem_sql(repr(w))}").fetchone()[0]
+        assert got == stem_s(w) == want, w

@@ -1289,3 +1289,38 @@ def test_sloppy_phrase_semantics(spark, tmp_path):
     # exact phrase_freq agrees with search_phrase for slop=0
     ref = {x.doc_id: x.phrase_freq for x in r.search_phrase("merge sort").collect()}
     assert ids("merge sort", 0) == ref
+
+
+def test_stemmed_and_synonym_search(spark, tmp_path):
+    """search_stemmed unifies a stem-equivalence class at query time;
+    search_synonyms scores the expanded disjunction."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    rows = [
+        (0, "merge tables fast"),
+        (1, "merge table slow"),
+        (2, "merge tabless"),      # stems to 'tabless' -> ss is terminal
+        (3, "other words here"),
+        (4, "queries query"),
+    ]
+    docs = spark.createDataFrame(rows, "uid long, content string")
+    d = str(tmp_path / "idx_stem")
+    cfg = IndexConfig(index_dir=d, id_col="uid", n_buckets=4, n_shards=2)
+    build_index(spark, docs, cfg, input_sig="stem")
+    r = IndexReader(spark, d)
+    # 'table' and 'tables' share the stem; 'tabless' does not
+    assert r.expand_stem("table") == {"table": 1, "tables": 1}
+    got = {x.doc_id for x in r.search_stemmed("tables").collect()}
+    assert got == {0, 1}
+    # stem classes are symmetric: singular query finds plural docs
+    assert {x.doc_id for x in r.search_stemmed("query").collect()} == {4}
+    # synonyms: 'fast' expands to 'slow' -> both docs match, and the
+    # result equals querying the expanded set directly
+    syn = {"fast": ["slow"]}
+    a = [(x.doc_id, round(x.score, 6)) for x in r.search_synonyms("fast", syn).collect()]
+    b = [(x.doc_id, round(x.score, 6)) for x in r.search("fast slow").collect()]
+    assert a == b and {d_ for d_, _ in a} == {0, 1}
+    # unmapped tokens pass through unchanged
+    c = [(x.doc_id, round(x.score, 6)) for x in r.search_synonyms("merge", syn).collect()]
+    assert c == [(x.doc_id, round(x.score, 6)) for x in r.search("merge").collect()]
