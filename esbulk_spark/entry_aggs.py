@@ -311,6 +311,137 @@ SELECT lang, hit_rank, doc_id, n_chars FROM (
 """
 
 
+# ------------------------------------------------- pipeline aggs
+
+
+def q_agg_pipeline_cumsum(spark, sf_dir):
+    """Daily value sums + derivative + cumulative_sum pipeline aggs
+    (ES derivative/cumulative_sum over a date_histogram parent)."""
+    buckets = A.compile_aggs(
+        _t(spark, sf_dir, "events"),
+        {
+            "by_day": {
+                "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+                "aggs": {"total": {"sum": {"field": "value"}}},
+            }
+        },
+    )
+    return A.pipeline_aggs(
+        buckets,
+        {
+            "deriv": {"derivative": {"buckets_path": "total"}},
+            "running": {"cumulative_sum": {"buckets_path": "total"}},
+        },
+    )
+
+
+SQL_AGG_PIPELINE_CUMSUM = """
+WITH b AS (
+  SELECT (floor(epoch(ts) / 86400))::BIGINT * 86400 AS key,
+         count(*) AS doc_count,
+         round(sum(value), 4) AS total
+  FROM events GROUP BY 1
+)
+SELECT key, doc_count, total,
+       round(total - lag(total) OVER (ORDER BY key), 4) AS deriv,
+       round(sum(total) OVER (ORDER BY key
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+FROM b ORDER BY key
+"""
+
+
+def q_agg_moving_fn(spark, sf_dir):
+    """moving_fn unweightedAvg (window=3, shift=0 — ES default excludes
+    the current bucket) over daily doc_count."""
+    buckets = A.compile_aggs(
+        _t(spark, sf_dir, "events"),
+        {"by_day": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}}},
+    )
+    return A.pipeline_aggs(
+        buckets,
+        {"mov3": {"moving_fn": {"buckets_path": "doc_count", "window": 3,
+                                "script": "MovingFunctions.unweightedAvg"}}},
+    )
+
+
+SQL_AGG_MOVING_FN = """
+WITH b AS (
+  SELECT (floor(epoch(ts) / 86400))::BIGINT * 86400 AS key,
+         count(*) AS doc_count
+  FROM events GROUP BY 1
+)
+SELECT key, doc_count,
+       round(avg(doc_count) OVER (ORDER BY key
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS mov3
+FROM b ORDER BY key
+"""
+
+
+def q_agg_bucket_script_selector(spark, sf_dir):
+    """bucket_script per-bucket ratio feeding a bucket_selector filter
+    (ES pipeline DAG: script output usable by later pipelines)."""
+    buckets = A.compile_aggs(
+        _t(spark, sf_dir, "events"),
+        {
+            "by_type": {
+                "terms": {"field": "event_type"},
+                "aggs": {"total": {"sum": {"field": "value"}}},
+            }
+        },
+    )
+    return A.pipeline_aggs(
+        buckets,
+        {
+            "per_doc": {"bucket_script": {
+                "buckets_path": {"t": "total", "n": "doc_count"},
+                "script": "params.t / params.n"}},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"p": "per_doc"},
+                "script": "params.p > 0"}},
+        },
+    )
+
+
+SQL_AGG_BUCKET_SCRIPT = """
+WITH b AS (
+  SELECT event_type AS key, count(*) AS doc_count,
+         round(sum(value), 4) AS total
+  FROM events GROUP BY 1
+)
+SELECT key, doc_count, total,
+       round(total / doc_count, 4) AS per_doc
+FROM b WHERE round(total / doc_count, 4) > 0 ORDER BY key
+"""
+
+
+def q_agg_stats_bucket(spark, sf_dir):
+    """stats_bucket sibling pipeline: one row summarizing the daily sum
+    metric across all date_histogram buckets."""
+    buckets = A.compile_aggs(
+        _t(spark, sf_dir, "events"),
+        {
+            "by_day": {
+                "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+                "aggs": {"total": {"sum": {"field": "value"}}},
+            }
+        },
+    )
+    return A.sibling_bucket_agg(buckets, "stats_bucket", "total")
+
+
+SQL_AGG_STATS_BUCKET = """
+WITH b AS (
+  SELECT (floor(epoch(ts) / 86400))::BIGINT * 86400 AS key,
+         round(sum(value), 4) AS total
+  FROM events GROUP BY 1
+)
+SELECT count(total) AS count, round(min(total), 4) AS min,
+       round(max(total), 4) AS max, round(avg(total), 4) AS avg,
+       round(sum(total), 4) AS sum
+FROM b
+"""
+
+
 AGG_QUERIES = {
     "agg_date_histogram": (q_agg_date_histogram, SQL_AGG_DATE_HISTOGRAM),
     "agg_histogram_price": (q_agg_histogram_price, SQL_AGG_HISTOGRAM_PRICE),
@@ -323,4 +454,9 @@ AGG_QUERIES = {
     "agg_composite_page": (q_agg_composite, SQL_AGG_COMPOSITE),
     "agg_nested_type_day": (q_agg_nested_type_day, SQL_AGG_NESTED),
     "agg_top_hits_per_lang": (q_agg_top_hits, SQL_AGG_TOP_HITS),
+    "agg_pipeline_cumsum": (q_agg_pipeline_cumsum, SQL_AGG_PIPELINE_CUMSUM),
+    "agg_moving_fn_window3": (q_agg_moving_fn, SQL_AGG_MOVING_FN),
+    "agg_bucket_script_selector": (
+        q_agg_bucket_script_selector, SQL_AGG_BUCKET_SCRIPT),
+    "agg_stats_bucket_daily": (q_agg_stats_bucket, SQL_AGG_STATS_BUCKET),
 }

@@ -40,7 +40,14 @@ import re
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["compile_aggs", "top_hits", "composite_agg", "filters_agg"]
+__all__ = [
+    "compile_aggs",
+    "top_hits",
+    "composite_agg",
+    "filters_agg",
+    "pipeline_aggs",
+    "sibling_bucket_agg",
+]
 
 # ------------------------------------------------------------ intervals
 
@@ -313,6 +320,160 @@ def composite_agg(
             pred = gt if pred is None else pred | gt
         out = out.filter(pred)
     return out.orderBy(*[F.asc(n) for n in names]).limit(size)
+
+
+# ------------------------------------------------------------ pipelines
+
+_PIPELINE_KINDS = {
+    "derivative",
+    "cumulative_sum",
+    "serial_diff",
+    "moving_fn",
+    "bucket_script",
+    "bucket_selector",
+    "bucket_sort",
+}
+
+# moving_fn script names (ES MovingFunctions.*) -> Spark agg builders
+_MOVING_FNS = {
+    "MovingFunctions.unweightedAvg": F.avg,
+    "avg": F.avg,
+    "MovingFunctions.min": F.min,
+    "min": F.min,
+    "MovingFunctions.max": F.max,
+    "max": F.max,
+    "MovingFunctions.sum": F.sum,
+    "sum": F.sum,
+}
+
+_SCRIPT_OK = re.compile(r"^[\w\s\.\+\-\*/%\(\)<>=!&|,']*$")
+
+
+def _script_expr(script: str, paths: dict[str, str]) -> Column:
+    """Translate an ES bucket_script/bucket_selector script into a Column.
+
+    ``paths`` maps script variable -> bucket metric column (the ES
+    buckets_path dict). Both the ES ``params.a`` spelling and bare ``a``
+    are accepted. The remaining grammar is restricted to arithmetic /
+    comparison operators so the expr stays a pure Catalyst expression
+    (whole-stage codegen, no UDF)."""
+    if not _SCRIPT_OK.fullmatch(script):
+        raise ValueError(f"unsupported script: {script!r}")
+    out = script
+    for var, col in paths.items():
+        out = re.sub(rf"\bparams\.{re.escape(var)}\b", col, out)
+        out = re.sub(rf"\b{re.escape(var)}\b", col, out)
+    return F.expr(out)
+
+
+def pipeline_aggs(
+    df: DataFrame,
+    pipelines: dict[str, dict],
+    key_col: str = "key",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """ES pipeline aggregations over a parent bucket frame.
+
+    ``df`` is a compiled bucket frame (``key``, ``doc_count``, metrics —
+    the compile_aggs output shape); ``pipelines`` is
+    {name: {kind: body}} with ES bodies:
+
+      derivative      {"buckets_path": m}            m[i] - m[i-1] (first bucket NULL, as ES omits it)
+      cumulative_sum  {"buckets_path": m}            running sum of m
+      serial_diff     {"buckets_path": m, "lag": n}  m[i] - m[i-n]
+      moving_fn       {"buckets_path": m, "window": n, "script": fn,
+                       "shift": s}                   fn over the n buckets ending at i-1+s
+                                                     (ES default shift=0 EXCLUDES the current bucket)
+      bucket_script   {"buckets_path": {var: m,...}, "script": expr}
+      bucket_selector {"buckets_path": {var: m,...}, "script": pred}   filters buckets
+      bucket_sort     {"sort": [(col, "asc"|"desc"),...], "size": n, "from": k}
+
+    Scale contract: pipelines run over the BUCKET frame, whose
+    cardinality is bounded by the parent agg (histogram buckets, terms
+    size), not by row count — so the single-partition ordered window here
+    is O(buckets), never O(rows), and is the correct plan even at 100 TB
+    input. Pipelines are applied in dict order, so a bucket_script result
+    can feed a later bucket_selector, matching ES's DAG evaluation."""
+    w = Window.orderBy(F.asc(key_col))
+
+    def _r(c: Column) -> Column:
+        return F.round(c, round_to) if round_to is not None else c
+
+    out = df
+    for name, spec in pipelines.items():
+        (kind,) = spec.keys()
+        body = spec[kind]
+        if kind not in _PIPELINE_KINDS:
+            raise ValueError(f"unsupported pipeline agg: {kind!r}")
+        if kind == "derivative":
+            m = body["buckets_path"]
+            out = out.withColumn(name, _r(F.col(m) - F.lag(m, 1).over(w)))
+        elif kind == "serial_diff":
+            m, lag_n = body["buckets_path"], int(body.get("lag", 1))
+            out = out.withColumn(name, _r(F.col(m) - F.lag(m, lag_n).over(w)))
+        elif kind == "cumulative_sum":
+            m = body["buckets_path"]
+            cw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            out = out.withColumn(name, _r(F.sum(m).over(cw)))
+        elif kind == "moving_fn":
+            m = body["buckets_path"]
+            n = int(body["window"])
+            shift = int(body.get("shift", 0))
+            fn = _MOVING_FNS.get(body.get("script", "avg"))
+            if fn is None:
+                raise ValueError(f"unsupported moving_fn script: {body.get('script')!r}")
+            mw = w.rowsBetween(shift - n, shift - 1)
+            out = out.withColumn(name, _r(fn(m).over(mw)))
+        elif kind == "bucket_script":
+            expr = _script_expr(body["script"], body["buckets_path"])
+            out = out.withColumn(name, _r(expr))
+        elif kind == "bucket_selector":
+            expr = _script_expr(body["script"], body["buckets_path"])
+            out = out.filter(expr)
+        elif kind == "bucket_sort":
+            order = [
+                F.desc(c) if d.lower().startswith("d") else F.asc(c)
+                for c, d in body.get("sort", [(key_col, "asc")])
+            ]
+            out = out.orderBy(*order)
+            frm = int(body.get("from", 0))
+            size = body.get("size")
+            if frm:
+                sw = Window.orderBy(*order)
+                out = (
+                    out.withColumn("__bs_rn", F.row_number().over(sw))
+                    .filter(F.col("__bs_rn") > frm)
+                    .drop("__bs_rn")
+                )
+            if size is not None:
+                out = out.limit(int(size))
+    return out
+
+
+def sibling_bucket_agg(
+    df: DataFrame, kind: str, buckets_path: str, round_to: int | None = 4
+) -> DataFrame:
+    """ES sibling pipeline aggs (avg_bucket / sum_bucket / min_bucket /
+    max_bucket / stats_bucket): one global row summarizing a metric
+    across every parent bucket. O(buckets) input — trivially scalable."""
+    m = F.col(buckets_path)
+
+    def _r(c: Column) -> Column:
+        return F.round(c, round_to) if round_to is not None else c
+
+    if kind in ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket"):
+        fn = {"avg_bucket": F.avg, "sum_bucket": F.sum,
+              "min_bucket": F.min, "max_bucket": F.max}[kind]
+        return df.agg(_r(fn(m)).alias("value"))
+    if kind == "stats_bucket":
+        return df.agg(
+            F.count(m).alias("count"),
+            _r(F.min(m)).alias("min"),
+            _r(F.max(m)).alias("max"),
+            _r(F.avg(m)).alias("avg"),
+            _r(F.sum(m)).alias("sum"),
+        )
+    raise ValueError(f"unsupported sibling agg: {kind!r}")
 
 
 # ------------------------------------------------------------ top_hits

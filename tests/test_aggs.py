@@ -206,3 +206,91 @@ def test_single_shuffle_plan(edf):
     # one hash-agg exchange + the final tiny ordering exchange (rangepartitioning)
     n_hash_exchanges = plan.count("hashpartitioning")
     assert n_hash_exchanges == 1, plan
+
+
+# ------------------------------------------------------------ pipelines
+
+
+@pytest.fixture(scope="module")
+def bucket_frame(spark):
+    # a compiled-bucket-shaped frame: (key, doc_count, total)
+    rows = [(0, 2, 10.0), (86400, 3, 30.0), (172800, 1, 20.0), (259200, 4, 40.0)]
+    return spark.createDataFrame(rows, "key long, doc_count long, total double")
+
+
+def test_pipeline_derivative_and_cumsum(bucket_frame):
+    out = A.pipeline_aggs(
+        bucket_frame,
+        {
+            "deriv": {"derivative": {"buckets_path": "total"}},
+            "cum": {"cumulative_sum": {"buckets_path": "total"}},
+        },
+    ).orderBy("key").collect()
+    assert [r.deriv for r in out] == [None, 20.0, -10.0, 20.0]
+    assert [r.cum for r in out] == [10.0, 40.0, 60.0, 100.0]
+
+
+def test_pipeline_serial_diff_lag2(bucket_frame):
+    out = A.pipeline_aggs(
+        bucket_frame,
+        {"sd": {"serial_diff": {"buckets_path": "total", "lag": 2}}},
+    ).orderBy("key").collect()
+    assert [r.sd for r in out] == [None, None, 10.0, 10.0]
+
+
+def test_pipeline_moving_fn_excludes_current_by_default(bucket_frame):
+    # ES moving_fn shift=0: window is the n buckets BEFORE the current one
+    out = A.pipeline_aggs(
+        bucket_frame,
+        {"mf": {"moving_fn": {"buckets_path": "total", "window": 2,
+                              "script": "MovingFunctions.unweightedAvg"}}},
+    ).orderBy("key").collect()
+    assert [r.mf for r in out] == [None, 10.0, 20.0, 25.0]
+    # shift=1 includes the current bucket
+    out = A.pipeline_aggs(
+        bucket_frame,
+        {"mf": {"moving_fn": {"buckets_path": "total", "window": 2,
+                              "script": "max", "shift": 1}}},
+    ).orderBy("key").collect()
+    assert [r.mf for r in out] == [10.0, 30.0, 30.0, 40.0]
+
+
+def test_pipeline_bucket_script_then_selector(bucket_frame):
+    # bucket_script output feeds the later bucket_selector (ES DAG order)
+    out = A.pipeline_aggs(
+        bucket_frame,
+        {
+            "per_doc": {"bucket_script": {
+                "buckets_path": {"t": "total", "n": "doc_count"},
+                "script": "params.t / params.n"}},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"p": "per_doc"},
+                "script": "params.p >= 10"}},
+        },
+    ).orderBy("key").collect()
+    assert [(r.key, r.per_doc) for r in out] == [(0, 5.0), (86400, 10.0), (172800, 20.0), (259200, 10.0)][1:]
+
+
+def test_pipeline_bucket_sort_size_from(bucket_frame):
+    out = A.pipeline_aggs(
+        bucket_frame,
+        {"bs": {"bucket_sort": {"sort": [("total", "desc")], "from": 1, "size": 2}}},
+    ).collect()
+    assert [r.total for r in out] == [30.0, 20.0]
+
+
+def test_pipeline_script_rejects_unknown_grammar(bucket_frame):
+    with pytest.raises(ValueError):
+        A.pipeline_aggs(
+            bucket_frame,
+            {"x": {"bucket_script": {"buckets_path": {"t": "total"},
+                                     "script": "t; drop table"}}},
+        )
+
+
+def test_sibling_bucket_aggs(bucket_frame):
+    row = A.sibling_bucket_agg(bucket_frame, "avg_bucket", "total").collect()[0]
+    assert row.value == 25.0
+    row = A.sibling_bucket_agg(bucket_frame, "stats_bucket", "total").collect()[0]
+    assert (row["count"], row["min"], row["max"], row["avg"], row["sum"]) == (
+        4, 10.0, 40.0, 25.0, 100.0)
