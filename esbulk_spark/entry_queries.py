@@ -1411,6 +1411,59 @@ ORDER BY id_a, id_b
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: verified Jaccard pairs -> connected components
+    (alternating large-star/small-star) -> per-doc cluster assignment.
+    The transitive-closure step of a training-data dedup pipeline: A~B~C
+    collapses to one cluster even when A~C alone misses the threshold."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(
+        d, "text", "doc_id", n=3, threshold=0.08, max_shingle_df=_JACC_MAX_DF
+    ).orderBy("doc_id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id AS id, {_duck_md5i('s')} AS sh
+  FROM (SELECT doc_id, unnest({_duck_shingles(3)}) AS s FROM documents)
+  WHERE s <> ''
+), sizes AS (
+  SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+), guarded AS (
+  SELECT * FROM sh
+  WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) > {_JACC_MAX_DF})
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM guarded a JOIN guarded b ON a.sh = b.sh AND a.id < b.id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN inter USING (id_a, id_b)
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.08
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT reach.id, s.v FROM reach JOIN sym s ON reach.r = s.u
+), comp AS (
+  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
+)
+SELECT d.doc_id AS doc_id,
+       coalesce(c.component, d.doc_id) AS cluster_id,
+       coalesce(c.component, d.doc_id) <> d.doc_id AS is_duplicate
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+ORDER BY doc_id
+"""
+
+
 def q_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
@@ -2493,6 +2546,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_jaccard_pairs, SQL_JACCARD),
     "dedup_minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "dedup_cluster_cc": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
     "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),

@@ -323,3 +323,113 @@ def ngram_contamination(
         )
         .withColumnRenamed("id", "doc_id")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list ->
+    (id, component) with component = min node id of the component.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SOCC 2014) — the web-scale
+    algorithm: O(log^2 n) rounds worst-case (2 rounds on typical
+    near-dup clusters), each round two hash-shuffles keyed by node id.
+    No driver state, no adjacency arrays: per-node minima come from a
+    partition-frame window MIN, so a hot node (a boilerplate doc matching
+    millions) never materializes a collect_list — large-star exists
+    precisely to shave such high-degree stars down.
+
+    Per-iteration lineage is truncated with localCheckpoint (mandatory
+    for iterative Spark; swap for reliable ``checkpoint()`` on a real
+    cluster where executor loss must be survivable). Convergence is
+    detected by an (edge-count, xxhash64-xor) checksum — one tiny agg
+    job per round.
+
+    Only nodes present in ``edges`` appear in the output; callers join
+    back to the full corpus and coalesce to the node's own id (see
+    dedup_clusters)."""
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_chk = None
+    w = Window.partitionBy("u")
+    for _ in range(max_iter):
+        # large-star: connect every neighbor v > u to min(N(u) + {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        ls = (
+            sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: direct high->low, connect all smaller neighbors
+        # (and u itself) to the group's minimum
+        dir_ = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        with_min = dir_.withColumn("m", F.min("v").over(w))
+        e_new = (
+            with_min.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(with_min.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # bit_xor is overflow-free under ANSI mode (edges are DISTINCT,
+        # so xor cancellation of repeated rows cannot occur)
+        chk = e_new.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        e = e_new
+        if prev_chk == (chk.n, chk.h):
+            break
+        prev_chk = (chk.n, chk.h)
+    # converged star: every non-root u has exactly one edge to the root
+    return e.groupBy("u").agg(F.min("v").alias("component")).union(
+        e.select("v", "v").distinct()
+    ).groupBy(F.col("u").alias("id")).agg(F.min("component").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: verified n-gram-Jaccard pairs ->
+    connected components -> (doc_id, cluster_id, is_duplicate).
+
+    The full training-data dedup step: candidate pairs (inverted-shingle
+    join with the hot-shingle skew guard), exact Jaccard >= threshold
+    verification, then transitive closure so A~B~C collapses to ONE
+    cluster even when A-C alone falls under the threshold. cluster_id is
+    the minimum doc id of the cluster (the kept representative);
+    is_duplicate marks every other member. Singletons keep their own id."""
+    pairs = jaccard_pairs(
+        df, text_col, id_col, n=n, threshold=threshold, max_shingle_df=max_shingle_df
+    )
+    cc = connected_components(pairs)
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+    return (
+        ids.join(cc, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("component"), F.col("id")).alias("cluster_id"),
+            (F.coalesce(F.col("component"), F.col("id")) != F.col("id")).alias(
+                "is_duplicate"
+            ),
+        )
+    )

@@ -616,3 +616,67 @@ def test_sample_mixture_deterministic(spark):
     assert lo <= hi
     with pytest.raises(ValueError, match="rate"):
         sample_mixture(df, {"web": 1.5})
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3, pair 10-11, triangle 20-21-22 (redundant edge), isolated
+    # node never appears in edges so never in CC output
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    out = {r.id: r.component for r in dedup.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for a, b in edges:
+        for n in (a, b):
+            expected[n] = find(n)
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component for r in dedup.connected_components(df).collect()}
+    assert got == expected
+
+
+def test_dedup_clusters_transitive(spark):
+    # A~B and B~C overlap pairwise; A~C alone is below threshold, but the
+    # cluster must still be ONE component (transitive closure)
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, base),
+        (2, base + " iota"),
+        (3, base + " iota kappa lambda"),
+        (4, "totally different content here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.cluster_id, r.is_duplicate)
+        for r in dedup.dedup_clusters(
+            df, "text", "doc_id", n=3, threshold=0.5, max_shingle_df=None
+        ).collect()
+    }
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)
+    assert out[3] == (1, True)
+    assert out[4] == (4, False)
