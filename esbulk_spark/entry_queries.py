@@ -1340,6 +1340,57 @@ def q_bool_msm(spark, sf_dir):
     )
 
 
+def q_collapse_by_lang(spark, sf_dir):
+    """ES field collapsing: best hit per lang (+1 runner-up), top 3
+    collapsed groups by their best hit."""
+    r = _index_for(spark, sf_dir)
+    return r.search_collapse(FLAGSHIP_QUERY, "lang", k=3, inner_hits=2, round_to=4)
+
+
+def _sql_collapse() -> str:
+    base = duckdb_bm25_sql(
+        "documents", FLAGSHIP_QUERY, id_col="doc_id", text_col="text",
+        k=1000000000, round_to=4,
+    )
+    return f"""
+WITH scores AS (SELECT * FROM ({base})),
+j AS (
+  SELECT s.doc_id, s.score, d.lang
+  FROM scores s JOIN documents d USING (doc_id)
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY score DESC, doc_id ASC) AS hit_rank
+  FROM j
+), g AS (
+  SELECT lang FROM r WHERE hit_rank = 1 ORDER BY score DESC, doc_id LIMIT 3
+)
+SELECT r.lang AS lang, r.hit_rank AS hit_rank, r.doc_id AS doc_id, r.score AS score
+FROM r JOIN g USING (lang) WHERE hit_rank <= 2
+ORDER BY score DESC, doc_id
+"""
+
+
+def q_sort_by_field(spark, sf_dir):
+    """ES sort-by-field: match set of the query ranked by a stored
+    numeric field (n_chars DESC), not BM25."""
+    r = _index_for(spark, sf_dir)
+    return r.search_sorted(QUERY_FULLSCAN, [("n_chars", "desc")], k=10)
+
+
+def _sql_sort_by_field() -> str:
+    base = duckdb_bm25_sql(
+        "documents", QUERY_FULLSCAN, id_col="doc_id", text_col="text",
+        k=1000000000, round_to=4,
+    )
+    return f"""
+WITH scores AS (SELECT * FROM ({base}))
+SELECT d.doc_id AS doc_id, d.n_chars AS n_chars
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY d.n_chars DESC, d.doc_id ASC
+LIMIT 10
+"""
+
+
 def q_conjunctive(spark, sf_dir):
     """B10 posting-list intersection (AND), BM25-ranked."""
     r = _index_for(spark, sf_dir)
@@ -2537,6 +2588,8 @@ QUERIES = {
     "rescore_phrase_topk": (q_rescore, _sql_rescore()),
     "function_score_topk": (q_function_score, _sql_function_score()),
     "search_after_page2": (q_search_after, _sql_search_after()),
+    "collapse_by_lang_topk": (q_collapse_by_lang, _sql_collapse()),
+    "sort_by_field_matches": (q_sort_by_field, _sql_sort_by_field()),
     "terms_agg_by_lang": (q_terms_agg, _sql_terms_agg()),
     "significant_terms_agg": (q_significant_terms, _sql_significant_terms()),
     "multi_match_best_fields": (q_multi_match, _sql_multi_match()),

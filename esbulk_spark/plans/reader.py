@@ -1442,6 +1442,76 @@ class IndexReader:
             )
         return topk_deterministic(scored, k, None)
 
+    def search_collapse(
+        self,
+        query: str,
+        field: str,
+        k: int = 10,
+        inner_hits: int = 1,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES field collapsing: the ranking keeps only the best hit per
+        distinct ``field`` value (plus up to ``inner_hits`` - 1 runners-up
+        per group with their hit_rank), then the global top ``k`` groups
+        by their best hit's (score DESC, doc_id ASC).
+
+        Plan: pruned decode of the query terms -> full match scores ->
+        join ONLY the scored doc ids against the docs table for the
+        collapse field (never a corpus scan) -> per-field window
+        row_number -> global top-k. The window shuffles just the match
+        set keyed by the collapse field; per-group state inside the
+        window exec is one counter — the same bounded-heap shape ES's
+        collapse uses per shard."""
+        scored = self.score_all(query, round_to=round_to)
+        docs = self.docs().select("doc_id", field)
+        joined = scored.join(docs, "doc_id")
+        w = Window.partitionBy(field).orderBy(F.desc("score"), F.asc("doc_id"))
+        ranked = joined.withColumn("hit_rank", F.row_number().over(w)).filter(
+            F.col("hit_rank") <= inner_hits
+        )
+        gw = Window.partitionBy(field)
+        best = ranked.withColumn("best_score", F.max("score").over(gw)).withColumn(
+            "best_doc", F.min(F.when(F.col("hit_rank") == 1, F.col("doc_id"))).over(gw)
+        )
+        top_groups = (
+            best.filter(F.col("hit_rank") == 1)
+            .orderBy(F.desc("best_score"), F.asc("best_doc"))
+            .limit(k)
+            .select(field)
+        )
+        return (
+            ranked.join(F.broadcast(top_groups), field)
+            .select(field, "hit_rank", "doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("hit_rank"))
+        )
+
+    def search_sorted(
+        self,
+        query: str,
+        sort: list[tuple[str, str]],
+        k: int = 10,
+        track_scores: bool = False,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES sort-by-field search: the query selects the match set
+        (docs containing >= 1 analyzed term), the ranking is the stored
+        fields in ``sort`` = [(field, "asc"|"desc"), ...] with doc_id as
+        the final tiebreak — not BM25. ``track_scores`` keeps the score
+        column alongside (ES track_scores: true).
+
+        The sort fields join in AFTER the match set is known (pruned
+        postings decode), so the plan moves |matches| rows into a
+        TakeOrdered — never a global sort of the corpus."""
+        scored = self.score_all(query, round_to=round_to)
+        fields = [f for f, _ in sort]
+        docs = self.docs().select("doc_id", *fields)
+        out = scored.join(docs, "doc_id")
+        order = [
+            F.desc(f) if d.lower().startswith("d") else F.asc(f) for f, d in sort
+        ] + [F.asc("doc_id")]
+        cols = ["doc_id", *fields] + (["score"] if track_scores else [])
+        return out.orderBy(*order).limit(k).select(*cols)
+
     def search_aggs_terms(
         self, query: str, field: str, agg_size: int = 10
     ) -> DataFrame:

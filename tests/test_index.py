@@ -1324,3 +1324,48 @@ def test_stemmed_and_synonym_search(spark, tmp_path):
     # unmapped tokens pass through unchanged
     c = [(x.doc_id, round(x.score, 6)) for x in r.search_synonyms("merge", syn).collect()]
     assert c == [(x.doc_id, round(x.score, 6)) for x in r.search("merge").collect()]
+
+
+def test_search_collapse_best_per_field(reader):
+    q = "flushBuffer retry score"
+    scored = {r.doc_id: r.score for r in reader.score_all(q, round_to=4).collect()}
+    langs = {
+        r.doc_id: r.lang
+        for r in reader.docs().select("doc_id", "lang").collect()
+        if r.doc_id in scored
+    }
+    # expected: best (score desc, doc_id asc) per lang, top 3 groups
+    best = {}
+    for d in sorted(scored, key=lambda d: (-scored[d], d)):
+        best.setdefault(langs[d], d)
+    expect = sorted(best.values(), key=lambda d: (-scored[d], d))[:3]
+
+    out = reader.search_collapse(q, "lang", k=3, round_to=4).collect()
+    assert [r.doc_id for r in out] == expect
+    assert all(r.hit_rank == 1 for r in out)
+    assert len({r.lang for r in out}) == len(out)
+
+    # inner_hits=2 returns at most 2 per collapsed group, same groups
+    out2 = reader.search_collapse(q, "lang", k=3, inner_hits=2, round_to=4).collect()
+    assert {r.lang for r in out2} == {r.lang for r in out}
+    per = {}
+    for r in out2:
+        per.setdefault(r.lang, []).append(r.hit_rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 2 for v in per.values())
+
+
+def test_search_sorted_by_stored_field(reader):
+    q = "flushBuffer retry score"
+    match = {r.doc_id for r in reader.score_all(q).collect()}
+    sizes = {
+        r.doc_id: r.n_terms
+        for r in reader.docs().select("doc_id", "n_terms").collect()
+        if r.doc_id in match
+    }
+    expect = sorted(sizes, key=lambda d: (-sizes[d], d))[:5]
+    out = reader.search_sorted(q, [("n_terms", "desc")], k=5).collect()
+    assert [r.doc_id for r in out] == expect
+    assert list(out[0].asDict()) == ["doc_id", "n_terms"]
+    # track_scores keeps the BM25 score column
+    out2 = reader.search_sorted(q, [("n_terms", "desc")], k=5, track_scores=True)
+    assert out2.columns == ["doc_id", "n_terms", "score"]
