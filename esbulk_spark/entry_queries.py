@@ -1391,6 +1391,47 @@ LIMIT 10
 """
 
 
+_PERC_RULES = [("r_flagship", FLAGSHIP_QUERY), ("r_and", QUERY_AND), ("r_hot", QUERY_HOT)]
+
+
+def q_percolate(spark, sf_dir):
+    """Percolate (reverse search): registered match-AND rules joined
+    against every document in one broadcast pass."""
+    from esbulk_spark.plans.percolate import percolate
+
+    d = _t(spark, sf_dir, "documents")
+    return percolate(spark, _PERC_RULES, d).orderBy("query_id", "doc_id")
+
+
+SQL_PERCOLATE = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM toks),
+q(query_id, term, n_terms) AS (VALUES ('r_flagship', 'join', 3), ('r_flagship', 'merge', 3), ('r_flagship', 'sort', 3), ('r_and', 'merge', 2), ('r_and', 'scan', 2), ('r_hot', 'data', 1)),
+m AS (
+  SELECT query_id, doc_id, count(*) AS n_matched, max(n_terms) AS nt
+  FROM dt JOIN q USING (term) GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, n_matched FROM m WHERE n_matched = nt
+ORDER BY query_id, doc_id
+"""
+
+
+def q_suggest_completion(spark, sf_dir):
+    """ES completion suggester: dictionary prefix scan ranked by doc
+    frequency."""
+    r = _index_for(spark, sf_dir)
+    return r.suggest_completion("mer", size=8)
+
+
+SQL_SUGGEST_COMPLETION = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM toks),
+d AS (SELECT term, count(*) AS df FROM dt GROUP BY term)
+SELECT term AS suggestion, df AS weight FROM d WHERE term LIKE 'mer%'
+ORDER BY df DESC, term LIMIT 8
+"""
+
+
 def q_conjunctive(spark, sf_dir):
     """B10 posting-list intersection (AND), BM25-ranked."""
     r = _index_for(spark, sf_dir)
@@ -2590,6 +2631,8 @@ QUERIES = {
     "search_after_page2": (q_search_after, _sql_search_after()),
     "collapse_by_lang_topk": (q_collapse_by_lang, _sql_collapse()),
     "sort_by_field_matches": (q_sort_by_field, _sql_sort_by_field()),
+    "percolate_rules_match": (q_percolate, SQL_PERCOLATE),
+    "suggest_completion_prefix": (q_suggest_completion, SQL_SUGGEST_COMPLETION),
     "terms_agg_by_lang": (q_terms_agg, _sql_terms_agg()),
     "significant_terms_agg": (q_significant_terms, _sql_significant_terms()),
     "multi_match_best_fields": (q_multi_match, _sql_multi_match()),

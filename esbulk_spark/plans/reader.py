@@ -1538,6 +1538,36 @@ class IndexReader:
             .limit(agg_size)
         )
 
+    def suggest_completion(
+        self, prefix: str, size: int = 5, fuzzy: bool = False
+    ) -> DataFrame:
+        """ES completion-suggester analog: prefix-ranked suggestions from
+        the dictionary, weighted by document frequency (ES uses the
+        indexed ``weight``; df is this index's native popularity signal)
+        -> (suggestion, weight) by weight DESC, suggestion ASC.
+
+        ES serves this from an in-memory FST; the analog here is a
+        dictionary-table range scan — the anchored prefix predicate
+        compiles to a pushed StringStartsWith on the parquet scan (plus
+        bucket pruning none: terms are bucket-hashed, so the prefix scan
+        reads dictionary metadata only — KBs per term-shard, not the
+        postings). ``fuzzy=True`` additionally admits terms at edit
+        distance 1 from the prefix (ES fuzzy completion), rank unchanged.
+        """
+        p = (analyze_query(prefix) or [""])[0]
+        d = self.dictionary()
+        cond = F.col("term").startswith(p)
+        if fuzzy and len(p) >= 3:
+            cond = cond | (
+                F.levenshtein(F.substring(F.col("term"), 1, len(p)), F.lit(p)) <= 1
+            )
+        return (
+            d.filter(cond)
+            .select(F.col("term").alias("suggestion"), F.col("df").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("suggestion"))
+            .limit(size)
+        )
+
     def suggest_terms(
         self,
         text: str,

@@ -1369,3 +1369,23 @@ def test_search_sorted_by_stored_field(reader):
     # track_scores keeps the BM25 score column
     out2 = reader.search_sorted(q, [("n_terms", "desc")], k=5, track_scores=True)
     assert out2.columns == ["doc_id", "n_terms", "score"]
+
+
+def test_suggest_completion_prefix_rank(reader):
+    out = reader.suggest_completion("ret", size=5).collect()
+    assert out, "corpus has return/retry tokens"
+    assert all(r.suggestion.startswith("ret") for r in out)
+    weights = [r.weight for r in out]
+    assert weights == sorted(weights, reverse=True) or all(
+        (weights[i], out[i].suggestion) >= (weights[i + 1], out[i + 1].suggestion)
+        for i in range(len(out) - 1)
+    )
+    # rank matches the dictionary's (df desc, term asc)
+    d = {r.term: r.df for r in reader.dictionary().collect() if r.term.startswith("ret")}
+    expect = sorted(d, key=lambda t: (-d[t], t))[:5]
+    assert [r.suggestion for r in out] == expect
+
+
+def test_suggest_completion_pushes_prefix_filter(reader):
+    plan = reader.suggest_completion("ret")._jdf.queryExecution().executedPlan().toString()
+    assert "StartsWith" in plan, plan

@@ -680,3 +680,38 @@ def test_dedup_clusters_transitive(spark):
     assert out[2] == (1, True)
     assert out[3] == (1, True)
     assert out[4] == (4, False)
+
+
+def test_percolate_and_or_modes(spark):
+    from esbulk_spark.plans.percolate import percolate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge sort algorithm with extra padding words"),
+            (2, "merge only here nothing else"),
+            (3, "sort only here nothing else"),
+            (4, "unrelated content entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    rules = [("r1", "merge sort"), ("r2", "unrelated"), ("r3", "the of")]
+    got = {
+        (r.query_id, r.doc_id): r.n_matched
+        for r in percolate(spark, rules, docs).collect()
+    }
+    # r1 is a conjunction: only doc 1 has BOTH terms; r3 analyzes to no
+    # terms (stopwords) and matches nothing
+    assert got == {("r1", 1): 2, ("r2", 4): 1}
+
+    got_or = {
+        (r.query_id, r.doc_id)
+        for r in percolate(spark, rules, docs, mode="or").collect()
+    }
+    assert got_or == {("r1", 1), ("r1", 2), ("r1", 3), ("r2", 4)}
+
+
+def test_percolate_empty_rules(spark):
+    from esbulk_spark.plans.percolate import percolate
+
+    docs = spark.createDataFrame([(1, "anything")], "doc_id long, text string")
+    assert percolate(spark, [], docs).count() == 0
