@@ -376,3 +376,103 @@ def url_domains(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
         .orderBy(F.desc("n_docs"), F.desc("n_urls"), F.asc("domain"))
     )
+
+
+# --------------------------------------------------------- code payload
+
+# secret-scanning patterns (public detectors' shapes: AWS access-key id
+# prefix, PEM private-key headers, long hex blobs); deliberately
+# RE2-portable so the DuckDB oracle runs the IDENTICAL regexes
+SECRET_AWS_KEY = r"\bAKIA[0-9A-Z]{16}\b"
+SECRET_PEM = r"-----BEGIN [A-Z ]*PRIVATE KEY-----"
+SECRET_HEX = r"\b[0-9a-f]{40,64}\b"
+
+_COMMENT_LINE = r"^\s*(//|#|/\*|\*|--)"
+_BLANK_LINE = r"^\s*$"
+_CAMEL_IDENT = r"\b[a-z]+(?:[A-Z][a-z0-9]*)+\b"
+_SNAKE_IDENT = r"\b[a-z][a-z0-9]*(?:_[a-z0-9]+)+\b"
+
+
+def secret_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Credential scanning for code corpora: counts of AWS-style access
+    key ids, PEM private-key headers and long hex secrets, plus the
+    redacted text — the code-payload sibling of pii_scan. Pure Catalyst
+    (whole-stage codegen), one pass per row."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, SECRET_AWS_KEY, "<AWS_KEY>")
+    red = F.regexp_replace(red, SECRET_PEM, "<PRIVATE_KEY>")
+    red = F.regexp_replace(red, SECRET_HEX, "<HEX_SECRET>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.regexp_extract_all(t, F.lit(SECRET_AWS_KEY), 0)).alias("n_aws_keys"),
+        F.size(F.regexp_extract_all(t, F.lit(SECRET_PEM), 0)).alias("n_pem_keys"),
+        F.size(F.regexp_extract_all(t, F.lit(SECRET_HEX), 0)).alias("n_hex_secrets"),
+        red.alias("redacted"),
+    )
+
+
+def code_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-file code-shape metrics for a source-code corpus (the
+    quality_score sibling tuned to the code payload): line counts,
+    blank/comment fractions, line-length stats, camelCase / snake_case
+    identifier counts. Pure Catalyst — every column is a codegen
+    expression over one row; no explode, no shuffle."""
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines)
+    nz = F.when(n_lines > 0, n_lines.cast("double"))
+
+    def _frac(pattern: str):
+        hits = F.size(F.filter(lines, lambda ln: ln.rlike(pattern)))
+        return F.coalesce(F.round(hits / nz, 4), F.lit(0.0))
+
+    line_lens = F.transform(lines, F.length)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_lines.alias("n_lines"),
+        _frac(_BLANK_LINE).alias("blank_frac"),
+        _frac(_COMMENT_LINE).alias("comment_frac"),
+        F.coalesce(F.array_max(line_lens), F.lit(0)).alias("max_line_len"),
+        F.coalesce(
+            F.round(
+                F.aggregate(line_lens, F.lit(0).cast("long"),
+                            lambda acc, x: acc + x) / nz, 4),
+            F.lit(0.0),
+        ).alias("avg_line_len"),
+        F.size(F.regexp_extract_all(t, F.lit(_CAMEL_IDENT), 0)).alias("n_camel"),
+        F.size(F.regexp_extract_all(t, F.lit(_SNAKE_IDENT), 0)).alias("n_snake"),
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 2,
+    min_len: int = 10,
+    limit: int = 100,
+) -> DataFrame:
+    """Line-level exact dedup: the distinct source lines repeated across
+    the most files (license headers, generated boilerplate) — the
+    code-corpus preprocessing step that strips per-LINE duplication
+    where doc-level dedup can't. explode distinct trimmed lines ->
+    hash-agg by line -> doc-frequency ranking; shuffle volume is one row
+    per (doc, distinct line), and the hot keys ARE the output."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            # NB: lambda, not bare F.trim — trim's optional 2nd param makes
+            # the HOF dispatch the (element, index) form, where the index
+            # silently becomes the trim-character set
+            F.array_distinct(
+                F.transform(F.split(F.col(text_col), r"\n"), lambda ln: F.trim(ln))
+            )
+        ).alias("line"),
+    ).filter(F.length("line") >= min_len)
+    return (
+        lines.groupBy("line")
+        .agg(F.count_distinct("id").alias("n_docs"), F.min("id").alias("first_doc"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.asc("line"))
+        .limit(limit)
+    )
