@@ -1556,6 +1556,50 @@ ORDER BY doc_id
 """
 
 
+_SPAN_K = 8
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2021 ExactSubstr, k-gram-hash
+    formulation): maximal per-doc spans covered by k-token windows
+    occurring >= 2 times corpus-wide."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(d, "text", "doc_id", k=_SPAN_K).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+SQL_DUPLICATE_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos, {_duck_md5i("array_to_string(list_slice(t, i+1, i+" + str(_SPAN_K) + "), ' ')")} AS h
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - {_SPAN_K} + 1)) AS i
+        FROM toks WHERE len(t) >= {_SPAN_K})
+), dup AS (
+  SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
+), hits AS (
+  SELECT doc_id, pos, pos + {_SPAN_K} AS e FROM grams JOIN dup USING (h)
+), flagged AS (
+  SELECT doc_id, pos, e,
+    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS ni
+  FROM hits
+), isl AS (
+  SELECT doc_id, pos, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT doc_id, min(pos) AS span_start, max(e) AS span_end, count(*) AS n_grams
+FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
+"""
+
+
 def q_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
@@ -2790,6 +2834,7 @@ QUERIES = {
     "dedup_ngram_jaccard": (q_jaccard_pairs, SQL_JACCARD),
     "dedup_minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_cluster_cc": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_exact_substring_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
     "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),

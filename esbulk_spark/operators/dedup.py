@@ -433,3 +433,79 @@ def dedup_clusters(
             ),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup spans (the Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better" ExactSubstr operation,
+    public method) at token granularity: find every k-token window whose
+    exact content occurs >= ``min_count`` times corpus-wide, and merge
+    overlapping duplicated windows into maximal spans per document ->
+    (doc_id, span_start, span_end, n_grams) in token offsets
+    (span_end exclusive).
+
+    The reference method builds a suffix array; the Spark-first
+    equivalent is a k-gram hash join — identical output spans for
+    duplicates >= k tokens, O(tokens) rows instead of a monolithic
+    suffix array, and every stage is a shuffle-by-hash that scales
+    linearly:
+
+      1. per-doc k-gram hashes, positions attached (pure Catalyst:
+         transform over sequence; no Python)
+      2. global count per gram hash (hash-agg), keep hashes with
+         count >= min_count — the duplicated-window set
+      3. semi-join doc grams against duplicated hashes (broadcast when
+         small, shuffled otherwise — Spark's CBO/AQE picks)
+      4. gaps-and-islands window per doc merges overlapping windows
+         into maximal spans (one shuffle keyed by doc id)
+    """
+    from pyspark.sql import Window
+
+    df = ensure_parallelism(df)
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.struct(
+                i.alias("pos"),
+                md5_int(F.array_join(F.slice(toks, i + 1, k), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:long>>"))
+    g = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        .select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    g = g.cache()
+    dup = g.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= min_count
+    ).select("h")
+    hits = g.join(dup, "h").select("id", "pos", (F.col("pos") + k).alias("end"))
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_max = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("pos") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(F.col("id").alias("doc_id"), "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )

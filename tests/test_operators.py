@@ -772,3 +772,48 @@ def test_boilerplate_lines_trimmed_and_ranked(spark):
         (header, 3, 1),
         ("code two here", 2, 2),
     ]
+
+
+def test_duplicate_spans_merges_overlaps(spark):
+    # shared 6-token run "a b c d e f" in docs 1 and 2; with k=4 the
+    # duplicated windows at pos 0,1,2 must merge into ONE span [0,6)
+    shared = "a b c d e f"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique1 tail1 xx yy"),
+            (2, shared + " other2 tail2 zz ww"),
+            (3, "totally different words here nothing repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.span_start, r.span_end, r.n_grams)
+        for r in dedup.duplicate_spans(df, "text", "doc_id", k=4).collect()
+    }
+    assert out == {1: (0, 6, 3), 2: (0, 6, 3)}
+
+
+def test_duplicate_spans_distinct_islands(spark):
+    # duplicated run at the start AND a separate one at the end, gap in
+    # the middle -> two spans, not one
+    a = "p q r s"
+    b = "w x y z"
+    df = spark.createDataFrame(
+        [
+            (1, f"{a} mid1 gap1 filler1 {b}"),
+            (2, f"{a} mid2 gap2 filler2 {b}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.duplicate_spans(df, "text", "doc_id", k=4).collect()
+    )
+    assert out == [(1, 0, 4), (1, 7, 11), (2, 0, 4), (2, 7, 11)]
+
+
+def test_duplicate_spans_short_docs_skipped(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two")], "doc_id long, text string"
+    )
+    assert dedup.duplicate_spans(df, "text", "doc_id", k=4).count() == 0
