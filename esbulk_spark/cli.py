@@ -122,7 +122,40 @@ def main(argv: list[str] | None = None) -> int:
                               "recompute only avgdl-dependent block maxes")
     _add_common(p_merge)
 
+    p_alias = sub.add_parser("alias", help="manage index aliases")
+    p_alias.add_argument("--registry", required=True, help="alias registry dir")
+    g = p_alias.add_mutually_exclusive_group(required=True)
+    g.add_argument("--put", metavar="ALIAS", help="add --index-dir to ALIAS")
+    g.add_argument("--delete", metavar="ALIAS", help="remove ALIAS (or one index)")
+    g.add_argument("--list", action="store_true", help="print the registry")
+    p_alias.add_argument("--index-dir", default=None)
+
+    p_snap = sub.add_parser("snapshot", help="snapshot a committed index")
+    p_snap.add_argument("--index-dir", required=True)
+    p_snap.add_argument("--snap-dir", required=True)
+
+    p_restore = sub.add_parser("restore", help="restore an index snapshot")
+    p_restore.add_argument("--snap-dir", required=True)
+    p_restore.add_argument("--index-dir", required=True)
+    p_restore.add_argument("--overwrite", action="store_true")
+
+    p_cat = sub.add_parser("cat", help="_cat/indices metadata")
+    p_cat.add_argument("--index-dirs", required=True, help="comma-separated")
+
+    p_re = sub.add_parser("reindex", help="rebuild an index from another's docs")
+    p_re.add_argument("--src", required=True, help="source index dir")
+    p_re.add_argument("--index-dir", required=True, help="destination index dir")
+    p_re.add_argument("--query", default=None, help="keep only matching docs")
+    p_re.add_argument("--max-docs", type=int, default=None)
+    p_re.add_argument("--n-buckets", type=int, default=32)
+    p_re.add_argument("--n-shards", type=int, default=None)
+    _add_common(p_re)
+
     args = ap.parse_args(argv)
+
+    # metadata-only commands: no Spark session needed
+    if args.cmd in ("alias", "snapshot", "restore", "cat"):
+        return _cmd_admin(args)
 
     from esbulk_spark.session import get_spark
 
@@ -137,11 +170,57 @@ def main(argv: list[str] | None = None) -> int:
             rc = _cmd_index(spark, args)
         elif args.cmd == "search":
             rc = _cmd_search(spark, args)
+        elif args.cmd == "reindex":
+            rc = _cmd_reindex(spark, args)
         else:
             rc = _cmd_merge(spark, args)
     finally:
         spark.stop()
     return rc
+
+
+def _cmd_admin(args) -> int:
+    from esbulk_spark.plans import admin
+
+    if args.cmd == "alias":
+        if args.list:
+            print(json.dumps(admin.get_aliases(args.registry), indent=1))
+        elif args.put:
+            if not args.index_dir:
+                print("alias --put needs --index-dir", file=sys.stderr)
+                return 2
+            admin.put_alias(args.registry, args.put, args.index_dir)
+        else:
+            admin.delete_alias(args.registry, args.delete, args.index_dir)
+        return 0
+    if args.cmd == "snapshot":
+        meta = admin.snapshot_index(args.index_dir, args.snap_dir)
+        print(json.dumps(meta))
+        return 0
+    if args.cmd == "restore":
+        meta = admin.restore_index(args.snap_dir, args.index_dir, args.overwrite)
+        print(json.dumps(meta))
+        return 0
+    for row in admin.cat_indices(args.index_dirs.split(",")):
+        print(json.dumps(row))
+    return 0
+
+
+def _cmd_reindex(spark, args) -> int:
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans import admin
+
+    cfg = IndexConfig(
+        index_dir=args.index_dir,
+        n_buckets=args.n_buckets,
+        n_shards=args.n_shards,
+        overwrite=True,
+    )
+    stats = admin.reindex(
+        spark, args.src, cfg, query=args.query, max_docs=args.max_docs
+    )
+    print(json.dumps({"n_docs": stats.get("n_docs")}))
+    return 0
 
 
 def _spool_stdin() -> str:

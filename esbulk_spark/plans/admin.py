@@ -1,0 +1,266 @@
+"""Index administration: aliases, snapshot/restore, reindex, _cat.
+
+The ES operational surface around the data path (reference parity: the
+reference's workflow leans on ES admin APIs — index create/delete
+run.go:160-175, doc-count verification run_test.go:318-320; aliases,
+snapshots and _reindex are the same cluster-metadata family). Spark-first
+shapes:
+
+  aliases    one JSON registry file, atomic tmp+rename updates; an alias
+             can point at several indexes (ES alias fan-out) and search
+             routes through the existing multi-index merge
+  snapshot   a committed index is a set of immutable table dirs (the
+             build's rename-commit guarantees no torn state), so a
+             snapshot IS a directory copy of the committed tables +
+             stats.json. At petabyte scale the same contract holds via
+             Iceberg snapshot-id pinning / distcp of immutable files —
+             the TableIO abstraction point (plans/tableio.py)
+  reindex    ES _reindex = read source docs, optionally filtered by a
+             query, build a destination index. Here: the source docs
+             TABLE feeds build_index directly — no per-doc round-trips;
+             the match filter is a semi-join against the source index's
+             own scorer (pruned postings decode, never a rescan)
+  _cat       stats.json + on-disk table sizes, driver-side metadata only
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esbulk_spark.plans.build import STATS_FILE, build_index
+
+ALIASES_FILE = "aliases.json"
+SNAPSHOT_FILE = "SNAPSHOT.json"
+
+# committed index artifacts (everything else under an index dir is
+# scratch: _work, manifest temp, spark staging)
+_TABLES = ("docs", "dictionary", "postings", "positions", "segments")
+
+__all__ = [
+    "put_alias",
+    "delete_alias",
+    "get_aliases",
+    "resolve_alias",
+    "search_alias",
+    "snapshot_index",
+    "restore_index",
+    "reindex",
+    "cat_indices",
+]
+
+
+# ------------------------------------------------------------- aliases
+
+
+def _aliases_path(registry_dir: str) -> str:
+    return os.path.join(registry_dir, ALIASES_FILE)
+
+
+def get_aliases(registry_dir: str) -> dict[str, list[str]]:
+    p = _aliases_path(registry_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_aliases(registry_dir: str, aliases: dict[str, list[str]]) -> None:
+    os.makedirs(registry_dir, exist_ok=True)
+    p = _aliases_path(registry_dir)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(aliases, f, indent=1, sort_keys=True)
+    os.replace(tmp, p)  # atomic on POSIX — readers never see a torn file
+
+
+def put_alias(registry_dir: str, alias: str, index_dir: str) -> None:
+    """Add ``index_dir`` to ``alias`` (ES POST /_aliases add action).
+    Idempotent; an alias may span several indexes."""
+    aliases = get_aliases(registry_dir)
+    dirs = aliases.setdefault(alias, [])
+    ab = os.path.abspath(index_dir)
+    if ab not in dirs:
+        dirs.append(ab)
+    _write_aliases(registry_dir, aliases)
+
+
+def delete_alias(registry_dir: str, alias: str, index_dir: str | None = None) -> None:
+    """Remove one index from the alias, or the whole alias when
+    ``index_dir`` is None (ES remove action)."""
+    aliases = get_aliases(registry_dir)
+    if alias not in aliases:
+        return
+    if index_dir is None:
+        del aliases[alias]
+    else:
+        ab = os.path.abspath(index_dir)
+        aliases[alias] = [d for d in aliases[alias] if d != ab]
+        if not aliases[alias]:
+            del aliases[alias]
+    _write_aliases(registry_dir, aliases)
+
+
+def resolve_alias(registry_dir: str, name: str) -> list[str]:
+    """Alias -> index dirs; a literal index dir resolves to itself
+    (ES lets every API take either)."""
+    aliases = get_aliases(registry_dir)
+    if name in aliases:
+        return list(aliases[name])
+    if os.path.exists(os.path.join(name, STATS_FILE)):
+        return [os.path.abspath(name)]
+    raise KeyError(f"unknown alias or index: {name!r}")
+
+
+def search_alias(
+    spark: SparkSession,
+    registry_dir: str,
+    name: str,
+    query: str,
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Search through an alias: single-index aliases hit the one reader
+    directly; multi-index aliases route through the global top-k merge
+    (search_indices), each index scoring with its own statistics —
+    exactly ES's alias fan-out."""
+    from esbulk_spark.plans.reader import IndexReader, search_indices
+
+    dirs = resolve_alias(registry_dir, name)
+    readers = {os.path.basename(d.rstrip("/")) or d: IndexReader(spark, d) for d in dirs}
+    if len(readers) == 1:
+        (r,) = readers.values()
+        return r.search(query, k=k, round_to=round_to)
+    return search_indices(readers, query, k=k, round_to=round_to)
+
+
+# ------------------------------------------------------- snapshot / restore
+
+
+def snapshot_index(index_dir: str, snap_dir: str) -> dict:
+    """Copy the COMMITTED index state into ``snap_dir``.
+
+    Safe against concurrent rebuilds because every table commit is an
+    atomic rename: each table dir either exists fully or not at all.
+    Only the committed artifacts are copied (never _work/ scratch)."""
+    stats_path = os.path.join(index_dir, STATS_FILE)
+    if not os.path.exists(stats_path):
+        raise FileNotFoundError(f"not a committed index: {index_dir}")
+    os.makedirs(snap_dir, exist_ok=True)
+    copied = []
+    for t in _TABLES:
+        src = os.path.join(index_dir, t)
+        if os.path.isdir(src):
+            dst = os.path.join(snap_dir, t)
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(src, dst)
+            copied.append(t)
+    shutil.copy2(stats_path, os.path.join(snap_dir, STATS_FILE))
+    with open(stats_path) as f:
+        fp = json.load(f).get("fingerprint", "")
+    meta = {"source": os.path.abspath(index_dir), "fingerprint": fp, "tables": copied}
+    with open(os.path.join(snap_dir, SNAPSHOT_FILE), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+def restore_index(snap_dir: str, index_dir: str, overwrite: bool = False) -> dict:
+    """Restore a snapshot into ``index_dir`` (ES _snapshot/_restore)."""
+    meta_path = os.path.join(snap_dir, SNAPSHOT_FILE)
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(f"not a snapshot: {snap_dir}")
+    if os.path.exists(os.path.join(index_dir, STATS_FILE)):
+        if not overwrite:
+            raise FileExistsError(
+                f"index exists: {index_dir} (pass overwrite=True)"
+            )
+        shutil.rmtree(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    for t in meta["tables"]:
+        shutil.copytree(os.path.join(snap_dir, t), os.path.join(index_dir, t))
+    shutil.copy2(os.path.join(snap_dir, STATS_FILE), os.path.join(index_dir, STATS_FILE))
+    return meta
+
+
+# ------------------------------------------------------------- reindex
+
+
+def reindex(
+    spark: SparkSession,
+    src_index_dir: str,
+    dst_cfg,
+    query: str | None = None,
+    max_docs: int | None = None,
+) -> dict:
+    """ES _reindex: rebuild ``dst_cfg.index_dir`` from the documents of
+    an existing index, optionally keeping only docs matching ``query``
+    (ES _reindex body "query") and capping at ``max_docs``.
+
+    The doc set comes straight from the source docs TABLE; the query
+    filter is a semi-join against the source index's own match set
+    (pruned postings decode — the source index is the accelerator, the
+    corpus is never re-scanned). Destination ids are pinned to the
+    source doc_ids (dst_cfg.id_col forced to "doc_id"), so scores and
+    ranks stay comparable across the copy."""
+    from esbulk_spark.plans.reader import IndexReader
+
+    r = IndexReader(spark, src_index_dir)
+    docs = r.docs()
+    sig_extra = ""
+    if query is not None:
+        match = r.score_all(query).select("doc_id")
+        docs = docs.join(match, "doc_id", "left_semi")
+        sig_extra += f"|q={query}"
+    if max_docs is not None:
+        docs = docs.orderBy("doc_id").limit(int(max_docs))
+        sig_extra += f"|n={max_docs}"
+    dst_cfg.id_col = "doc_id"
+    src_fp = r.stats.get("fingerprint", "")
+    return build_index(
+        spark, docs, dst_cfg, input_sig=f"reindex:{src_fp}{sig_extra}"
+    )
+
+
+# ---------------------------------------------------------------- _cat
+
+
+def _du(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+def cat_indices(index_dirs: list[str]) -> list[dict]:
+    """ES GET /_cat/indices analog: one row of driver-side metadata per
+    index (no Spark jobs) — health is "green" iff stats.json exists and
+    every table dir listed by the build is committed."""
+    out = []
+    for d in sorted(index_dirs):
+        stats_path = os.path.join(d, STATS_FILE)
+        if not os.path.exists(stats_path):
+            out.append({"index": d, "health": "red"})
+            continue
+        with open(stats_path) as f:
+            st = json.load(f)
+        out.append(
+            {
+                "index": d,
+                "health": "green",
+                "docs_count": st.get("n_docs"),
+                "terms": st.get("total_postings"),
+                "store_size_bytes": _du(d),
+                "fingerprint": st.get("fingerprint", "")[:12],
+            }
+        )
+    return out
