@@ -1340,6 +1340,70 @@ def q_bool_msm(spark, sf_dir):
     )
 
 
+_RANGE_FLD, _RANGE_LO, _RANGE_HI = "n_chars", 400, 900
+
+
+def q_range_docs(spark, sf_dir):
+    """ES range query ({"range": {"n_chars": {gte, lte}}}): constant
+    score 1.0 per matching doc. Executes as a stored-column predicate
+    pushed into the docs parquet scan (column-pruned to doc_id +
+    n_chars) — the column-store analog of ES's BKD-tree range visit;
+    at cluster scale the same predicate prunes file-level min-max
+    stats."""
+    r = _index_for(spark, sf_dir)
+    return r.search_range(_RANGE_FLD, gte=_RANGE_LO, lte=_RANGE_HI, k=10)
+
+
+SQL_RANGE_DOCS = f"""
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM documents WHERE {_RANGE_FLD} BETWEEN {_RANGE_LO} AND {_RANGE_HI}
+ORDER BY doc_id ASC LIMIT 10
+"""
+
+
+def q_range_filter_qs(spark, sf_dir):
+    """query_string range clause composed with a scored term:
+    '+data +n_chars:[400 TO 900]' — the range leaf contributes the ES
+    constant_score 1.0, the term leaf its BM25 score, and the bool
+    fold intersects their doc sets (plans/querystring.py)."""
+    r = _index_for(spark, sf_dir)
+    return r.search_query_string(
+        f"+data +{_RANGE_FLD}:[{_RANGE_LO} TO {_RANGE_HI}]", k=10, round_to=4
+    )
+
+
+def _sql_range_filter() -> str:
+    from esbulk_spark import B, K1
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), norms AS (
+  SELECT doc_id, len(toks) AS dl FROM toks
+), stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM norms
+), tf AS (
+  SELECT t.doc_id, count(*) AS tf
+  FROM toks t, unnest(t.toks) AS u(t)
+  WHERE u.t = 'data'
+  GROUP BY t.doc_id
+), dict AS (
+  SELECT count(*) AS df FROM tf
+)
+SELECT tf.doc_id,
+       round(ln(1.0 + ((SELECT n FROM stats) - (SELECT df FROM dict) + 0.5)
+                      / ((SELECT df FROM dict) + 0.5))
+             * (tf.tf * {K1 + 1.0}) /
+               (tf.tf + {K1} * ({1.0 - B} + {B} * n.dl / (SELECT avgdl FROM stats)))
+             + 1.0, 4) AS score
+FROM tf JOIN norms n USING (doc_id)
+WHERE tf.doc_id IN (SELECT doc_id FROM documents
+                    WHERE {_RANGE_FLD} BETWEEN {_RANGE_LO} AND {_RANGE_HI})
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def q_collapse_by_lang(spark, sf_dir):
     """ES field collapsing: best hit per lang (+1 runner-up), top 3
     collapsed groups by their best hit."""
@@ -2814,6 +2878,8 @@ QUERIES = {
         q_bool_msm,
         _sql_bool(must_q=(), should_q=_BOOL_MSM_SHOULD, not_q=(), msm=_BOOL_MSM),
     ),
+    "range_query_docs": (q_range_docs, SQL_RANGE_DOCS),
+    "range_filter_query_string": (q_range_filter_qs, _sql_range_filter()),
     "suggest_corrections": (q_suggest, _sql_suggest()),
     "more_like_this_topk": (q_more_like_this, _sql_more_like_this()),
     "boosting_query_topk": (q_boosting, _sql_boosting()),

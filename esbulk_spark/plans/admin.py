@@ -21,6 +21,19 @@ shapes:
              the match filter is a semi-join against the source index's
              own scorer (pruned postings decode, never a rescan)
   _cat       stats.json + on-disk table sizes, driver-side metadata only
+  deletes    ES _delete_by_query = Lucene soft deletes: matching doc_ids
+             land in a tombstone table; every read path masks them
+             (reader._live / the WAND kernels' exclude array); index
+             statistics keep counting deleted docs until
+             expunge_deletes() compacts — exactly ES semantics between
+             merges. At 100 TB the tombstone table stays tiny relative
+             to the corpus and rides an executor broadcast
+  update     ES _update_by_query = transform matching docs' stored
+             fields and reindex them. Tables are immutable, so the
+             engine rebuilds from the transformed docs DataFrame into a
+             fresh dir and atomically swaps it in (the delta-segment +
+             tombstone + merge route is the incremental alternative at
+             scale; the full rebuild is the simple, always-correct one)
 """
 
 from __future__ import annotations
@@ -38,8 +51,9 @@ ALIASES_FILE = "aliases.json"
 SNAPSHOT_FILE = "SNAPSHOT.json"
 
 # committed index artifacts (everything else under an index dir is
-# scratch: _work, manifest temp, spark staging)
-_TABLES = ("docs", "dictionary", "postings", "positions", "segments")
+# scratch: _work, manifest temp, spark staging); deletes = soft-delete
+# tombstones, part of the queryable state
+_TABLES = ("docs", "dictionary", "postings", "positions", "segments", "deletes")
 
 __all__ = [
     "put_alias",
@@ -51,6 +65,10 @@ __all__ = [
     "restore_index",
     "reindex",
     "cat_indices",
+    "delete_by_query",
+    "delete_by_ids",
+    "update_by_query",
+    "expunge_deletes",
 ]
 
 
@@ -160,6 +178,9 @@ def snapshot_index(index_dir: str, snap_dir: str) -> dict:
             shutil.copytree(src, dst)
             copied.append(t)
     shutil.copy2(stats_path, os.path.join(snap_dir, STATS_FILE))
+    dm = os.path.join(index_dir, "deletes_meta.json")
+    if os.path.exists(dm):
+        shutil.copy2(dm, os.path.join(snap_dir, "deletes_meta.json"))
     with open(stats_path) as f:
         fp = json.load(f).get("fingerprint", "")
     meta = {"source": os.path.abspath(index_dir), "fingerprint": fp, "tables": copied}
@@ -185,6 +206,9 @@ def restore_index(snap_dir: str, index_dir: str, overwrite: bool = False) -> dic
     for t in meta["tables"]:
         shutil.copytree(os.path.join(snap_dir, t), os.path.join(index_dir, t))
     shutil.copy2(os.path.join(snap_dir, STATS_FILE), os.path.join(index_dir, STATS_FILE))
+    dm = os.path.join(snap_dir, "deletes_meta.json")
+    if os.path.exists(dm):
+        shutil.copy2(dm, os.path.join(index_dir, "deletes_meta.json"))
     return meta
 
 
@@ -227,6 +251,145 @@ def reindex(
     )
 
 
+# --------------------------------------------- delete / update by query
+
+
+def _write_deletes(spark: SparkSession, index_dir: str, ids_df) -> int:
+    """Union new tombstone ids into the deletes table, atomically
+    (tmp + rename via the same TableIO commit every stage uses).
+    Returns the total tombstone count after the write."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from esbulk_spark.plans.build import _atomic_write
+
+    path = os.path.join(index_dir, "deletes")
+    new = ids_df.select(F.col("doc_id").cast("long")).distinct()
+    if os.path.isdir(path):
+        existing = spark.read.parquet(path).select("doc_id")
+        # materialize BEFORE the rename clobbers the dir being read
+        rows = new.unionByName(existing).distinct().collect()
+        new = spark.createDataFrame(rows, "doc_id long")
+    _atomic_write(new.coalesce(1), path)
+    n = spark.read.parquet(path).count()
+    meta = {"n_deleted": int(n)}
+    with open(os.path.join(index_dir, "deletes_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return int(n)
+
+
+def delete_by_query(spark: SparkSession, index_dir: str, query: str) -> dict:
+    """ES POST /<index>/_delete_by_query: tombstone every LIVE doc
+    matching >= 1 analyzed query term (ES match-query semantics, the
+    same match set _count uses). Soft delete: the index tables are
+    untouched; read paths mask the tombstones; statistics (df, avgdl,
+    norms) keep counting deleted docs until expunge_deletes() — the
+    Lucene deletes-between-merges contract."""
+    from esbulk_spark.plans.reader import IndexReader
+
+    r = IndexReader(spark, index_dir)
+    match = r.score_all(query).select("doc_id")
+    n_matched = match.count()
+    total = _write_deletes(spark, index_dir, match)
+    r.refresh()
+    return {"deleted": int(n_matched), "total_tombstones": total}
+
+
+def delete_by_ids(spark: SparkSession, index_dir: str, doc_ids: list[int]) -> dict:
+    """ES bulk `delete` op-type analog: tombstone explicit ids."""
+    ids_df = spark.createDataFrame(
+        [(int(i),) for i in doc_ids], "doc_id long"
+    )
+    total = _write_deletes(spark, index_dir, ids_df)
+    return {"deleted": len(set(map(int, doc_ids))), "total_tombstones": total}
+
+
+def _rebuild_in_place(spark: SparkSession, index_dir: str, docs, sig: str) -> dict:
+    """Rebuild the index from ``docs`` (doc_ids pinned) into a fresh dir
+    and atomically swap it over ``index_dir``. ``docs`` must be a lazy
+    plan over the CURRENT dir — it is only executed while the old tables
+    still exist; the swap happens after the build commits."""
+    from esbulk_spark.config import IndexConfig
+
+    with open(os.path.join(index_dir, STATS_FILE)) as f:
+        st = json.load(f)
+    tmp = index_dir.rstrip("/") + ".rebuild"
+    shutil.rmtree(tmp, ignore_errors=True)
+    cfg = IndexConfig(
+        index_dir=tmp,
+        id_col="doc_id",
+        text_col=st.get("text_col", "content"),
+        n_buckets=st.get("n_buckets", 32),
+        n_shards=st.get("n_shards"),
+        chunk_cap=st.get("chunk_cap", 1 << 17),
+        block_size=st.get("block_size", 128),
+        k1=st.get("k1", 1.2),
+        b=st.get("b", 0.75),
+        store_content=st.get("store_content", True),
+        store_positions=st.get("store_positions", False),
+        overwrite=True,
+    )
+    stats = build_index(spark, docs, cfg, input_sig=sig)
+    old = index_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_dir, old)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(old)
+    return stats
+
+
+def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
+    """ES POST /<index>/_forcemerge?only_expunge_deletes analog: rebuild
+    the index from its LIVE docs (reader.docs() already masks
+    tombstones), dropping the deletes table and recomputing every
+    statistic. After this, scores reflect the post-delete corpus."""
+    from esbulk_spark.plans.reader import IndexReader
+
+    r = IndexReader(spark, index_dir)
+    if r._deleted_arr() is None:
+        return r.stats  # nothing to expunge
+    fp = r.stats.get("fingerprint", "")
+    n_del = len(r._deleted_arr())
+    return _rebuild_in_place(
+        spark, index_dir, r.docs(), sig=f"expunge:{fp}:{n_del}"
+    )
+
+
+def update_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    set_exprs: dict[str, str],
+    query: str | None = None,
+) -> dict:
+    """ES POST /<index>/_update_by_query: apply ``set_exprs`` (column ->
+    SQL expression over the stored doc fields, the analog of the
+    `script` body) to every LIVE doc matching ``query`` (None = all,
+    like an absent query body), then reindex. Immutable tables make
+    this a transformed rebuild + atomic swap; doc_ids are pinned so
+    ranks stay comparable. Updating the text column reindexes its
+    postings — exactly what ES's doc-version bump does internally."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from esbulk_spark.plans.reader import IndexReader
+
+    r = IndexReader(spark, index_dir)
+    docs = r.docs()
+    if query is not None:
+        match = r.score_all(query).select("doc_id").withColumn(
+            "__upd", F.lit(True)
+        )
+        docs = docs.join(match, "doc_id", "left")
+        cond = F.col("__upd").isNotNull()
+    else:
+        cond = F.lit(True)
+    for col, expr in set_exprs.items():
+        docs = docs.withColumn(
+            col, F.when(cond, F.expr(expr)).otherwise(F.col(col))
+        )
+    if query is not None:
+        docs = docs.drop("__upd")
+    fp = r.stats.get("fingerprint", "")
+    sig = f"ubq:{fp}|q={query}|{sorted(set_exprs.items())}"
+    return _rebuild_in_place(spark, index_dir, docs, sig=sig)
+
+
 # ---------------------------------------------------------------- _cat
 
 
@@ -253,14 +416,17 @@ def cat_indices(index_dirs: list[str]) -> list[dict]:
             continue
         with open(stats_path) as f:
             st = json.load(f)
-        out.append(
-            {
-                "index": d,
-                "health": "green",
-                "docs_count": st.get("n_docs"),
-                "terms": st.get("total_postings"),
-                "store_size_bytes": _du(d),
-                "fingerprint": st.get("fingerprint", "")[:12],
-            }
-        )
+        row = {
+            "index": d,
+            "health": "green",
+            "docs_count": st.get("n_docs"),
+            "terms": st.get("total_postings"),
+            "store_size_bytes": _du(d),
+            "fingerprint": st.get("fingerprint", "")[:12],
+        }
+        dm = os.path.join(d, "deletes_meta.json")
+        if os.path.exists(dm):
+            with open(dm) as f:
+                row["docs_deleted"] = json.load(f).get("n_deleted", 0)
+        out.append(row)
     return out

@@ -12,9 +12,20 @@ run_test.go drives _search and _count with such query strings):
     +term  -term              must / must_not modifiers
     a AND b   a OR b   NOT a  boolean operators (AND binds tighter)
     ( ... )                   grouping
-    field:term                field-qualified term; only the index's
-                              text field is addressable (single-field
-                              index) — other fields raise ValueError
+    field:term                field-qualified term: the index's text
+                              field scores BM25; any other STORED doc
+                              column is an exact keyword match
+                              (constant_score 1.0, ES filter-context
+                              semantics); unknown fields raise
+    field:[a TO b]            ES range query (inclusive); {a TO b} is
+    field:>=v  field:<v       exclusive; * is an open bound; >=/>/<=/<
+                              are the shorthand forms. Constant-score
+                              1.0 per matching doc, like ES
+                              constant_score(range). Executes as a
+                              docs-table predicate that pushes into the
+                              parquet scan (the column-store analog of
+                              ES's BKD-tree range visit; at scale the
+                              same predicate prunes partitions)
 
 Semantics (documented, oracle-consistent):
   * a clause sequence compiles to an ES bool query: `+` -> must,
@@ -70,6 +81,21 @@ class Pattern:  # trailing-* prefix or general wildcard
 
 
 @dataclass
+class FieldTerm:  # exact keyword match on a stored non-text column
+    fld: str
+    value: object
+
+
+@dataclass
+class Range:  # ES range query over a stored column; None = open bound
+    fld: str
+    lo: object = None
+    hi: object = None
+    incl_lo: bool = True
+    incl_hi: bool = True
+
+
+@dataclass
 class Bool:
     must: list = field(default_factory=list)
     should: list = field(default_factory=list)
@@ -88,6 +114,9 @@ _TOKEN_RE = re.compile(
         (?P<plus>\+) |
         (?P<minus>-) |
         (?P<phrase>"(?P<ph>[^"]*)"(?:~(?P<slop>\d+))?) |
+        (?P<range>(?P<rfld>[A-Za-z_][\w.]*):(?P<lb>[\[{])\s*
+                  (?P<rlo>[^\s\]}]+)\s+TO\s+(?P<rhi>[^\s\]}]+)\s*
+                  (?P<rb>[\]}])) |
         (?P<word>[^\s()+\-"][^\s()"]*)
     )""",
     re.VERBOSE,
@@ -111,9 +140,34 @@ def _lex(q: str) -> list[tuple[str, object]]:
         else:
             if m.group("phrase"):
                 out.append(("phrase", (m.group("ph"), int(m.group("slop") or 0))))
+            elif m.group("range"):
+                out.append(
+                    (
+                        "range",
+                        (
+                            m.group("rfld"),
+                            m.group("rlo"),
+                            m.group("rhi"),
+                            m.group("lb") == "[",
+                            m.group("rb") == "]",
+                        ),
+                    )
+                )
             else:
                 out.append(("word", m.group("word")))
     return out
+
+
+def _coerce(v: str):
+    """Range/field literal -> int/float when numeric, else the string
+    (matching how ES coerces range bounds against a numeric mapping)."""
+    try:
+        return int(v)
+    except ValueError:
+        try:
+            return float(v)
+        except ValueError:
+            return v
 
 
 # ------------------------------------------------------------ parser
@@ -194,14 +248,35 @@ class _Parser:
         if kind == "phrase":
             text, slop = val
             return Phrase(text, slop)
+        if kind == "range":
+            fld, lo, hi, incl_lo, incl_hi = val
+            return Range(
+                fld,
+                None if lo == "*" else _coerce(lo),
+                None if hi == "*" else _coerce(hi),
+                incl_lo,
+                incl_hi,
+            )
         if kind == "word":
             if ":" in val:
                 fld, _, rest = val.partition(":")
+                # shorthand comparison ranges: field:>=v  field:<v ...
+                for op, (lo_i, hi_i) in (
+                    (">=", (True, None)),
+                    ("<=", (None, True)),
+                    (">", (False, None)),
+                    ("<", (None, False)),
+                ):
+                    if rest.startswith(op):
+                        v = _coerce(rest[len(op):])
+                        if lo_i is None:
+                            return Range(fld, None, v, True, hi_i)
+                        return Range(fld, v, None, lo_i, True)
                 if fld != self.default_field:
-                    raise QueryStringError(
-                        f"unknown field {fld!r}: this index stores the "
-                        f"single text field {self.default_field!r}"
-                    )
+                    # exact keyword match on a stored doc column;
+                    # existence is validated at compile time against
+                    # the index's docs schema
+                    return FieldTerm(fld, _coerce(rest))
                 val = rest
             if "*" in val or "?" in val:
                 return Pattern(val)
@@ -221,10 +296,44 @@ def parse_query_string(
 # ------------------------------------------------------------ compiler
 
 
+def _filter_pred(reader, node):
+    """Column predicate for a FieldTerm/Range leaf over the STORED doc
+    table; validates the field against the index's docs schema. The
+    predicate pushes into the parquet scan (column-pruned to doc_id +
+    the one field) — the column-store analog of ES's BKD range visit."""
+    cols = set(reader.docs().columns)
+    if node.fld not in cols:
+        raise QueryStringError(
+            f"unknown field {node.fld!r}: stored columns are {sorted(cols)}"
+        )
+    c = F.col(node.fld)
+    if isinstance(node, FieldTerm):
+        return c == F.lit(node.value)
+    preds = []
+    if node.lo is not None:
+        preds.append(c >= F.lit(node.lo) if node.incl_lo else c > F.lit(node.lo))
+    if node.hi is not None:
+        preds.append(c <= F.lit(node.hi) if node.incl_hi else c < F.lit(node.hi))
+    if not preds:
+        raise QueryStringError(f"range on {node.fld!r} with both bounds open")
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
 def _leaf_scores(reader, node) -> DataFrame | None:
     """Full (doc_id, score) frame for one positive leaf; None when the
     leaf matches nothing (absent term / empty expansion)."""
     empty = None
+    if isinstance(node, (FieldTerm, Range)):
+        # ES constant_score / filter-context semantics: every matching
+        # doc contributes exactly 1.0
+        return (
+            reader.docs()
+            .filter(_filter_pred(reader, node))
+            .select("doc_id", F.lit(1.0).alias("score"))
+        )
     if isinstance(node, Term):
         from esbulk_spark.functions.analyzer import tokenize_text
 
@@ -262,7 +371,7 @@ def compile_node(reader, node) -> DataFrame:
     """Compile an AST node to its full (doc_id, score) match frame."""
     spark = reader.spark
     empty = spark.createDataFrame([], "doc_id long, score double")
-    if isinstance(node, (Term, Phrase, Pattern)):
+    if isinstance(node, (Term, Phrase, Pattern, FieldTerm, Range)):
         out = _leaf_scores(reader, node)
         return empty if out is None else out
     if not isinstance(node, Bool):  # pragma: no cover

@@ -93,6 +93,9 @@ class IndexReader:
         # literals instead of a dictionary broadcast join — one Spark
         # job less per search, zero jobs for warm terms
         self._df_cache: dict[str, int | None] = {}
+        # soft-delete tombstones: False = not loaded yet; None = none
+        self._del_arr: object = False
+        self._del_bc = None
 
     @property
     def n_docs(self) -> int:
@@ -113,11 +116,57 @@ class IndexReader:
         (needed after a stage directory is rebuilt in place)."""
         self._tables.clear()
         self._df_cache.clear()
-        for name in ("docs", "dictionary", "postings", "positions"):
+        self._del_arr = False
+        self._del_bc = None
+        with open(os.path.join(self.index_dir, STATS_FILE)) as f:
+            self.stats = json.load(f)
+        for name in ("docs", "dictionary", "postings", "positions", "deletes"):
             self.io.refresh(self.spark, name)
 
+    # ---- soft deletes (Lucene liveDocs model: delete_by_query writes
+    # doc_id tombstones; every read path masks them; index statistics
+    # (df, avgdl, norms) keep counting deleted docs until
+    # expunge_deletes/compaction rebuilds — exactly ES/Lucene semantics
+    # for deletes between merges) ----
+
+    def _deleted_arr(self):
+        """Sorted int64 tombstone doc_ids, or None when the index has no
+        deletes. Loaded once per reader (refresh() reloads). Tombstones
+        are bounded operational state — ES keeps them until merge too;
+        expunge_deletes() is the compaction that clears them."""
+        if self._del_arr is False:
+            import numpy as np
+
+            if not self.io.exists("deletes"):
+                self._del_arr = None
+            else:
+                pdf = self._table("deletes").select("doc_id").toPandas()
+                arr = np.sort(pdf["doc_id"].to_numpy(np.int64))
+                self._del_arr = arr if arr.size else None
+        return self._del_arr
+
+    def _deleted_bc(self):
+        """Spark broadcast of the tombstone array (one copy per
+        executor); None when no deletes."""
+        arr = self._deleted_arr()
+        if arr is None:
+            return None
+        if self._del_bc is None:
+            self._del_bc = self.spark.sparkContext.broadcast(arr)
+        return self._del_bc
+
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Anti-join ``df`` (carrying doc_id) against the tombstones;
+        passthrough when the index has none. Distributed-safe for any
+        tombstone volume (no driver materialization on this path)."""
+        if self._deleted_arr() is None:
+            return df
+        return df.join(
+            self._table("deletes").select("doc_id"), "doc_id", "left_anti"
+        )
+
     def docs(self) -> DataFrame:
-        return self._table("docs")
+        return self._live(self._table("docs"))
 
     def dictionary(self) -> DataFrame:
         return self._table("dictionary")
@@ -255,6 +304,7 @@ class IndexReader:
             self.stats["block_size"],
             prune=prune,
             dense_max=self.dense_max,
+            exclude_bc=self._deleted_bc(),
         )
         return tagged.groupBy("qid", "shard").applyInPandas(scorer, RESULT_SCHEMA)
 
@@ -322,6 +372,7 @@ class IndexReader:
             ids, scores = score_group(
                 grp, self.n_docs, k, s["k1"], s["b"], s["avgdl"],
                 s["block_size"], prune, dense_max=self.dense_max,
+                exclude=self._deleted_arr(),
             )
             out.extend(
                 (int(shard), int(d), float(sc)) for d, sc in zip(ids, scores)
@@ -882,9 +933,10 @@ class IndexReader:
         tfn = (tf * (k1 + 1.0)) / (
             tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
         )
-        return cand.join(self.norms().select("doc_id", "dl"), "doc_id").select(
-            "doc_id", freq_col, (F.lit(sum_idf) * tfn).alias("score")
-        )
+        # _live: soft-deleted docs never surface as phrase matches
+        return self._live(cand).join(
+            self.norms().select("doc_id", "dl"), "doc_id"
+        ).select("doc_id", freq_col, (F.lit(sum_idf) * tfn).alias("score"))
 
     def _phrase_scores(self, query: str, doc_ids: list[int] | None = None) -> DataFrame:
         """search_phrase's core: unrounded, un-limited (doc_id,
@@ -1170,7 +1222,9 @@ class IndexReader:
         tfn = (tf * (k1 + 1.0)) / (
             tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
         )
-        out = cand.join(self.norms().select("doc_id", "dl"), "doc_id").select(
+        out = self._live(cand).join(
+            self.norms().select("doc_id", "dl"), "doc_id"
+        ).select(
             "doc_id", "phrase_freq", (F.lit(sum_idf) * tfn).alias("score")
         )
         if round_to is not None:
@@ -1287,6 +1341,43 @@ class IndexReader:
             self, q, k=k, round_to=round_to, default_operator=default_operator
         )
 
+    def search_range(
+        self,
+        fld: str,
+        gte=None,
+        gt=None,
+        lte=None,
+        lt=None,
+        k: int = 10,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES range query over a STORED doc column (GET /_search
+        {"query": {"range": {fld: {gte/gt/lte/lt}}}}): constant-score
+        1.0 per matching doc under the canonical deterministic order.
+        Executes as a docs-table predicate pushed into the parquet scan
+        (column-pruned to doc_id + ``fld``) — the column-store analog
+        of ES's BKD-tree range visit; at cluster scale the same
+        predicate prunes file/partition min-max stats."""
+        from esbulk_spark.plans.querystring import Range, _filter_pred
+
+        if gte is not None and gt is not None:
+            raise ValueError("pass at most one of gte/gt")
+        if lte is not None and lt is not None:
+            raise ValueError("pass at most one of lte/lt")
+        node = Range(
+            fld,
+            gte if gte is not None else gt,
+            lte if lte is not None else lt,
+            incl_lo=gt is None,
+            incl_hi=lt is None,
+        )
+        out = (
+            self.docs()
+            .filter(_filter_pred(self, node))
+            .select("doc_id", F.lit(1.0).alias("score"))
+        )
+        return topk_deterministic(out, k, round_to)
+
     def _decode_to_rows(self, terms: list[str], doc_filter=None) -> DataFrame:
         """Decode pruned postings chunks -> (term, doc_id, contrib) rows.
         The index-backed full-scan path used by intersection and tests.
@@ -1310,9 +1401,13 @@ class IndexReader:
             if doc_filter is not None
             else None
         )
+        bexcl = self._deleted_bc()  # soft-delete tombstones (or None)
 
         def decode(batches):
+            from esbulk_spark.plans.wand import not_in_sorted
+
             flt = bflt.value if bflt is not None else None
+            excl = bexcl.value if bexcl is not None else None
             for pdf in batches:
                 outs = []
                 # column access, not iterrows: each row is a <=128k-posting
@@ -1334,6 +1429,11 @@ class IndexReader:
                         if not mask.any():
                             continue
                         ids, tfs, dls = ids[mask], tfs[mask], dls[mask]
+                    if excl is not None:
+                        keep = not_in_sorted(ids, excl)
+                        if not keep.any():
+                            continue
+                        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
                     tfn = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
                     outs.append(
                         pd.DataFrame(

@@ -51,6 +51,17 @@ def idf(df: int | np.ndarray, n_docs: int) -> float | np.ndarray:
     return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def not_in_sorted(ids: np.ndarray, excl: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask: True where ``ids`` is NOT in the sorted int64
+    array ``excl`` (vectorized searchsorted membership — the tombstone
+    filter for soft-deleted docs)."""
+    pos = np.searchsorted(excl, ids)
+    inb = pos < excl.size
+    hit = np.zeros(ids.size, dtype=bool)
+    hit[inb] = excl[pos[inb]] == ids[inb]
+    return ~hit
+
+
 class _TermCursor:
     """Decoded-on-demand view over one term's chunk rows within a shard."""
 
@@ -156,12 +167,21 @@ def score_group(
     prune: bool = True,
     batch_ranges: int = 64,
     dense_max: int | None = None,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one (query, shard) group of postings-chunk rows.
 
     Per-term df rides in as a column (broadcast-joined from the
     dictionary); idf is computed here. Returns (top_doc_ids, top_scores),
-    sorted by (score desc, doc_id asc), at most k entries."""
+    sorted by (score desc, doc_id asc), at most k entries.
+
+    ``exclude`` (sorted int64 doc_ids) is the soft-delete tombstone set:
+    excluded docs are masked out BEFORE top-k selection, so a deleted
+    doc never occupies a winner slot (Lucene liveDocs semantics). Block
+    upper bounds may still include deleted docs — they stay valid (just
+    less tight) for the live docs, so pruning remains exact."""
+    if exclude is not None and not exclude.size:
+        exclude = None
     cursors: list[_TermCursor] = []
     for term, grp in pdf.groupby("term", sort=True):
         t_idf = float(idf(int(grp["df"].iloc[0]), n_docs))
@@ -186,6 +206,9 @@ def score_group(
                 contrib_parts.append(c_arr)
         all_ids = np.concatenate(ids_parts)
         all_contrib = np.concatenate(contrib_parts)
+        if exclude is not None:
+            keep = not_in_sorted(all_ids, exclude)
+            all_ids, all_contrib = all_ids[keep], all_contrib[keep]
         u, inv = np.unique(all_ids, return_inverse=True)
         scores = np.bincount(inv, weights=all_contrib)
         sel = np.lexsort((u, -scores))[:k]
@@ -251,6 +274,8 @@ def score_group(
                 # keep only postings whose doc lies in a selected range
                 ridx = np.searchsorted(lo_b, ids, side="right") - 1
                 ok = (ridx >= 0) & (ids <= hi_b[np.clip(ridx, 0, hi_b.size - 1)])
+                if exclude is not None:
+                    ok &= not_in_sorted(ids, exclude)
                 if np.any(ok):
                     ids_parts.append(ids[ok])
                     contrib_parts.append(contrib[ok])
@@ -281,14 +306,19 @@ def make_group_scorer(
     block_size: int,
     prune: bool = True,
     dense_max: int | None = None,
+    exclude_bc=None,
 ):
-    """applyInPandas((qid, shard) group) -> top-k rows for that shard."""
+    """applyInPandas((qid, shard) group) -> top-k rows for that shard.
+    ``exclude_bc``: optional Spark broadcast of the sorted tombstone
+    doc_id array (one copy per executor, not per task)."""
     import pandas as pd
 
     def fn(key, pdf):
         qid, shard = key[0], int(key[1])
         ids, scores = score_group(
-            pdf, n_docs, k, k1, b, avgdl, block_size, prune, dense_max=dense_max
+            pdf, n_docs, k, k1, b, avgdl, block_size, prune,
+            dense_max=dense_max,
+            exclude=exclude_bc.value if exclude_bc is not None else None,
         )
         return pd.DataFrame(
             {"qid": qid, "shard": shard, "doc_id": ids, "score": scores}

@@ -92,6 +92,118 @@ def test_reindex_full_and_filtered(spark, index_dir, tmp_path):
     assert rq.doc_count() == expected > 0
 
 
+@pytest.fixture()
+def mutable_index(index_dir, tmp_path):
+    """A private copy of the shared index (via snapshot/restore — the
+    session-scoped index_dir must never be mutated)."""
+    snap = str(tmp_path / "mi_snap")
+    dest = str(tmp_path / "mi")
+    admin.snapshot_index(index_dir, snap)
+    admin.restore_index(snap, dest)
+    return dest
+
+
+def test_delete_by_query_soft_semantics(spark, mutable_index):
+    r = IndexReader(spark, mutable_index)
+    q, wide = "flushBuffer", "flushBuffer retry"
+    before = {x.doc_id: x.score for x in r.search(wide, k=100).collect()}
+    victims = {x.doc_id for x in r.score_all(q).collect()}
+    assert victims
+    res = admin.delete_by_query(spark, mutable_index, q)
+    assert res["deleted"] == len(victims) == res["total_tombstones"]
+    r.refresh()
+    after = {x.doc_id: x.score for x in r.search(wide, k=100).collect()}
+    # deleted docs gone from every hit list
+    assert victims.isdisjoint(after)
+    # soft delete: survivors keep IDENTICAL scores (stats unchanged
+    # until expunge — the Lucene deletes-between-merges contract)
+    for d, s in before.items():
+        if d not in victims:
+            assert after[d] == pytest.approx(s, abs=1e-9)
+    # the distributed per-shard scorer and the forced WAND sweep mask too
+    r.driver_score_max = 0
+    dist = {x.doc_id: x.score for x in r.search(wide, k=100).collect()}
+    assert dist.keys() == after.keys()
+    r.dense_max = 0
+    wand = {x.doc_id for x in r.search(wide, k=100).collect()}
+    assert wand == after.keys()
+    r.driver_score_max = 2_000_000
+    r.dense_max = None
+    # count / get / phrase / bool surfaces respect tombstones
+    assert r.count(q) == 0
+    vid = next(iter(victims))
+    assert r.get_doc(vid)["found"] is False
+    assert victims.isdisjoint(
+        {x.doc_id for x in r.search_bool(must=["retry"], k=1000).collect()}
+    )
+    # idempotent: deleting the same match set again adds nothing
+    res2 = admin.delete_by_query(spark, mutable_index, q)
+    assert res2["deleted"] == 0 and res2["total_tombstones"] == len(victims)
+
+
+def test_expunge_deletes_recomputes_stats(spark, mutable_index):
+    from esbulk_spark.plans.score import bm25_fullscan
+
+    r = IndexReader(spark, mutable_index)
+    n_before = r.doc_count()
+    victims = {x.doc_id for x in r.score_all("flushBuffer").collect()}
+    admin.delete_by_query(spark, mutable_index, "flushBuffer")
+    admin.expunge_deletes(spark, mutable_index)
+    r = IndexReader(spark, mutable_index)
+    assert r._deleted_arr() is None
+    assert r.doc_count() == r.n_docs == n_before - len(victims)
+    # post-compaction rank identity vs the full-scan oracle over the
+    # live corpus (scores now reflect the post-delete statistics)
+    q = "flushBuffer retry"
+    o = [(x.doc_id, round(x.score, 6))
+         for x in bm25_fullscan(r.docs(), q, text_col="content").collect()]
+    w = [(x.doc_id, round(x.score, 6)) for x in r.search(q).collect()]
+    assert o == w
+    # expunge with no tombstones is a no-op
+    st = admin.expunge_deletes(spark, mutable_index)
+    assert st["n_docs"] == r.n_docs
+
+
+def test_update_by_query(spark, mutable_index):
+    from esbulk_spark.plans.score import bm25_fullscan
+
+    r = IndexReader(spark, mutable_index)
+    n = r.doc_count()
+    hits = {x.doc_id for x in r.score_all("flushBuffer").collect()}
+    assert hits
+    admin.update_by_query(
+        spark,
+        mutable_index,
+        {"content": "concat(content, ' zzupdated zzupdated')"},
+        query="flushBuffer",
+    )
+    r = IndexReader(spark, mutable_index)
+    assert r.doc_count() == n  # updates, not inserts
+    assert {x.doc_id for x in r.score_all("zzupdated").collect()} == hits
+    o = [(x.doc_id, round(x.score, 6))
+         for x in bm25_fullscan(r.docs(), "zzupdated retry", text_col="content").collect()]
+    w = [(x.doc_id, round(x.score, 6)) for x in r.search("zzupdated retry").collect()]
+    assert o == w
+
+
+def test_delete_by_ids_cat_and_snapshot_carry_tombstones(
+    spark, mutable_index, tmp_path
+):
+    r = IndexReader(spark, mutable_index)
+    ids = [x.doc_id for x in r.docs().select("doc_id").limit(3).collect()]
+    admin.delete_by_ids(spark, mutable_index, ids)
+    row = admin.cat_indices([mutable_index])[0]
+    assert row["docs_deleted"] == 3
+    # snapshots capture the tombstone state
+    snap = str(tmp_path / "dsnap")
+    dest = str(tmp_path / "drest")
+    admin.snapshot_index(mutable_index, snap)
+    admin.restore_index(snap, dest)
+    r2 = IndexReader(spark, dest)
+    assert r2.get_doc(ids[0])["found"] is False
+    assert admin.cat_indices([dest])[0]["docs_deleted"] == 3
+
+
 def test_cat_indices(index_dir, tmp_path):
     rows = admin.cat_indices([index_dir, str(tmp_path / "missing")])
     by_health = {r["health"] for r in rows}

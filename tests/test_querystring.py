@@ -7,9 +7,11 @@ import pytest
 from esbulk_spark.plans.reader import IndexReader
 from esbulk_spark.plans.querystring import (
     Bool,
+    FieldTerm,
     Pattern,
     Phrase,
     QueryStringError,
+    Range,
     Term,
     parse_query_string,
 )
@@ -47,8 +49,29 @@ def test_parse_phrase_slop_pattern_field():
     assert isinstance(parse_query_string("pre*"), Pattern)
     assert isinstance(parse_query_string("w?ld"), Pattern)
     assert parse_query_string("text:x", default_field="text").text == "x"
-    with pytest.raises(QueryStringError):
-        parse_query_string("other:x", default_field="text")
+    # a non-text field parses to an exact keyword match; the field's
+    # existence is validated at compile time against the docs schema
+    n = parse_query_string("lang:go", default_field="text")
+    assert isinstance(n, FieldTerm) and (n.fld, n.value) == ("lang", "go")
+
+
+def test_parse_ranges():
+    n = parse_query_string("dl:[10 TO 200]")
+    assert isinstance(n, Range)
+    assert (n.fld, n.lo, n.hi, n.incl_lo, n.incl_hi) == ("dl", 10, 200, True, True)
+    n = parse_query_string("dl:{1.5 TO 2.5}")
+    assert (n.lo, n.hi, n.incl_lo, n.incl_hi) == (1.5, 2.5, False, False)
+    n = parse_query_string("path:[aaa TO zzz}")
+    assert (n.lo, n.hi, n.incl_lo, n.incl_hi) == ("aaa", "zzz", True, False)
+    n = parse_query_string("dl:[* TO 50]")
+    assert n.lo is None and n.hi == 50
+    assert parse_query_string("dl:>=7") == Range("dl", 7, None, True, True)
+    assert parse_query_string("dl:>7") == Range("dl", 7, None, False, True)
+    assert parse_query_string("dl:<=7") == Range("dl", None, 7, True, True)
+    assert parse_query_string("dl:<7") == Range("dl", None, 7, True, False)
+    # a range folds into bool clauses like any other atom
+    n = parse_query_string("+merge +dl:[10 TO 200]")
+    assert isinstance(n.must[1], Range)
 
 
 def test_parse_default_operator_and():
@@ -90,6 +113,39 @@ def test_qs_equals_first_class_surfaces(reader):
 def test_qs_pure_negative_raises(reader):
     with pytest.raises(QueryStringError):
         reader.search_query_string("-flushBuffer").collect()
+
+
+def test_range_and_field_queries(reader):
+    docs = reader.docs()
+    # pure range: constant score 1.0, ties -> canonical doc_id order
+    expect = sorted(
+        r.doc_id
+        for r in docs.filter("dl >= 120 and dl <= 200").select("doc_id").collect()
+    )
+    got = reader.search_range("dl", gte=120, lte=200, k=100_000)
+    assert _ids(got) == expect and expect
+    assert all(r.score == 1.0 for r in got.collect())
+    # exclusive bounds through query_string brackets
+    qs = reader.search_query_string("dl:{120 TO 200}", k=100_000)
+    assert _ids(qs) == sorted(
+        r.doc_id
+        for r in docs.filter("dl > 120 and dl < 200").select("doc_id").collect()
+    )
+    # comparison shorthand AND open bound compose like any bool clauses
+    assert _ids(
+        reader.search_query_string("dl:>=120 AND dl:[* TO 200]", k=100_000)
+    ) == expect
+    # keyword-field term + scored term == filter context shifted by the
+    # constant 1.0 (order-preserving)
+    rows = lambda df: [(r.doc_id, round(r.score, 6)) for r in df.collect()]
+    mixed = rows(reader.search_query_string("+flushBuffer +lang:go", k=10))
+    filt = rows(reader.search_bool(must=["flushBuffer"], filter="lang = 'go'", k=10))
+    assert mixed == [(d, round(s + 1.0, 6)) for d, s in filt] and mixed
+    # unknown field is a compile-time error against the docs schema
+    with pytest.raises(QueryStringError):
+        reader.search_query_string("nope:[1 TO 2]").collect()
+    with pytest.raises(QueryStringError):
+        reader.search_range("nope", gte=1)
 
 
 def test_qs_absent_term_conjunction_empty(reader):
