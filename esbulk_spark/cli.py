@@ -51,6 +51,13 @@ def main(argv: list[str] | None = None) -> int:
                          help="esbulk -skipbroken (NDJSON input only)")
     p_index.add_argument("--optype", choices=["index", "create", "update"],
                          default="index", help="esbulk -optype")
+    p_index.add_argument("--append", action="store_true",
+                         help="bulk-index into an EXISTING index without a "
+                              "full rebuild: the batch builds as a delta "
+                              "segment and fast-merges in (admin.append_docs);"
+                              " --id-spec/--id-col gives _id semantics "
+                              "(--optype index upserts, create skips "
+                              "existing). Creates the index when absent.")
     p_index.add_argument("--n-buckets", type=int, default=32)
     p_index.add_argument("--n-shards", type=int, default=None)
     p_index.add_argument("--no-store-content", action="store_true",
@@ -361,6 +368,44 @@ def _cmd_index_inner(spark, args, tmp_paths: list) -> int:
     overwrite = args.purge
     input_sig = args.input
     existing_docs = os.path.join(args.index_dir, "docs")
+    if (
+        getattr(args, "append", False)
+        and not args.purge
+        and os.path.exists(existing_docs)
+    ):
+        # incremental path: delta segment + fast merge, never a rebuild
+        from esbulk_spark.plans import admin
+
+        if args.optype == "update":
+            raise SystemExit(
+                "--append supports --optype index|create (Lucene "
+                "delete+add); field-merge 'update' needs the optype "
+                "re-index path (drop --append)."
+            )
+        t0 = time.monotonic()
+        res = admin.append_docs(
+            spark,
+            args.index_dir,
+            docs,
+            key_col=key_col,
+            op_type=args.optype,
+            sort_keys=sort_keys,
+        )
+        n_quarantined = 0
+        if quarantine is not None:
+            qpath = os.path.join(args.index_dir, "quarantine")
+            quarantine.write.mode("overwrite").parquet(qpath)
+            n_quarantined = spark.read.parquet(qpath).count()
+        dt = time.monotonic() - t0
+        rate = res["appended"] / dt if dt else 0.0
+        print(
+            f"appended {res['appended']} docs (updated {res['updated']}, "
+            f"skipped {res['skipped']}) in {dt:.1f}s at {rate:.1f} docs/s "
+            f"({n_quarantined} quarantined)",
+            file=sys.stderr,
+        )
+        print(json.dumps(dict(res, n_quarantined=n_quarantined)))
+        return 0
     if (
         not args.purge
         and key_col

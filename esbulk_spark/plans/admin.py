@@ -28,6 +28,14 @@ shapes:
              expunge_deletes() compacts — exactly ES semantics between
              merges. At 100 TB the tombstone table stays tiny relative
              to the corpus and rides an executor broadcast
+  append     ES continuous bulk indexing into a LIVE index (the
+             reference's whole job): the new batch builds as a delta
+             segment with doc_ids past the main index's max, then
+             main+delta fast-merge (blobs verbatim, metadata refreshed)
+             and atomically swap — index-sized cost, no token
+             re-shuffle. key_col gives _id semantics: upsert tombstones
+             the old version (Lucene update = delete+add), create drops
+             already-present keys
   update     ES _update_by_query = transform matching docs' stored
              fields and reindex them. Tables are immutable, so the
              engine rebuilds from the transformed docs DataFrame into a
@@ -39,6 +47,7 @@ shapes:
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 
@@ -69,6 +78,7 @@ __all__ = [
     "delete_by_ids",
     "update_by_query",
     "expunge_deletes",
+    "append_docs",
 ]
 
 
@@ -276,6 +286,17 @@ def _write_deletes(spark: SparkSession, index_dir: str, ids_df) -> int:
     return int(n)
 
 
+def _refresh_paths(spark: SparkSession, index_dir: str) -> None:
+    """Invalidate Spark's cached file listings for every table under a
+    swapped index dir: the atomic rename replaces part files at the SAME
+    paths, and a stale FileStatusCache would otherwise serve the old
+    file list to the next reader (FAILED_READ_FILE.FILE_NOT_EXIST)."""
+    for t in _TABLES:
+        p = os.path.join(index_dir, t)
+        if os.path.isdir(p):
+            spark.catalog.refreshByPath(p)
+
+
 def delete_by_query(spark: SparkSession, index_dir: str, query: str) -> dict:
     """ES POST /<index>/_delete_by_query: tombstone every LIVE doc
     matching >= 1 analyzed query term (ES match-query semantics, the
@@ -333,6 +354,7 @@ def _rebuild_in_place(spark: SparkSession, index_dir: str, docs, sig: str) -> di
     os.rename(index_dir, old)
     os.rename(tmp, index_dir)
     shutil.rmtree(old)
+    _refresh_paths(spark, index_dir)
     return stats
 
 
@@ -388,6 +410,213 @@ def update_by_query(
     fp = r.stats.get("fingerprint", "")
     sig = f"ubq:{fp}|q={query}|{sorted(set_exprs.items())}"
     return _rebuild_in_place(spark, index_dir, docs, sig=sig)
+
+
+def append_docs(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs,
+    key_col: str | None = None,
+    op_type: str = "index",
+    sort_keys: tuple[str, ...] | None = None,
+    keep_ids: bool = False,
+) -> dict:
+    """ES continuous bulk indexing INTO an existing index — the
+    reference's entire purpose (esbulk streams _bulk requests at a live
+    index, run.go:200-321) — without a full rebuild.
+
+    The Lucene segment lifecycle: ``new_docs`` becomes a DELTA segment
+    (its own index dir, doc_ids offset past the main index's max), then
+    main + delta fast-merge (operators/merge.merge_segments_fast: chunk
+    blobs verbatim, only avgdl-dependent block-max metadata refreshed —
+    index-sized data movement, no token re-shuffle/re-encode) and the
+    result atomically swaps over ``index_dir``. Cost is proportional to
+    the INDEX, not the corpus tokens; at 10^12 docs this is the only
+    viable ingest path, and it is rank-identical to a full rebuild of
+    the union (tests/test_merge.py pins fast-merge rank identity).
+
+    ``key_col`` gives ES _id semantics for the batch (op-types,
+    indexing.go:279-307):
+      op_type="index"   upsert — live docs whose key matches an incoming
+                        row are TOMBSTONED (Lucene update = delete+add;
+                        the new version lives in the delta segment)
+      op_type="create"  insert-only — incoming rows whose key already
+                        exists live are dropped
+    key_col=None is a plain append (every row is a new doc). Incoming
+    batches must have unique keys; resolve in-batch collisions first
+    with operators/optype (ES applies bulk actions sequentially — a
+    DataFrame has no order, so the contract is explicit here).
+
+    ``keep_ids=True`` trusts incoming.doc_id as the global id (checked
+    disjoint from the index's ids with one keys-only semi-join) instead
+    of assigning fresh ids past the current max.
+
+    BM25 statistics (n_docs, avgdl, df) refresh to the post-append
+    corpus — what an ES refresh does. Tombstones carry across the swap
+    and keep masking reads until expunge_deletes() compacts. Shard count
+    grows by the delta's shards per append (Lucene segment
+    proliferation); expunge_deletes() is the forcemerge that re-packs.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.functions.analyzer import ANALYZER_VERSION
+    from esbulk_spark.operators.docids import assign_doc_ids_with_count
+    from esbulk_spark.operators.merge import merge_segments_fast
+    from esbulk_spark.plans.reader import IndexReader
+
+    if op_type not in ("index", "create"):
+        raise ValueError(
+            f"op_type={op_type!r}: append supports 'index' (upsert) and "
+            "'create' (insert-only); 'update' needs field merging — use "
+            "update_by_query or the optype re-index path"
+        )
+    r = IndexReader(spark, index_dir)
+    st = r.stats
+    text_col = st.get("text_col", "content")
+    incoming = new_docs
+    n_updated = n_skipped = 0
+
+    if key_col is not None:
+        if key_col not in incoming.columns:
+            raise ValueError(f"key_col {key_col!r} not in incoming columns")
+        cnt, ndist = incoming.agg(
+            F.count(key_col), F.count_distinct(key_col)
+        ).first()
+        if cnt != ndist:
+            raise ValueError(
+                f"incoming batch has {cnt - ndist} duplicate {key_col!r} "
+                "keys; resolve in-batch collisions first "
+                "(operators/optype.optype_index)"
+            )
+        live_keys = r.docs().select("doc_id", key_col)
+        in_keys = incoming.select(key_col).distinct()
+        if op_type == "create":
+            incoming = incoming.join(
+                live_keys.select(key_col), key_col, "left_anti"
+            )
+        else:  # index = upsert: tombstone the old versions
+            victims = live_keys.join(in_keys, key_col, "left_semi").select(
+                "doc_id"
+            )
+            n_updated = victims.count()
+            if n_updated:
+                _write_deletes(spark, index_dir, victims)
+
+    if keep_ids:
+        # caller-supplied ids (incoming.doc_id): the merge contract only
+        # needs the ID SETS disjoint — shard is an opaque scoring-group
+        # key, so overlapping RANGES are fine. Verified with one
+        # keys-only semi-join (id-sized, broadcastable).
+        n_clash = (
+            incoming.select(F.col("doc_id").cast("long").alias("doc_id"))
+            .join(
+                spark.read.parquet(
+                    os.path.join(index_dir, "docs")
+                ).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            .count()
+        )
+        if n_clash:
+            raise ValueError(
+                f"keep_ids: {n_clash} incoming doc_ids already exist in "
+                "the index; ids must be globally unique"
+            )
+        docs = incoming
+        n_new = incoming.count()
+        base = 0
+    else:
+        base_row = (
+            spark.read.parquet(os.path.join(index_dir, "docs"))
+            .agg(F.max("doc_id"))
+            .first()
+        )
+        base = int(base_row[0] if base_row[0] is not None else -1) + 1
+        keys = sort_keys or tuple(
+            k for k in ("repo", "path", "commit") if k in incoming.columns
+        ) or (key_col or text_col,)
+        with_local, n_new = assign_doc_ids_with_count(
+            incoming, keys, out_col="__local_id"
+        )
+        docs = with_local.withColumn(
+            "doc_id", (F.col("__local_id") + F.lit(base)).cast("long")
+        ).drop("__local_id")
+    if key_col is not None and op_type == "create":
+        n_skipped = int(cnt) - n_new
+    if n_new == 0:
+        return {
+            "appended": 0, "updated": n_updated, "skipped": n_skipped,
+            "n_docs": st["n_docs"],
+        }
+
+    delta = index_dir.rstrip("/") + ".delta"
+    shutil.rmtree(delta, ignore_errors=True)
+    common = dict(
+        id_col="doc_id",
+        text_col=text_col,
+        n_buckets=st["n_buckets"],
+        chunk_cap=st.get("chunk_cap", 1 << 17),
+        block_size=st.get("block_size", 128),
+        k1=st.get("k1", 1.2),
+        b=st.get("b", 0.75),
+        store_content=st.get("store_content", True),
+        store_positions=st.get("store_positions", False),
+        analyzer=st.get("analyzer", ANALYZER_VERSION),
+    )
+    tmp = index_dir.rstrip("/") + ".merged"
+    old = index_dir.rstrip("/") + ".old"
+    try:
+        build_index(
+            spark,
+            docs,
+            IndexConfig(
+                index_dir=delta,
+                n_shards=max(1, math.ceil(n_new / st["shard_size"])),
+                overwrite=True,
+                **common,
+            ),
+            input_sig=f"append:{st.get('fingerprint', '')}:{base}:{n_new}",
+        )
+        main_cols = set(
+            spark.read.parquet(os.path.join(index_dir, "docs")).columns
+        )
+        delta_cols = set(
+            spark.read.parquet(os.path.join(delta, "docs")).columns
+        )
+        if main_cols != delta_cols:
+            raise ValueError(
+                "incoming docs schema does not match the index's docs "
+                f"table: only-main={sorted(main_cols - delta_cols)} "
+                f"only-new={sorted(delta_cols - main_cols)}"
+            )
+        stats = merge_segments_fast(
+            spark, [index_dir, delta], IndexConfig(index_dir=tmp, **common)
+        )
+        # tombstones (by doc_id, which the merge preserves) ride across
+        dsrc = os.path.join(index_dir, "deletes")
+        if os.path.isdir(dsrc):
+            shutil.copytree(dsrc, os.path.join(tmp, "deletes"))
+            shutil.copy2(
+                os.path.join(index_dir, "deletes_meta.json"),
+                os.path.join(tmp, "deletes_meta.json"),
+            )
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(index_dir, old)
+        os.rename(tmp, index_dir)
+        shutil.rmtree(old)
+        _refresh_paths(spark, index_dir)
+    finally:
+        shutil.rmtree(delta, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "appended": int(n_new),
+        "updated": int(n_updated),
+        "skipped": int(n_skipped),
+        "n_docs": int(stats["n_docs"]),
+        "n_shards": int(stats["n_shards"]),
+    }
 
 
 # ---------------------------------------------------------------- _cat

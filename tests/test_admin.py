@@ -204,6 +204,80 @@ def test_delete_by_ids_cat_and_snapshot_carry_tombstones(
     assert admin.cat_indices([dest])[0]["docs_deleted"] == 3
 
 
+def test_append_docs_plain_rank_identity(spark, mutable_index):
+    """Plain append (delta segment + fast merge + swap) is rank-identical
+    to a from-scratch build over the union — BM25 stats refreshed."""
+    from esbulk_spark.corpus import synth_corpus
+    from esbulk_spark.plans.score import bm25_fullscan
+
+    extra = synth_corpus(spark, 40, seed=99)
+    r0 = IndexReader(spark, mutable_index)
+    n0, sh0 = r0.doc_count(), r0.stats["n_shards"]
+    res = admin.append_docs(spark, mutable_index, extra)
+    assert res["appended"] == 40 and res["n_docs"] == n0 + 40
+    assert res["n_shards"] > sh0  # segment proliferation, Lucene-style
+    r = IndexReader(spark, mutable_index)
+    assert r.doc_count() == n0 + 40
+    for q in ("flushBuffer retry", "return"):
+        o = [(x.doc_id, round(x.score, 6))
+             for x in bm25_fullscan(r.docs(), q, text_col="content").collect()]
+        w = [(x.doc_id, round(x.score, 6)) for x in r.search(q).collect()]
+        assert o == w
+    # appended ids extend past the old max: old ids unchanged
+    assert r.docs().agg({"doc_id": "max"}).first()[0] == n0 + 40 - 1
+
+
+def test_append_docs_upsert_and_create(spark, mutable_index):
+    from pyspark.sql import functions as F
+
+    r = IndexReader(spark, mutable_index)
+    n0 = r.doc_count()
+    some = r.docs().orderBy("doc_id").limit(10).select(
+        "repo", "path", "commit", "lang",
+        F.concat("content", F.lit(" zzrev2 zzrev2")).alias("content"),
+    )
+    # upsert by path: old versions tombstoned, new searchable
+    res = admin.append_docs(
+        spark, mutable_index, some, key_col="path", op_type="index"
+    )
+    assert res == {
+        "appended": 10, "updated": 10, "skipped": 0,
+        "n_docs": res["n_docs"], "n_shards": res["n_shards"],
+    }
+    r = IndexReader(spark, mutable_index)
+    assert r.doc_count() == n0  # updates, not inserts
+    assert len(r.score_all("zzrev2").collect()) == 10
+    dups = (
+        r.docs().groupBy("path").count().filter("count > 1").count()
+    )
+    assert dups == 0  # one live version per key
+    # create: resending the same keys is a no-op append
+    res2 = admin.append_docs(
+        spark, mutable_index, some, key_col="path", op_type="create"
+    )
+    assert res2["appended"] == 0 and res2["skipped"] == 10
+    assert IndexReader(spark, mutable_index).doc_count() == n0
+    # duplicate keys within a batch are rejected (explicit contract)
+    with pytest.raises(ValueError, match="duplicate"):
+        admin.append_docs(
+            spark, mutable_index, some.unionByName(some), key_col="path"
+        )
+
+
+def test_append_docs_keep_ids_rejects_clashes(spark, mutable_index):
+    from pyspark.sql import functions as F
+
+    r = IndexReader(spark, mutable_index)
+    clash = r.docs().filter("doc_id < 3")
+    with pytest.raises(ValueError, match="already exist"):
+        admin.append_docs(spark, mutable_index, clash, keep_ids=True)
+    fresh = clash.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    res = admin.append_docs(spark, mutable_index, fresh, keep_ids=True)
+    assert res["appended"] == 3
+    r = IndexReader(spark, mutable_index)
+    assert r.get_doc(1_000_000)["found"] is True
+
+
 def test_cat_indices(index_dir, tmp_path):
     rows = admin.cat_indices([index_dir, str(tmp_path / "missing")])
     by_health = {r["health"] for r in rows}

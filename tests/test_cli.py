@@ -87,6 +87,45 @@ def test_cli_optype_ingest_then_verify(spark, tmp_path, optype, expect_b, expect
     assert r.doc_count() == len(expect_keys)
 
 
+@pytest.mark.parametrize(
+    "optype,expect_b",
+    [
+        ("index", "REPLACED content b"),   # upsert: old version tombstoned
+        ("create", "scan filter two"),     # insert-only: existing key kept
+    ],
+)
+def test_cli_append_incremental(spark, tmp_path, optype, expect_b):
+    """--append = continuous bulk indexing into a live index (the
+    reference's whole job) WITHOUT a rebuild: the second wave becomes a
+    delta segment fast-merged in; optype gives ES _id semantics."""
+    w1 = str(tmp_path / "w1.jsonl")
+    w2 = str(tmp_path / "w2.jsonl")
+    _write_jsonl(w1, WAVE1)
+    _write_jsonl(w2, WAVE2)
+    idx = str(tmp_path / f"idx_app_{optype}")
+
+    rc = cli_mod._cmd_index(
+        spark, _args(input=w1, index_dir=idx, id_spec="k", purge=True)
+    )
+    assert rc == 0
+    fp1 = json.load(open(os.path.join(idx, "stats.json")))["fingerprint"]
+
+    rc = cli_mod._cmd_index(
+        spark,
+        _args(input=w2, index_dir=idx, id_spec="k", optype=optype, append=True),
+    )
+    assert rc == 0
+    got = _doc_map(spark, idx)
+    assert set(got) == {"a", "b", "c", "d"}
+    assert got["b"] == expect_b and got["a"] == "merge sort one"
+    r = IndexReader(spark, idx)
+    assert r.doc_count() == 4
+    # the merge stamped a new fingerprint (it's an append, not a no-op)
+    assert r.stats["fingerprint"] != fp1
+    # and the appended term is searchable
+    assert r.count("brand") == 1
+
+
 def test_cli_quarantine_broken_and_missing_id(spark, tmp_path):
     """A15 error side-channel: broken JSON and missing-id docs land in the
     quarantine table with reasons; the reference fails such docs
