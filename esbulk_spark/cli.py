@@ -91,13 +91,13 @@ def main(argv: list[str] | None = None) -> int:
     p_search.add_argument("-k", type=int, default=10)
     p_search.add_argument("--mode", choices=["wand", "fullscan", "and", "phrase",
                                              "phrase_prefix", "prefix", "fuzzy",
-                                             "wildcard"],
+                                             "wildcard", "regexp"],
                           default="wand",
                           help="phrase/phrase_prefix = positional queries "
                                "over the positions table (index must be "
                                "built with --store-positions); prefix/fuzzy/"
-                               "wildcard = dictionary term expansion scored "
-                               "as a BM25 disjunction")
+                               "wildcard/regexp = dictionary term expansion "
+                               "scored as a BM25 disjunction")
     p_search.add_argument("--fuzziness", default="AUTO",
                           help="fuzzy mode: edit budget (int) or AUTO "
                                "(ES ladder by term length)")
@@ -565,6 +565,11 @@ def _cmd_search(spark, args) -> int:
             )
         elif args.mode == "wildcard":
             df = r.search_wildcard(
+                args.query, k=args.k,
+                max_expansions=getattr(args, "max_expansions", 50),
+            )
+        elif args.mode == "regexp":
+            df = r.search_regexp(
                 args.query, k=args.k,
                 max_expansions=getattr(args, "max_expansions", 50),
             )

@@ -691,6 +691,21 @@ def _sql_wildcard() -> str:
     )
 
 
+REGEXP_PATTERN = "s(can|ort|park)"  # anchored: scan / sort / spark
+
+
+def q_regexp(spark, sf_dir):
+    """ES regexp-query analog: anchored full-term RLIKE over the
+    dictionary scan (Lucene regexp queries must consume the whole
+    term), expansions scored as a BM25 disjunction."""
+    r = _index_for(spark, sf_dir)
+    return r.search_regexp(REGEXP_PATTERN, k=10, round_to=4)
+
+
+def _sql_regexp() -> str:
+    return _sql_expanded(f"regexp_full_match(u.t, '{REGEXP_PATTERN}')")
+
+
 PHRASE_PREFIX_BODY, PHRASE_PREFIX_LAST = "batch", "s"  # "batch s*"
 
 
@@ -2908,6 +2923,7 @@ QUERIES = {
     "prefix_query_topk": (q_prefix, _sql_prefix()),
     "fuzzy_query_topk": (q_fuzzy, _sql_fuzzy()),
     "wildcard_query_topk": (q_wildcard, _sql_wildcard()),
+    "regexp_query_topk": (q_regexp, _sql_regexp()),
     "phrase_prefix_topk": (q_phrase_prefix, _sql_phrase_prefix()),
     "bool_query_topk": (q_bool, _sql_bool()),
     "bool_hot_must_topk": (

@@ -718,6 +718,40 @@ class IndexReader:
         dfs = self.expand_wildcard(pattern, max_expansions)
         return self._search_expanded(dfs, k, round_to)
 
+    def expand_regexp(
+        self, pattern: str, max_expansions: int = 50
+    ) -> dict[str, int]:
+        """ES ``regexp``-query term expansion: dictionary terms the
+        pattern matches IN FULL (Lucene regexp queries are anchored —
+        the pattern must consume the whole term, never a substring), so
+        the pattern is wrapped ``^(?:...)$`` and evaluated JVM-side with
+        RLIKE over the dictionary scan. Accepts Java regex syntax
+        (Lucene's handful of extra operators — ``~`` complement,
+        ``<n-m>`` intervals — are not implemented; ES turns most of
+        them off by default via regexp flags anyway). Like ES, a
+        pattern with no literal prefix forces a full dictionary pass —
+        still term-level metadata, orders of magnitude smaller than
+        postings."""
+        pattern = pattern.strip().lower()
+        if not pattern:
+            return {}
+        return self._expand_terms(
+            F.col("term").rlike(f"^(?:{pattern})$"), max_expansions
+        )
+
+    def search_regexp(
+        self,
+        pattern: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES ``regexp`` query analog: expand_regexp, then BM25
+        disjunction over the expansions (``rewrite: scoring_boolean``,
+        deterministic, as the other multi-term queries)."""
+        dfs = self.expand_regexp(pattern, max_expansions)
+        return self._search_expanded(dfs, k, round_to)
+
     def _search_expanded(
         self, dfs: dict[str, int], k: int, round_to: int | None
     ) -> DataFrame:

@@ -795,6 +795,35 @@ def test_search_wildcard(reader):
     assert reader.search_wildcard("zzz*zzz").collect() == []
 
 
+def test_search_regexp(reader):
+    """ES regexp query: ANCHORED full-term match over the dictionary
+    (Lucene consumes the whole term), scored as a BM25 disjunction
+    identical to the equivalent explicit multi-term query."""
+    import re
+
+    vocab = sorted(r["term"] for r in reader.dictionary().collect())
+    probe = next(t for t in vocab if t.isalpha() and len(t) >= 4)
+    # alternation + char class, still anchored
+    pat = f"{probe[:2]}[a-z]*"
+    want = {t for t in vocab if re.fullmatch(pat, t)}
+    dfs = reader.expand_regexp(pat)
+    assert set(dfs) == set(sorted(want)[:50]) and probe in dfs
+    # anchoring: a bare substring of probe must NOT match longer terms
+    sub = probe[:3]
+    if any(t != sub and sub in t for t in vocab):
+        assert all(t == sub for t in reader.expand_regexp(re.escape(sub)))
+    via_re = [
+        (r.doc_id, round(r.score, 6))
+        for r in reader.search_regexp(pat, k=10).collect()
+    ]
+    via_or = [
+        (r.doc_id, round(r.score, 6))
+        for r in reader.search(" ".join(sorted(dfs)), k=10).collect()
+    ]
+    assert via_re == via_or and via_re
+    assert reader.search_regexp("zzz+never").collect() == []
+
+
 def test_bool_minimum_should_match(spark, tmp_path):
     """minimum_should_match gates on the DISTINCT should-term count;
     scores still sum over every matched term."""
