@@ -497,9 +497,9 @@ def _write_profile(index_dir: str, out_path: str, wall_sec: float) -> None:
 
 
 def _cmd_search(spark, args) -> int:
-    from esbulk_spark.plans.reader import IndexReader
+    from esbulk_spark.plans.admin import open_reader
 
-    r = IndexReader(spark, args.index_dir)
+    r = open_reader(spark, args.index_dir)
     search_after = getattr(args, "search_after", None)
     if search_after is not None and args.mode not in ("wand", "fullscan"):
         print(

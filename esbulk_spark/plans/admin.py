@@ -156,10 +156,13 @@ def search_alias(
     directly; multi-index aliases route through the global top-k merge
     (search_indices), each index scoring with its own statistics —
     exactly ES's alias fan-out."""
-    from esbulk_spark.plans.reader import IndexReader, search_indices
+    from esbulk_spark.plans.reader import search_indices
 
     dirs = resolve_alias(registry_dir, name)
-    readers = {os.path.basename(d.rstrip("/")) or d: IndexReader(spark, d) for d in dirs}
+    readers = {
+        os.path.basename(d.rstrip("/")) or d: open_reader(spark, d)
+        for d in dirs
+    }
     if len(readers) == 1:
         (r,) = readers.values()
         return r.search(query, k=k, round_to=round_to)
@@ -242,9 +245,7 @@ def reindex(
     corpus is never re-scanned). Destination ids are pinned to the
     source doc_ids (dst_cfg.id_col forced to "doc_id"), so scores and
     ranks stay comparable across the copy."""
-    from esbulk_spark.plans.reader import IndexReader
-
-    r = IndexReader(spark, src_index_dir)
+    r = open_reader(spark, src_index_dir)
     docs = r.docs()
     sig_extra = ""
     if query is not None:
@@ -304,9 +305,7 @@ def delete_by_query(spark: SparkSession, index_dir: str, query: str) -> dict:
     untouched; read paths mask the tombstones; statistics (df, avgdl,
     norms) keep counting deleted docs until expunge_deletes() — the
     Lucene deletes-between-merges contract."""
-    from esbulk_spark.plans.reader import IndexReader
-
-    r = IndexReader(spark, index_dir)
+    r = open_reader(spark, index_dir)
     match = r.score_all(query).select("doc_id")
     n_matched = match.count()
     total = _write_deletes(spark, index_dir, match)
@@ -363,13 +362,12 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     the index from its LIVE docs (reader.docs() already masks
     tombstones), dropping the deletes table and recomputing every
     statistic. After this, scores reflect the post-delete corpus."""
-    from esbulk_spark.plans.reader import IndexReader
-
-    r = IndexReader(spark, index_dir)
-    if r._deleted_arr() is None:
-        return r.stats  # nothing to expunge
+    r = open_reader(spark, index_dir)
+    if r._deleted_arr() is None and not attached_segments(index_dir):
+        return r.stats  # nothing to expunge, nothing to fold in
     fp = r.stats.get("fingerprint", "")
-    n_del = len(r._deleted_arr())
+    arr = r._deleted_arr()
+    n_del = 0 if arr is None else len(arr)
     return _rebuild_in_place(
         spark, index_dir, r.docs(), sig=f"expunge:{fp}:{n_del}"
     )
@@ -389,9 +387,8 @@ def update_by_query(
     ranks stay comparable. Updating the text column reindexes its
     postings — exactly what ES's doc-version bump does internally."""
     from pyspark.sql import functions as F  # noqa: F811
-    from esbulk_spark.plans.reader import IndexReader
 
-    r = IndexReader(spark, index_dir)
+    r = open_reader(spark, index_dir)
     docs = r.docs()
     if query is not None:
         match = r.score_all(query).select("doc_id").withColumn(
@@ -412,6 +409,89 @@ def update_by_query(
     return _rebuild_in_place(spark, index_dir, docs, sig=sig)
 
 
+ATTACHED_DIR = "attached"
+
+
+def attached_segments(index_dir: str) -> list[str]:
+    """Attached (not-yet-merged) delta segment dirs, in attach order."""
+    root = os.path.join(index_dir, ATTACHED_DIR)
+    if not os.path.isdir(root):
+        return []
+    segs = [d for d in os.listdir(root) if d.startswith("seg_")]
+    return [
+        os.path.join(root, d)
+        for d in sorted(segs, key=lambda s: int(s.split("_")[1]))
+    ]
+
+
+def open_reader(spark: SparkSession, index_dir: str):
+    """The one way to open an index for reading: a plain IndexReader
+    when the index has no attached segments, a SegmentSetReader (global
+    statistics over main + attached, plans/segments.py) when it does —
+    ES's searcher-over-segments: appended docs are visible before any
+    merge."""
+    from esbulk_spark.plans.reader import IndexReader
+
+    segs = attached_segments(index_dir)
+    if not segs:
+        return IndexReader(spark, index_dir)
+    from esbulk_spark.plans.segments import SegmentSetReader
+
+    return SegmentSetReader(spark, [index_dir] + segs)
+
+
+def compact_attached(spark: SparkSession, index_dir: str) -> dict:
+    """Fold every attached segment into the main index (one
+    metadata-refresh fast merge + atomic swap) — the background merge
+    of the Lucene lifecycle, amortizing many delta-sized appends into
+    one index-sized pass. Tombstones carry across unchanged."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.functions.analyzer import ANALYZER_VERSION
+    from esbulk_spark.operators.merge import merge_segments_fast
+
+    segs = attached_segments(index_dir)
+    if not segs:
+        with open(os.path.join(index_dir, STATS_FILE)) as f:
+            return json.load(f)
+    with open(os.path.join(index_dir, STATS_FILE)) as f:
+        st = json.load(f)
+    tmp = index_dir.rstrip("/") + ".merged"
+    old = index_dir.rstrip("/") + ".old"
+    try:
+        stats = merge_segments_fast(
+            spark,
+            [index_dir] + segs,
+            IndexConfig(
+                index_dir=tmp,
+                id_col="doc_id",
+                text_col=st.get("text_col", "content"),
+                n_buckets=st["n_buckets"],
+                chunk_cap=st.get("chunk_cap", 1 << 17),
+                block_size=st.get("block_size", 128),
+                k1=st.get("k1", 1.2),
+                b=st.get("b", 0.75),
+                store_content=st.get("store_content", True),
+                store_positions=st.get("store_positions", False),
+                analyzer=st.get("analyzer", ANALYZER_VERSION),
+            ),
+        )
+        dsrc = os.path.join(index_dir, "deletes")
+        if os.path.isdir(dsrc):
+            shutil.copytree(dsrc, os.path.join(tmp, "deletes"))
+            shutil.copy2(
+                os.path.join(index_dir, "deletes_meta.json"),
+                os.path.join(tmp, "deletes_meta.json"),
+            )
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(index_dir, old)
+        os.rename(tmp, index_dir)
+        shutil.rmtree(old)  # drops the consumed attached/ tree with it
+        _refresh_paths(spark, index_dir)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return stats
+
+
 def append_docs(
     spark: SparkSession,
     index_dir: str,
@@ -420,6 +500,7 @@ def append_docs(
     op_type: str = "index",
     sort_keys: tuple[str, ...] | None = None,
     keep_ids: bool = False,
+    merge: bool = True,
 ) -> dict:
     """ES continuous bulk indexing INTO an existing index — the
     reference's entire purpose (esbulk streams _bulk requests at a live
@@ -451,6 +532,16 @@ def append_docs(
     disjoint from the index's ids with one keys-only semi-join) instead
     of assigning fresh ids past the current max.
 
+    ``merge=False`` defers even the fast merge: the delta segment is
+    ATTACHED under ``<index>/attached/seg_<n>`` and becomes searchable
+    through ``open_reader`` (a SegmentSetReader with global statistics
+    — ES refresh semantics: visible now, merged later). Per-batch cost
+    is then DELTA-sized, the true Lucene ingest slope; call
+    ``compact_attached`` (or any rebuild op) when the segment count
+    grows. All other semantics (upsert tombstones, create skip, id
+    assignment) are identical and account for already-attached
+    segments.
+
     BM25 statistics (n_docs, avgdl, df) refresh to the post-append
     corpus — what an ES refresh does. Tombstones carry across the swap
     and keep masking reads until expunge_deletes() compacts. Shard count
@@ -471,8 +562,10 @@ def append_docs(
             "'create' (insert-only); 'update' needs field merging — use "
             "update_by_query or the optype re-index path"
         )
-    r = IndexReader(spark, index_dir)
-    st = r.stats
+    r = open_reader(spark, index_dir)  # sees attached segments too
+    with open(os.path.join(index_dir, STATS_FILE)) as f:
+        st = json.load(f)  # layout params; identical across the set
+    st["n_docs"] = r.n_docs
     text_col = st.get("text_col", "content")
     incoming = new_docs
     n_updated = n_skipped = 0
@@ -511,9 +604,9 @@ def append_docs(
         n_clash = (
             incoming.select(F.col("doc_id").cast("long").alias("doc_id"))
             .join(
-                spark.read.parquet(
-                    os.path.join(index_dir, "docs")
-                ).select("doc_id"),
+                # UNMASKED union over main + attached: a tombstoned id
+                # is still taken (its postings exist until expunge)
+                r._table("docs").select("doc_id"),
                 "doc_id",
                 "left_semi",
             )
@@ -528,11 +621,9 @@ def append_docs(
         n_new = incoming.count()
         base = 0
     else:
-        base_row = (
-            spark.read.parquet(os.path.join(index_dir, "docs"))
-            .agg(F.max("doc_id"))
-            .first()
-        )
+        # unmasked max over main + every attached segment (a tombstoned
+        # max-id doc still owns its id until expunge re-packs)
+        base_row = r._table("docs").agg(F.max("doc_id")).first()
         base = int(base_row[0] if base_row[0] is not None else -1) + 1
         keys = sort_keys or tuple(
             k for k in ("repo", "path", "commit") if k in incoming.columns
@@ -591,8 +682,38 @@ def append_docs(
                 f"table: only-main={sorted(main_cols - delta_cols)} "
                 f"only-new={sorted(delta_cols - main_cols)}"
             )
+        if not merge:
+            # ATTACH, don't merge: the delta becomes a searchable
+            # segment under the index (ES refresh semantics); cost so
+            # far was delta-sized only. compact_attached() folds later.
+            root = os.path.join(index_dir, ATTACHED_DIR)
+            os.makedirs(root, exist_ok=True)
+            nseg = (
+                max(
+                    (
+                        int(d.split("_")[1])
+                        for d in os.listdir(root)
+                        if d.startswith("seg_")
+                    ),
+                    default=-1,
+                )
+                + 1
+            )
+            os.rename(delta, os.path.join(root, f"seg_{nseg}"))
+            rr = open_reader(spark, index_dir)
+            return {
+                "appended": int(n_new),
+                "updated": int(n_updated),
+                "skipped": int(n_skipped),
+                "n_docs": int(rr.stats["n_docs"]),
+                "n_shards": int(rr.stats["n_shards"]),
+                "attached_segments": nseg + 1,
+            }
         stats = merge_segments_fast(
-            spark, [index_dir, delta], IndexConfig(index_dir=tmp, **common)
+            spark,
+            # fold any previously-attached segments in with the delta
+            [index_dir, *attached_segments(index_dir), delta],
+            IndexConfig(index_dir=tmp, **common),
         )
         # tombstones (by doc_id, which the merge preserves) ride across
         dsrc = os.path.join(index_dir, "deletes")
