@@ -58,6 +58,11 @@ def main(argv: list[str] | None = None) -> int:
                               " --id-spec/--id-col gives _id semantics "
                               "(--optype index upserts, create skips "
                               "existing). Creates the index when absent.")
+    p_index.add_argument("--no-merge", action="store_true",
+                         help="with --append: ATTACH the delta as a "
+                              "searchable segment instead of fast-merging "
+                              "(ES refresh semantics — delta-sized batch "
+                              "cost; fold later with `compact`)")
     p_index.add_argument("--n-buckets", type=int, default=32)
     p_index.add_argument("--n-shards", type=int, default=None)
     p_index.add_argument("--no-store-content", action="store_true",
@@ -149,6 +154,12 @@ def main(argv: list[str] | None = None) -> int:
     p_cat = sub.add_parser("cat", help="_cat/indices metadata")
     p_cat.add_argument("--index-dirs", required=True, help="comma-separated")
 
+    p_compact = sub.add_parser(
+        "compact", help="fold attached segments into the main index"
+    )
+    p_compact.add_argument("--index-dir", required=True)
+    _add_common(p_compact)
+
     p_re = sub.add_parser("reindex", help="rebuild an index from another's docs")
     p_re.add_argument("--src", required=True, help="source index dir")
     p_re.add_argument("--index-dir", required=True, help="destination index dir")
@@ -179,6 +190,8 @@ def main(argv: list[str] | None = None) -> int:
             rc = _cmd_search(spark, args)
         elif args.cmd == "reindex":
             rc = _cmd_reindex(spark, args)
+        elif args.cmd == "compact":
+            rc = _cmd_compact(spark, args)
         else:
             rc = _cmd_merge(spark, args)
     finally:
@@ -210,6 +223,19 @@ def _cmd_admin(args) -> int:
         return 0
     for row in admin.cat_indices(args.index_dirs.split(",")):
         print(json.dumps(row))
+    return 0
+
+
+def _cmd_compact(spark, args) -> int:
+    from esbulk_spark.plans import admin
+
+    n = len(admin.attached_segments(args.index_dir))
+    stats = admin.compact_attached(spark, args.index_dir)
+    print(json.dumps({
+        "compacted_segments": n,
+        "n_docs": stats.get("n_docs"),
+        "n_shards": stats.get("n_shards"),
+    }))
     return 0
 
 
@@ -390,6 +416,7 @@ def _cmd_index_inner(spark, args, tmp_paths: list) -> int:
             key_col=key_col,
             op_type=args.optype,
             sort_keys=sort_keys,
+            merge=not getattr(args, "no_merge", False),
         )
         n_quarantined = 0
         if quarantine is not None:

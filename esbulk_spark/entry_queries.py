@@ -2053,6 +2053,53 @@ def q_incremental_append(spark, sf_dir):
     return r.search(QUERY_AND, k=10, prune=True, round_to=4)
 
 
+_SEGSET_CACHE: dict[str, str] = {}
+
+
+def q_segment_set_search(spark, sf_dir):
+    """Searchable ATTACHED segments (ES refresh semantics, plans/
+    segments.py): the last third of documents is appended with
+    ``merge=False`` — the delta parks under <index>/attached/seg_0 and
+    is served through open_reader's SegmentSetReader with GLOBAL BM25
+    statistics (additive n_docs/avgdl, df-summed dictionary, shard-
+    offset postings union, exactness-preserving block-max inflation).
+    Oracle = the independent DuckDB full scan over the WHOLE table:
+    the unmerged set must be rank-identical to a from-scratch build."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans import admin
+    from esbulk_spark.plans.build import build_index
+
+    key = hashlib.sha1(("segset:" + sf_dir).encode()).hexdigest()[:10]
+    idx = _SEGSET_CACHE.get(sf_dir) or f"/tmp/esbulk_spark_segset_{key}"
+    if sf_dir not in _SEGSET_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        cfg = IndexConfig(
+            index_dir=idx,
+            id_col="doc_id",
+            text_col="text",
+            n_buckets=16,
+            n_shards=2,
+            chunk_cap=1 << 15,
+            overwrite=True,
+        )
+        build_index(
+            spark,
+            docs.filter(F.col("doc_id") % 3 != 0),
+            cfg,
+            input_sig=f"{sf_dir}:segset-main",
+        )
+        admin.append_docs(
+            spark,
+            idx,
+            docs.filter(F.col("doc_id") % 3 == 0),
+            keep_ids=True,
+            merge=False,
+        )
+        _SEGSET_CACHE[sf_dir] = idx
+    r = admin.open_reader(spark, idx)
+    return r.search(QUERY_FULLSCAN, k=10, prune=True, round_to=4)
+
+
 def q_sessionize(spark, sf_dir):
     """Session windows (streaming-shaped, batch-evaluated): per user,
     a >30 min gap starts a new session; one row per session."""
@@ -2957,6 +3004,7 @@ QUERIES = {
     "conjunctive_and_topk": (q_conjunctive, _sql_bm25(QUERY_AND, require_all=True)),
     "merge_fast_equals_full": (q_merge_fast, _sql_bm25(FLAGSHIP_QUERY)),
     "incremental_append_search": (q_incremental_append, _sql_bm25(QUERY_AND)),
+    "segment_set_search": (q_segment_set_search, _sql_bm25(QUERY_FULLSCAN)),
     # training-data pipeline operators
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_jaccard_pairs, SQL_JACCARD),

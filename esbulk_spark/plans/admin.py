@@ -778,5 +778,12 @@ def cat_indices(index_dirs: list[str]) -> list[dict]:
         if os.path.exists(dm):
             with open(dm) as f:
                 row["docs_deleted"] = json.load(f).get("n_deleted", 0)
+        segs = attached_segments(d)
+        if segs:
+            row["attached_segments"] = len(segs)
+            row["docs_count"] = sum(
+                json.load(open(os.path.join(s, STATS_FILE)))["n_docs"]
+                for s in segs
+            ) + (row["docs_count"] or 0)
         out.append(row)
     return out

@@ -125,6 +125,24 @@ class StreamingIndexer:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def reader(self):
+        """Live search over everything ingested SO FAR, no compaction
+        needed — the streamed segments served through a SegmentSetReader
+        with global statistics (plans/segments.py), exactly ES's
+        refresh-then-search view of an actively-written index. One
+        segment degenerates to a plain IndexReader. Re-call after new
+        micro-batches land (segment membership is read from state.json
+        at call time)."""
+        from esbulk_spark.plans.reader import IndexReader
+        from esbulk_spark.plans.segments import SegmentSetReader
+
+        dirs = self.segment_dirs()
+        if not dirs:
+            raise ValueError("no micro-batch segments ingested yet")
+        if len(dirs) == 1:
+            return IndexReader(self.spark, dirs[0])
+        return SegmentSetReader(self.spark, dirs)
+
     def compact(self, out_dir: str, n_buckets: int | None = None, n_shards: int | None = None) -> dict:
         """Merge all segments into one exact global index (operators/merge):
         global N/avgdl/idf, rank-identical to a single-pass batch build."""

@@ -126,6 +126,51 @@ def test_cli_append_incremental(spark, tmp_path, optype, expect_b):
     assert r.count("brand") == 1
 
 
+def test_cli_append_no_merge_then_compact(spark, tmp_path):
+    """--append --no-merge attaches the delta as a searchable segment
+    (ES refresh semantics); `search` routes through open_reader and sees
+    it; `compact` folds the set and ranks are preserved."""
+    from esbulk_spark.plans.admin import attached_segments, open_reader
+
+    w1 = str(tmp_path / "w1.jsonl")
+    w2 = str(tmp_path / "w2.jsonl")
+    _write_jsonl(w1, WAVE1)
+    _write_jsonl(w2, WAVE2)
+    idx = str(tmp_path / "idx_attach")
+
+    rc = cli_mod._cmd_index(
+        spark, _args(input=w1, index_dir=idx, id_spec="k", purge=True)
+    )
+    assert rc == 0
+    rc = cli_mod._cmd_index(
+        spark,
+        _args(input=w2, index_dir=idx, id_spec="k", append=True, no_merge=True),
+    )
+    assert rc == 0
+    assert len(attached_segments(idx)) == 1
+    r = open_reader(spark, idx)
+    # attached docs searchable now; upsert tombstoned the old 'b'
+    assert r.count("brand") == 1
+    assert r.count("scan") == 0  # old b was "scan filter two", replaced
+    assert r.docs().count() == 4
+    before = [
+        (x.doc_id, round(x.score, 6))
+        for x in r.search("merge sort", k=5).collect()
+    ]
+    rc = cli_mod._cmd_compact(
+        spark, argparse.Namespace(index_dir=idx, workers=8, batch_size=10000)
+    )
+    assert rc == 0
+    assert attached_segments(idx) == []
+    rm = open_reader(spark, idx)
+    after = [
+        (x.doc_id, round(x.score, 6))
+        for x in rm.search("merge sort", k=5).collect()
+    ]
+    assert after == before
+    assert rm.count("brand") == 1 and rm.docs().count() == 4
+
+
 def test_cli_quarantine_broken_and_missing_id(spark, tmp_path):
     """A15 error side-channel: broken JSON and missing-id docs land in the
     quarantine table with reasons; the reference fails such docs

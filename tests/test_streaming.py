@@ -139,6 +139,24 @@ def test_incremental_segments_then_compact(spark, tmp_path):
     )
     assert total == 90
 
+    # live mid-stream serving: reader() over the UNMERGED segments must
+    # rank-identically match the full-scan oracle over the union corpus
+    # (ES refresh-then-search on an actively-written index)
+    from esbulk_spark.plans.score import bm25_fullscan as _fs
+
+    live = indexer.reader()
+    assert live.n_docs == 90
+    for query in ["getUserName", "flushBuffer retry score"]:
+        oracle = [
+            (x.doc_id, round(x.score, 6))
+            for x in _fs(live.docs(), query, text_col="content", k=10).collect()
+        ]
+        got = [
+            (x.doc_id, round(x.score, 6))
+            for x in live.search(query, k=10).collect()
+        ]
+        assert oracle == got, query
+
     stats = indexer.compact(f"{base}/compacted")
     assert stats["n_docs"] == 90
 
