@@ -9,7 +9,13 @@ Lucene ingest-slope argument made measurable. Also times a warm search
 through the SegmentSetReader vs the merged index (the serving price of
 deferred compaction).
 
-Usage: python tools/bench_append.py [sf_dir] [out_json]
+Same corpus recipe as bench.py's headline (synth_corpus, ~2 KB docs):
+MAIN_DOCS-doc main index, DELTA_DOCS-doc append batch, modes alternated
+across rounds so host drift hits both equally.
+
+Usage: python tools/bench_append.py [out_json]
+Env: BENCH_APPEND_MAIN (200000), BENCH_APPEND_DELTA (5000),
+     SPARK_GRAFT_CPUS (32), BENCH_APPEND_ROUNDS (3)
 """
 
 from __future__ import annotations
@@ -22,75 +28,73 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
-
 from esbulk_spark.config import IndexConfig
+from esbulk_spark.corpus import synth_corpus
 from esbulk_spark.plans import admin
 from esbulk_spark.plans.build import build_index
 from esbulk_spark.session import get_spark
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "bench/append_attach_r04.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "bench/append_attach_r04.json"
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark(cpus=cpus, shuffle_partitions=cpus)
+    n_main = int(os.environ.get("BENCH_APPEND_MAIN", "200000"))
+    n_delta = int(os.environ.get("BENCH_APPEND_DELTA", "5000"))
+    rounds = int(os.environ.get("BENCH_APPEND_ROUNDS", "3"))
+    spark = get_spark(cpus=cpus, shuffle_partitions=max(32, cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    n_total = docs.count()
-    # last ~2.5% of ids is the delta batch (fixed, deterministic)
-    cut = int(n_total * 0.975)
-    main_docs = docs.filter(F.col("doc_id") < cut)
-    delta_docs = docs.filter(F.col("doc_id") >= cut)
-    n_delta = delta_docs.count()
+    # materialize both corpora once (materialization is not timed, as in
+    # bench.py: the reference reads an existing file)
+    tmpdir = os.environ.get("BENCH_TMPDIR", "/tmp")
+    main_dir = f"{tmpdir}/bench_append_main_{n_main}"
+    delta_dir = f"{tmpdir}/bench_append_delta_{n_delta}"
+    if not os.path.exists(os.path.join(main_dir, "_SUCCESS")):
+        synth_corpus(spark, n_main, seed=42).write.mode("overwrite").parquet(main_dir)
+    if not os.path.exists(os.path.join(delta_dir, "_SUCCESS")):
+        synth_corpus(spark, n_delta, seed=777).write.mode("overwrite").parquet(delta_dir)
+    main_docs = spark.read.parquet(main_dir)
+    delta_docs = spark.read.parquet(delta_dir)
 
-    idx = "/tmp/bench_append_idx"
+    idx = f"{tmpdir}/bench_append_idx"
     res: dict = {
-        "sf_dir": sf_dir, "cpus": cpus,
-        "n_main": cut, "n_delta": n_delta,
+        "cpus": cpus, "n_main": n_main, "n_delta": n_delta,
+        "build_main_sec": [],
         "merge_true_sec": [], "merge_false_sec": [],
         "search_warm_merged_sec": None, "search_warm_segset_sec": None,
     }
 
     def fresh_main() -> None:
         shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.monotonic()
         build_index(
             spark, main_docs,
-            IndexConfig(index_dir=idx, id_col="doc_id", text_col="text",
-                        n_buckets=16, n_shards=4, chunk_cap=1 << 15,
+            IndexConfig(index_dir=idx, n_buckets=32, n_shards=4,
                         overwrite=True),
-            input_sig=f"bench-append-main:{cut}",
+            input_sig=f"bench-append-main:{n_main}",
         )
+        res["build_main_sec"].append(round(time.monotonic() - t0, 3))
 
-    # alternate modes across rounds so host drift hits both equally
-    for _ in range(3):
+    def warm_search(r) -> float:
+        ts = []
+        for _i in range(3):
+            t0 = time.monotonic()
+            r.search("flushBuffer retry score", k=10).collect()
+            ts.append(time.monotonic() - t0)
+        return round(min(ts), 3)
+
+    for _ in range(rounds):
         fresh_main()
         t0 = time.monotonic()
-        admin.append_docs(spark, idx, delta_docs, keep_ids=True, merge=False)
+        admin.append_docs(spark, idx, delta_docs, merge=False)
         res["merge_false_sec"].append(round(time.monotonic() - t0, 3))
-        # serve a warm search over the unmerged set (3rd rep of 3)
-        r = admin.open_reader(spark, idx)
-        ts = []
-        for _i in range(3):
-            t0 = time.monotonic()
-            r.search("merge sort join", k=10).collect()
-            ts.append(time.monotonic() - t0)
-        res["search_warm_segset_sec"] = round(min(ts), 3)
+        res["search_warm_segset_sec"] = warm_search(admin.open_reader(spark, idx))
 
         fresh_main()
         t0 = time.monotonic()
-        admin.append_docs(spark, idx, delta_docs, keep_ids=True, merge=True)
+        admin.append_docs(spark, idx, delta_docs, merge=True)
         res["merge_true_sec"].append(round(time.monotonic() - t0, 3))
-        r = admin.open_reader(spark, idx)
-        ts = []
-        for _i in range(3):
-            t0 = time.monotonic()
-            r.search("merge sort join", k=10).collect()
-            ts.append(time.monotonic() - t0)
-        res["search_warm_merged_sec"] = round(min(ts), 3)
+        res["search_warm_merged_sec"] = warm_search(admin.open_reader(spark, idx))
 
     res["merge_false_best"] = min(res["merge_false_sec"])
     res["merge_true_best"] = min(res["merge_true_sec"])
