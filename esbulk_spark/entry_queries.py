@@ -1960,6 +1960,164 @@ ORDER BY qid, cosine DESC, id ASC
 """
 
 
+_PQ_M, _PQ_KSUB = 4, 16
+
+
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ADC ANN (Jegou 2011; FAISS's PQ) with an
+    EXACT oracle: codebooks from similarity.pq_train (per-subspace
+    deterministic_kmeans on the id-sorted table) are replayable as SQL
+    literals; doc codes are 6-dp-rounded argmin with lowest-index ties
+    on both engines; approx_d2 is the fixed-order (j=0..m-1) sum of
+    rounded LUT entries. The scan reads only m ints per doc — the
+    memory shape that holds 10^9+ vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    rows = sorted(
+        e.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id
+    )
+    X = [[float(x) for x in r.embedding] for r in rows]
+    books = similarity.pq_train(X, m=_PQ_M, ksub=_PQ_KSUB, seed=42)
+    qs = {
+        str(r.vec_id): [float(x) for x in r.embedding]
+        for r in rows
+        if r.vec_id < 3
+    }
+    return similarity.pq_adc_topk(e, "embedding", "vec_id", qs, books, k=10)
+
+
+def _pq_codebook_values(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """The SAME codebooks q_ann_pq trains, as (j, c, cv) SQL literals."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).to_pydict()
+    order = np.argsort(np.asarray(t["vec_id"]))
+    X = np.asarray(
+        [[float(x) for x in t["embedding"][i]] for i in order], dtype=np.float64
+    )
+    books = similarity.pq_train(X, m=_PQ_M, ksub=_PQ_KSUB, seed=42)
+    return ", ".join(
+        "({}, {}, [{}])".format(
+            j, c, ", ".join(repr(float(x)) for x in books[j][c])
+        )
+        for j in range(len(books))
+        for c in range(len(books[j]))
+    )
+
+
+def _sql_ann_pq(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB oracle for q_ann_pq: replay encoding (rounded sq-L2
+    argmin per subspace, index ties), the query LUTs, and the
+    fixed-order LUT-sum ranking. The per-subspace pick uses max(CASE)
+    so the m addends combine in the same left-fold order as Spark's
+    aggregate() and Python's sum() — no arbitrary-order float sum."""
+    dsub = 64 // _PQ_M
+    addends = " + ".join(
+        f"max(CASE WHEN ql.j = {j} THEN ql.qd2 END)" for j in range(_PQ_M)
+    )
+    return f"""
+WITH cb(j, c, cv) AS (VALUES {_pq_codebook_values(sf_dir)}),
+sub AS (
+  SELECT e.vec_id, b.j, b.c,
+         round(list_sum(list_transform(range(1, {dsub} + 1),
+               i -> (e.embedding[b.j * {dsub} + i]::DOUBLE - b.cv[i])
+                  * (e.embedding[b.j * {dsub} + i]::DOUBLE - b.cv[i]))), 6) AS d2
+  FROM embeddings e CROSS JOIN cb b
+), codes AS (
+  SELECT vec_id, j, c AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) AS rn FROM sub)
+  WHERE rn = 1
+), qsub AS (
+  SELECT q.vec_id AS qvid, b.j, b.c,
+         round(list_sum(list_transform(range(1, {dsub} + 1),
+               i -> (q.embedding[b.j * {dsub} + i]::DOUBLE - b.cv[i])
+                  * (q.embedding[b.j * {dsub} + i]::DOUBLE - b.cv[i]))), 6) AS qd2
+  FROM embeddings q CROSS JOIN cb b
+  WHERE q.vec_id < 3
+), scored AS (
+  SELECT CAST(ql.qvid AS VARCHAR) AS qid, cd.vec_id AS id,
+         round({addends}, 6) AS approx_d2
+  FROM codes cd JOIN qsub ql ON ql.j = cd.j AND ql.c = cd.code
+  GROUP BY ql.qvid, cd.vec_id
+)
+SELECT qid, id, approx_d2
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx_d2 ASC, id ASC) AS rn FROM scored)
+WHERE rn <= 10
+ORDER BY qid, approx_d2 ASC, id ASC
+"""
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (ES's BM25 + kNN with `rank.rrf`): the BM25
+    top-20 full scan over documents and the exact cosine top-20 over
+    the aligned embeddings fuse by reciprocal-rank (Cormack 2009,
+    rank_constant 60). Both rank windows order by rounded keys so the
+    fusion input — not just the output — is bit-stable cross-engine."""
+    from esbulk_spark.plans.score import bm25_fullscan
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    bm = bm25_fullscan(
+        d, QUERY_FULLSCAN, id_col="doc_id", text_col="text", k=20, round_to=4
+    )
+    wb = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bmr = bm.select(
+        F.col("doc_id").alias("id"), F.row_number().over(wb).alias("rank")
+    )
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).collect()[0].embedding
+    ]
+    cos = similarity.cosine_topk(e, "embedding", "vec_id", qv, k=20, round_to=6)
+    wc = Window.orderBy(F.desc("cosine"), F.asc("id"))
+    cosr = cos.select("id", F.row_number().over(wc).alias("rank"))
+    return similarity.rrf_fuse([bmr, cosr], k=10).orderBy(
+        F.desc("rrf_score"), F.asc("id")
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    from esbulk_spark.plans.score import duckdb_bm25_sql
+
+    bm = duckdb_bm25_sql(
+        "documents", QUERY_FULLSCAN, id_col="doc_id", text_col="text",
+        k=20, round_to=4,
+    )
+    return f"""
+WITH bm AS ({bm}),
+bmr AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bm
+), qv AS (
+  SELECT embedding AS v FROM embeddings WHERE vec_id = 0
+), cos AS (
+  SELECT e.vec_id AS id,
+         round(
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> e.embedding[i]::DOUBLE * qv.v[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(qv.v, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS cosine
+  FROM embeddings e CROSS JOIN qv
+), cosr AS (
+  SELECT id, rank FROM (
+    SELECT id, row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank FROM cos
+  ) WHERE rank <= 20
+), fused AS (
+  SELECT id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+  FROM (SELECT id, rank FROM bmr UNION ALL SELECT id, rank FROM cosr)
+  GROUP BY id
+)
+SELECT id, rrf_score FROM fused
+ORDER BY rrf_score DESC, id ASC
+LIMIT 10
+"""
+
+
 _FASTMERGE_CACHE: dict[str, str] = {}
 
 
@@ -3017,6 +3175,8 @@ QUERIES = {
     # callable oracle: centroid literals are data-derived (sf0.01, the
     # driver's correctness scale); __spark_entry__ resolves callables
     "ann_ivf_topk": (q_ann_ivf, _sql_ann_ivf),
+    "ann_pq_adc_topk": (q_ann_pq, _sql_ann_pq),
+    "hybrid_rrf_topk": (q_hybrid_rrf, _sql_hybrid_rrf()),
     "dedup_embedding_cosine": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "lang_id_heuristic": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality, SQL_QUALITY),

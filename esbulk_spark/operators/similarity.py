@@ -449,3 +449,237 @@ def lsh_ann_topk(
         .select("qid", "id", "cosine")
         .orderBy("qid", F.desc("cosine"), F.asc("id"))
     )
+
+
+# ---------------------------------------------------------------- PQ
+
+
+def pq_train(vectors, m: int = 4, ksub: int = 16, seed: int = 42, iters: int = 5):
+    """Product-quantization codebooks (Jegou, Douze, Schmid 2011,
+    "Product quantization for nearest neighbor search"): split the
+    vector into ``m`` contiguous subspaces and run deterministic_kmeans
+    independently in each. Returns a list of m (ksub x dsub) float64
+    arrays. Bitwise-reproducible for a stable input order (same contract
+    as deterministic_kmeans) so a SQL oracle can inline the codebooks.
+
+    At cluster scale training runs on a driver-side SAMPLE (codebooks
+    are tiny: m*ksub*dsub floats); encoding and search are distributed."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    return [
+        deterministic_kmeans(
+            X[:, j * dsub:(j + 1) * dsub], k=ksub, seed=seed + j, iters=iters
+        )
+        for j in range(m)
+    ]
+
+
+def _sqd_lit(vec, c):
+    """Squared L2 between an array column and a literal vector,
+    sequential-fold summation (matches DuckDB list_sum order)."""
+    arr = F.array(*[F.lit(float(x)) for x in c])
+    return F.aggregate(
+        F.zip_with(
+            vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(df: DataFrame, vec_col: str, id_col: str, codebooks) -> DataFrame:
+    """(id, codes array<int>): per subspace, the index of the nearest
+    codeword — 6-dp-rounded squared-L2 argmin with lowest-index ties,
+    pure Catalyst (m*ksub literal distance expressions; no Python on
+    the data path). 8 bits/subspace at ksub<=256: a 64-dim float vector
+    compresses 64x. At cluster scale write the codes table once and
+    bucket/partition it however the candidate source dictates."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for j in range(m):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        dists = F.array(
+            *[F.round(_sqd_lit(sub, c), 6) for c in codebooks[j]]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.select(F.col(id_col).alias("id"), F.array(*codes).alias("codes"))
+
+
+def _pq_lut(query_vec, codebooks):
+    """Per-subspace table of 6-dp-rounded squared-L2 from the query's
+    subvector to every codeword, summed in sequential order (driver-side
+    Python floats: matches DuckDB list_sum exactly)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    q = [float(x) for x in query_vec]
+    lut = []
+    for j in range(m):
+        sub = q[j * dsub:(j + 1) * dsub]
+        row = []
+        for c in codebooks[j]:
+            acc = 0.0
+            for x, y in zip(sub, c):
+                acc += (x - float(y)) * (x - float(y))
+            row.append(round(acc, 6))
+        lut.append(row)
+    return lut
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vecs: dict[str, list[float]],
+    codebooks,
+    k: int = 10,
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: the query stays exact, every
+    doc is its m codes, and the approximate squared-L2 is m lookups —
+    sum_j lut[j][code_j]. The LUT (m x ksub doubles) is computed
+    driver-side per query and broadcast; the scan reads ONLY the codes
+    column (m ints/doc instead of the full vector — the memory shape
+    that fits 10^9+ vectors in RAM). Returns (qid, id, approx_d2)
+    ascending, lowest-id ties.
+
+    Pass a precomputed ``codes_df`` (from pq_encode, e.g. a materialized
+    codes table) to skip encoding; otherwise encodes inline."""
+    from pyspark.sql.window import Window
+
+    codes = codes_df if codes_df is not None else pq_encode(df, vec_col, id_col, codebooks)
+    rows = [
+        (qid, _pq_lut(v, codebooks)) for qid, v in sorted(query_vecs.items())
+    ]
+    qdf = df.sparkSession.createDataFrame(
+        rows, "qid string, lut array<array<double>>"
+    )
+    scored = codes.join(F.broadcast(qdf)).select(
+        "qid",
+        "id",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "codes", "lut", lambda c, row: F.element_at(row, c + 1)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("approx_d2"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("approx_d2"), F.asc("id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "id", "approx_d2")
+        .orderBy("qid", F.asc("approx_d2"), F.asc("id"))
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vecs: dict[str, list[float]],
+    centroids,
+    codebooks,
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-PQ: coarse quantizer prunes to the query's n_probe lists
+    (same assignment/probe rules as ivf_ann_topk_centroids), then PQ ADC
+    ranks inside the candidate set — the FAISS IVFPQ composition, the
+    standard 10^9-vector layout (codes partitioned by list_id: a query
+    touches n_probe partitions and reads m bytes per candidate).
+    Codebooks here quantize the RAW vectors (not residuals): the oracle
+    stays exactly replayable and recall at small n_lists is within a
+    few points of residual-PQ."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    C = np.asarray(centroids, dtype=np.float64)
+    n_lists = len(C)
+    dists = F.array(
+        *[F.round(_sqd_lit(F.col(vec_col), C[j]), 6) for j in range(n_lists)]
+    )
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("list_id"),
+    )
+    codes = pq_encode(assigned, "vec", "id", codebooks).join(
+        assigned.select("id", "list_id"), "id"
+    )
+    rows = []
+    for qid, v in sorted(query_vecs.items()):
+        q = np.asarray(v, dtype=np.float64)
+        d2r = np.round(((C - q) ** 2).sum(axis=1), 6)
+        order = np.lexsort((np.arange(n_lists), d2r))
+        lut = _pq_lut(v, codebooks)
+        for li in order[:n_probe]:
+            rows.append((qid, int(li), lut))
+    qdf = df.sparkSession.createDataFrame(
+        rows, "qid string, list_id int, lut array<array<double>>"
+    )
+    scored = codes.join(F.broadcast(qdf), "list_id").select(
+        "qid",
+        "id",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "codes", "lut", lambda c, row: F.element_at(row, c + 1)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("approx_d2"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("approx_d2"), F.asc("id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "id", "approx_d2")
+        .orderBy("qid", F.asc("approx_d2"), F.asc("id"))
+    )
+
+
+# ---------------------------------------------------------------- hybrid
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    rank_constant: int = 60,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke, Buettcher 2009; ES's
+    `rank.rrf` for hybrid BM25+kNN retrieval): each input is an
+    (id, rank) DataFrame from one retriever (rank 1-based within its
+    own result window); the fused score is sum_r 1/(rank_constant +
+    rank_r(id)), missing retrievers contribute 0. Top-k by fused score
+    desc, id asc.
+
+    Scale shape: the inputs are already top-WINDOW results (small), so
+    the union + hash-agg is result-sized, never corpus-sized."""
+    from functools import reduce
+
+    parts = [d.select("id", "rank") for d in ranked]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    score = F.sum(1.0 / (F.lit(float(rank_constant)) + F.col("rank")))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        u.groupBy("id")
+        .agg(score.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("id"))
+        .limit(k)
+    )
