@@ -2050,6 +2050,92 @@ ORDER BY qid, approx_d2 ASC, id ASC
 """
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composed end-to-end (FAISS IVFPQ; raw-vector codebooks):
+    deterministic coarse quantizer prunes to n_probe lists, PQ ADC
+    ranks inside the candidate set. Exact oracle: both the centroid
+    matrix and the codebooks are replayed as SQL literals with the same
+    rounded-argmin / fixed-order-LUT-sum rules as ann_pq_adc_topk."""
+    e = _t(spark, sf_dir, "embeddings")
+    rows = sorted(
+        e.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id
+    )
+    X = [[float(x) for x in r.embedding] for r in rows]
+    cents = similarity.deterministic_kmeans(X, k=_IVF_LISTS, seed=42, iters=5)
+    books = similarity.pq_train(X, m=_PQ_M, ksub=_PQ_KSUB, seed=42)
+    qs = {
+        str(r.vec_id): [float(x) for x in r.embedding]
+        for r in rows
+        if r.vec_id < 3
+    }
+    return similarity.ivfpq_topk(
+        e, "embedding", "vec_id", qs, cents, books, k=10, n_probe=_IVF_PROBE
+    )
+
+
+def _sql_ann_ivfpq(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB oracle for q_ann_ivfpq: the IVF assignment/probe CTEs of
+    _sql_ann_ivf restricted-joined with the PQ code/LUT CTEs of
+    _sql_ann_pq."""
+    dsub = 64 // _PQ_M
+    addends = " + ".join(
+        f"max(CASE WHEN ql.j = {j} THEN ql.qd2 END)" for j in range(_PQ_M)
+    )
+    return f"""
+WITH cent(li, cv) AS (VALUES {_ivf_centroid_values(sf_dir)}),
+cb(j, c, cv) AS (VALUES {_pq_codebook_values(sf_dir)}),
+d AS (
+  SELECT e.vec_id, ct.li,
+         round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (e.embedding[i]::DOUBLE - ct.cv[i]) * (e.embedding[i]::DOUBLE - ct.cv[i]))), 6) AS d2
+  FROM embeddings e CROSS JOIN cent ct
+), assign AS (
+  SELECT vec_id, li AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, li ASC) AS rn FROM d)
+  WHERE rn = 1
+), sub AS (
+  SELECT e.vec_id, b.j, b.c,
+         round(list_sum(list_transform(range(1, {dsub} + 1),
+               i -> (e.embedding[b.j * {dsub} + i]::DOUBLE - b.cv[i])
+                  * (e.embedding[b.j * {dsub} + i]::DOUBLE - b.cv[i]))), 6) AS d2
+  FROM embeddings e CROSS JOIN cb b
+), codes AS (
+  SELECT vec_id, j, c AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) AS rn FROM sub)
+  WHERE rn = 1
+), qd AS (
+  SELECT e.vec_id AS qvid, ct.li,
+         round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (e.embedding[i]::DOUBLE - ct.cv[i]) * (e.embedding[i]::DOUBLE - ct.cv[i]))), 6) AS d2
+  FROM embeddings e CROSS JOIN cent ct
+  WHERE e.vec_id < 3
+), probes AS (
+  SELECT qvid, li
+  FROM (SELECT *, row_number() OVER (PARTITION BY qvid ORDER BY d2 ASC, li ASC) AS rn FROM qd)
+  WHERE rn <= {_IVF_PROBE}
+), qsub AS (
+  SELECT q.vec_id AS qvid, b.j, b.c,
+         round(list_sum(list_transform(range(1, {dsub} + 1),
+               i -> (q.embedding[b.j * {dsub} + i]::DOUBLE - b.cv[i])
+                  * (q.embedding[b.j * {dsub} + i]::DOUBLE - b.cv[i]))), 6) AS qd2
+  FROM embeddings q CROSS JOIN cb b
+  WHERE q.vec_id < 3
+), scored AS (
+  SELECT CAST(p.qvid AS VARCHAR) AS qid, a.vec_id AS id,
+         round({addends}, 6) AS approx_d2
+  FROM probes p
+  JOIN assign a ON a.list_id = p.li
+  JOIN codes cd ON cd.vec_id = a.vec_id
+  JOIN qsub ql ON ql.qvid = p.qvid AND ql.j = cd.j AND ql.c = cd.code
+  GROUP BY p.qvid, a.vec_id
+)
+SELECT qid, id, approx_d2
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx_d2 ASC, id ASC) AS rn FROM scored)
+WHERE rn <= 10
+ORDER BY qid, approx_d2 ASC, id ASC
+"""
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval (ES's BM25 + kNN with `rank.rrf`): the BM25
     top-20 full scan over documents and the exact cosine top-20 over
@@ -3176,6 +3262,7 @@ QUERIES = {
     # driver's correctness scale); __spark_entry__ resolves callables
     "ann_ivf_topk": (q_ann_ivf, _sql_ann_ivf),
     "ann_pq_adc_topk": (q_ann_pq, _sql_ann_pq),
+    "ann_ivfpq_topk": (q_ann_ivfpq, _sql_ann_ivfpq),
     "hybrid_rrf_topk": (q_hybrid_rrf, _sql_hybrid_rrf()),
     "dedup_embedding_cosine": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "lang_id_heuristic": (q_lang_id, SQL_LANG_ID),

@@ -683,3 +683,189 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc("id"))
         .limit(k)
     )
+
+
+def ivfpq_build(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_dir: str,
+    n_lists: int = 16,
+    m: int = 4,
+    ksub: int = 16,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    centroids=None,
+    codebooks=None,
+) -> dict:
+    """Materialized IVF-PQ layout (FAISS IVFPQ on tables): the CODES
+    table — (id, codes array<int>), m small ints per vector — written
+    PARTITIONED BY list_id, with the coarse centroids and PQ codebooks
+    in a JSON sidecar. This is the 10^9-vector serving shape: a query
+    reads n_probe partition directories of m-int rows (static partition
+    pruning, asserted in tests) and never touches the raw vectors.
+
+    Training: pass ``centroids``/``codebooks`` to pin them (the
+    deterministic-oracle mode); otherwise the coarse quantizer trains
+    with Spark KMeans and the codebooks with pq_train on a driver-side
+    sample (``train_fraction``, or everything when unset — at cluster
+    scale ALWAYS set it; codebooks need ~100k sampled rows, not the
+    corpus)."""
+    import json
+    import os
+
+    import numpy as np
+
+    if codebooks is None:
+        sample = df.select(vec_col)
+        if train_fraction:
+            sample = sample.sample(train_fraction, seed=seed)
+        X = np.asarray(
+            [[float(x) for x in r[0]] for r in sample.collect()],
+            dtype=np.float64,
+        )
+        codebooks = pq_train(X, m=m, ksub=ksub, seed=seed)
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        dists = F.array(
+            *[F.round(_sqd_lit(F.col(vec_col), C[j]), 6) for j in range(len(C))]
+        )
+        assigned = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("list_id"),
+        )
+        cents = [[float(x) for x in row] for row in C]
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            array_to_vector(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("features"),
+        )
+        train = feat.sample(train_fraction, seed=seed) if train_fraction else feat
+        km = KMeans(k=n_lists, seed=seed, initMode="k-means||").fit(train)
+        assigned = km.transform(feat).withColumnRenamed("prediction", "list_id")
+        cents = [[float(x) for x in np.asarray(c)] for c in km.clusterCenters()]
+    codes = pq_encode(assigned, "vec", "id", codebooks).join(
+        assigned.select("id", "list_id"), "id"
+    )
+    (
+        codes.repartition(len(cents), "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(os.path.join(out_dir, "codes"))
+    )
+    meta = {
+        "n_lists": len(cents),
+        "m": m,
+        "ksub": len(codebooks[0]),
+        "seed": seed,
+        "centroids": cents,
+        "codebooks": [
+            [[float(x) for x in cw] for cw in book] for book in codebooks
+        ],
+    }
+    with open(os.path.join(out_dir, "ivfpq.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivfpq_search(
+    spark,
+    out_dir: str,
+    query_vecs: dict[str, list[float]],
+    k: int = 10,
+    n_probe: int = 3,
+    refine_df: DataFrame | None = None,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """Query the materialized IVF-PQ layout: probe lists chosen
+    DRIVER-side from the sidecar (no Spark job) -> ``list_id IN (...)``
+    partition pruning on the codes scan; ADC via the broadcast
+    per-query LUT. Returns (qid, id, approx_d2) ascending.
+
+    ``refine_df`` ((id, vector) source, e.g. the original table) turns
+    on the standard re-rank step: the ADC top k*refine_factor
+    candidates — a RESULT-sized set — join back to their exact vectors
+    and the final top-k ranks by true cosine (qid, id, cosine). The
+    corpus-sized scan still reads only codes; exact vectors are touched
+    for ~k*refine_factor rows per query."""
+    import json
+    import os
+
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    meta = json.load(open(os.path.join(out_dir, "ivfpq.json")))
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in meta["codebooks"]]
+    rows = []
+    for qid, v in sorted(query_vecs.items()):
+        q = np.asarray(v, dtype=np.float64)
+        d2r = np.round(((C - q) ** 2).sum(axis=1), 6)
+        order = np.lexsort((np.arange(len(C)), d2r))
+        lut = _pq_lut(v, books)
+        for li in order[:n_probe]:
+            rows.append((qid, int(li), lut, [float(x) for x in v]))
+    qdf = spark.createDataFrame(
+        rows, "qid string, list_id int, lut array<array<double>>, qvec array<double>"
+    )
+    all_lists = sorted({r[1] for r in rows})
+    codes = spark.read.parquet(os.path.join(out_dir, "codes")).filter(
+        F.col("list_id").isin(all_lists)
+    )
+    scored = codes.join(F.broadcast(qdf), "list_id").select(
+        "qid",
+        "id",
+        "qvec",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "codes", "lut", lambda c, row: F.element_at(row, c + 1)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("approx_d2"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("approx_d2"), F.asc("id"))
+    if refine_df is None:
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("qid", "id", "approx_d2")
+            .orderBy("qid", F.asc("approx_d2"), F.asc("id"))
+        )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * refine_factor)
+        .select("qid", "id", "qvec")
+    )
+    exact = cand.join(
+        refine_df.select(F.col(refine_df.columns[0]).alias("id"),
+                         F.col(refine_df.columns[1]).alias("vec")),
+        "id",
+    ).select(
+        "qid",
+        "id",
+        F.round(
+            _dot(F.col("vec"), F.col("qvec"))
+            / (_norm(F.col("vec")) * _norm(F.col("qvec"))),
+            6,
+        ).alias("cosine"),
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("qid", "id", "cosine")
+        .orderBy("qid", F.desc("cosine"), F.asc("id"))
+    )

@@ -978,3 +978,53 @@ def test_rrf_fuse_hand_example(spark):
         .collect()
     ]
     assert set(order[:2]) == {1, 3}
+
+
+def test_ivfpq_materialized_layout_pruned_and_parity(spark, sf_dir, tmp_path):
+    """The materialized IVF-PQ codes table must be PARTITION-PRUNED to
+    the probe lists, its ADC results must equal the in-memory
+    ivfpq_topk under pinned centroids/codebooks, and the refine step
+    must return exact cosines for its winners."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    X = np.asarray([[float(x) for x in r.embedding] for r in rows])
+    cents = similarity.deterministic_kmeans(X, k=8, seed=42, iters=5)
+    books = similarity.pq_train(X, m=4, ksub=16, seed=42)
+    out = str(tmp_path / "ivfpq")
+    meta = similarity.ivfpq_build(
+        emb, "embedding", "vec_id", out, centroids=cents, codebooks=books
+    )
+    assert meta["n_lists"] == 8 and meta["m"] == 4
+
+    q = [float(x) for x in rows[2].embedding]
+    res = similarity.ivfpq_search(spark, out, {"q": q}, k=10, n_probe=3)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "list_id" in pf
+
+    got = [(r.id, r.approx_d2) for r in res.collect()]
+    want = [
+        (r.id, r.approx_d2)
+        for r in similarity.ivfpq_topk(
+            emb, "embedding", "vec_id", {"q": q}, cents, books, k=10, n_probe=3
+        ).collect()
+    ]
+    assert got == want
+
+    # refine: exact cosine re-rank of the ADC candidate pool
+    ref = similarity.ivfpq_search(
+        spark, out, {"q": q}, k=5, n_probe=3,
+        refine_df=emb.select("vec_id", "embedding"), refine_factor=4,
+    ).collect()
+    assert len(ref) == 5
+    exact = {
+        r.id: r.cosine
+        for r in similarity.cosine_topk(
+            emb, "embedding", "vec_id", q, k=500
+        ).collect()
+    }
+    for r in ref:
+        assert r.cosine == exact[r.id], r.id
