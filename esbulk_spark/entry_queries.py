@@ -3063,6 +3063,67 @@ FROM documents ORDER BY id
 """
 
 
+def q_multimodal_av(spark, sf_dir):
+    """Audio/video header parsing graded ROUND-TRIP: a deterministic
+    header-only WAV (even doc_ids) or MP4 (odd doc_ids) blob is built
+    per doc from doc_id arithmetic, and extract_av_meta must parse the
+    same numbers back out of the bytes. The oracle computes the
+    expected fields directly from doc_id — if the byte layout or the
+    parser drifted, the hashes split."""
+    import struct
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["doc_id"].values:
+                i = int(i)
+                if i % 2 == 0:
+                    ch = 1 + (i // 2) % 2
+                    sr = 8000 * (1 + i % 3)
+                    ds = 4000 + (i % 10) * 400
+                    fmt = (b"fmt " + struct.pack("<I", 16)
+                           + struct.pack("<HHIIHH", 1, ch, sr,
+                                         sr * ch * 2, ch * 2, 16))
+                    blob = (b"RIFF" + struct.pack("<I", 36 + ds) + b"WAVE"
+                            + fmt + b"data" + struct.pack("<I", ds))
+                else:
+                    dur = 600 * (1 + i % 5)
+                    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+                    body = (b"\x00\x00\x00\x00"
+                            + struct.pack(">II", 0, 0)
+                            + struct.pack(">II", 600, dur)
+                            + b"\x00" * 80)
+                    mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+                    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+                    blob = ftyp + moov
+                ids.append(i)
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    blobs = d.mapInPandas(synth, "doc_id long, blob binary")
+    return multimodal.extract_av_meta(blobs, "blob", "doc_id").orderBy("id")
+
+
+SQL_MULTIMODAL_AV = """
+SELECT doc_id AS id,
+       CASE WHEN doc_id % 2 = 0 THEN 44 ELSE 132 END::BIGINT AS n_bytes,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
+       CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 'isom' END AS brand,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(1 + (doc_id // 2) % 2 AS INTEGER) END AS channels,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(8000 * (1 + doc_id % 3) AS INTEGER) END AS sample_rate,
+       CASE WHEN doc_id % 2 = 0 THEN 16 END::INTEGER AS bits,
+       CASE WHEN doc_id % 2 = 0
+            THEN (4000 + (doc_id % 10) * 400) * 8000
+                 // (8000 * (1 + doc_id % 3) * (1 + (doc_id // 2) % 2) * 16)
+            ELSE 1000 * (1 + doc_id % 5) END::BIGINT AS duration_ms
+FROM documents ORDER BY id
+"""
+
+
 def q_frame_sample(spark, sf_dir):
     """Multimodal frame-sampling PLAN shape: one row per frame a decoder
     would extract (every 10th of the stub's bytes//1000 frames, max
@@ -3280,6 +3341,7 @@ QUERIES = {
     "secret_scan_redact": (q_secret_scan, SQL_SECRET_SCAN),
     "boilerplate_lines_top": (q_boilerplate_lines, SQL_BOILERPLATE),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
+    "multimodal_av_meta": (q_multimodal_av, SQL_MULTIMODAL_AV),
     "multimodal_frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     # generic relational coverage (window/agg/join/sort/limit)
     "events_hourly_window": (q_events_hourly, SQL_EVENTS_HOURLY),

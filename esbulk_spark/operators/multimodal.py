@@ -302,3 +302,116 @@ def frame_sample_plan(df: DataFrame, blob_col: str, id_col: str, every_n: int = 
             F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_no"),
     )
+
+
+# ------------------------------------------------------ audio / video
+
+
+def _wav_meta(buf: bytes) -> dict | None:
+    """RIFF/WAVE header walk: fmt chunk (channels, sample rate, bits)
+    + data chunk size -> duration. Pure header parsing, no codecs."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    i, fmt, data_size = 12, None, None
+    while i + 8 <= len(buf):
+        cid = buf[i:i + 4]
+        sz = int.from_bytes(buf[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(buf):
+            fmt = (
+                int.from_bytes(buf[i + 10:i + 12], "little"),  # channels
+                int.from_bytes(buf[i + 12:i + 16], "little"),  # sample rate
+                int.from_bytes(buf[i + 22:i + 24], "little"),  # bits/sample
+            )
+        elif cid == b"data":
+            data_size = sz
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None:
+        return None
+    ch, sr, bits = fmt
+    dur = None
+    if data_size and sr and ch and bits:
+        dur = int(data_size * 8000 // (sr * ch * bits))
+    return {
+        "container": "wav", "brand": None, "channels": ch,
+        "sample_rate": sr, "bits": bits, "duration_ms": dur,
+    }
+
+
+def _mp4_meta(buf: bytes) -> dict | None:
+    """ISO BMFF (MP4/MOV) box walk: ftyp major brand + moov/mvhd
+    timescale+duration. Handles mvhd version 0 and 1."""
+    if len(buf) < 12 or buf[4:8] != b"ftyp":
+        return None
+    brand = buf[8:12].decode("ascii", "replace").strip()
+
+    def boxes(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            sz = int.from_bytes(buf[i:i + 4], "big")
+            typ = buf[i + 4:i + 8]
+            if sz < 8:
+                return
+            yield typ, i + 8, min(i + sz, hi)
+            i += sz
+
+    dur_ms = None
+    for typ, lo, hi in boxes(0, len(buf)):
+        if typ != b"moov":
+            continue
+        for t2, l2, h2 in boxes(lo, hi):
+            if t2 != b"mvhd":
+                continue
+            ver = buf[l2] if l2 < h2 else None
+            if ver == 0 and l2 + 20 <= h2:
+                ts = int.from_bytes(buf[l2 + 12:l2 + 16], "big")
+                dur = int.from_bytes(buf[l2 + 16:l2 + 20], "big")
+            elif ver == 1 and l2 + 32 <= h2:
+                ts = int.from_bytes(buf[l2 + 20:l2 + 24], "big")
+                dur = int.from_bytes(buf[l2 + 24:l2 + 32], "big")
+            else:
+                continue
+            if ts:
+                dur_ms = int(dur * 1000 // ts)
+    return {
+        "container": "mp4", "brand": brand, "channels": None,
+        "sample_rate": None, "bits": None, "duration_ms": dur_ms,
+    }
+
+
+_AV_SCHEMA = (
+    "id long, n_bytes long, container string, brand string, "
+    "channels int, sample_rate int, bits int, duration_ms long"
+)
+
+
+def extract_av_meta(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
+    """Audio/video metadata over a binary column — REAL header parsing
+    for RIFF/WAVE (channels, sample rate, bit depth, duration) and ISO
+    BMFF MP4/MOV (major brand, mvhd duration); container "unknown"
+    otherwise. Same Arrow-batched mapInPandas plumbing as
+    extract_media_meta: binary stays zero-copy to the Python boundary,
+    the output is a uniform typed row per blob. Full stream decode
+    (codec work) is exactly what this deliberately does NOT do — at
+    100 TB the header pass is the cheap metadata sweep that routes
+    blobs to the right (GPU) decode stage."""
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "id", "n_bytes", "container", "brand", "channels",
+                "sample_rate", "bits", "duration_ms",
+            )}
+            for i, buf in zip(pdf[id_col].values, pdf[blob_col].values):
+                buf = bytes(buf) if buf is not None else b""
+                meta = _wav_meta(buf) or _mp4_meta(buf) or {
+                    "container": "unknown", "brand": None, "channels": None,
+                    "sample_rate": None, "bits": None, "duration_ms": None,
+                }
+                out["id"].append(i)
+                out["n_bytes"].append(len(buf))
+                for k, v in meta.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(fn, _AV_SCHEMA)

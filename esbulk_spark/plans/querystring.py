@@ -87,6 +87,11 @@ class FieldTerm:  # exact keyword match on a stored non-text column
 
 
 @dataclass
+class Exists:  # ES exists query / `_exists_:field` — non-null stored column
+    fld: str
+
+
+@dataclass
 class Range:  # ES range query over a stored column; None = open bound
     fld: str
     lo: object = None
@@ -272,6 +277,9 @@ class _Parser:
                         if lo_i is None:
                             return Range(fld, None, v, True, hi_i)
                         return Range(fld, v, None, lo_i, True)
+                if fld == "_exists_":
+                    # ES `_exists_:field` shorthand for the exists query
+                    return Exists(rest)
                 if fld != self.default_field:
                     # exact keyword match on a stored doc column;
                     # existence is validated at compile time against
@@ -307,6 +315,8 @@ def _filter_pred(reader, node):
             f"unknown field {node.fld!r}: stored columns are {sorted(cols)}"
         )
     c = F.col(node.fld)
+    if isinstance(node, Exists):
+        return c.isNotNull()
     if isinstance(node, FieldTerm):
         return c == F.lit(node.value)
     preds = []
@@ -326,7 +336,7 @@ def _leaf_scores(reader, node) -> DataFrame | None:
     """Full (doc_id, score) frame for one positive leaf; None when the
     leaf matches nothing (absent term / empty expansion)."""
     empty = None
-    if isinstance(node, (FieldTerm, Range)):
+    if isinstance(node, (FieldTerm, Range, Exists)):
         # ES constant_score / filter-context semantics: every matching
         # doc contributes exactly 1.0
         return (
@@ -371,7 +381,7 @@ def compile_node(reader, node) -> DataFrame:
     """Compile an AST node to its full (doc_id, score) match frame."""
     spark = reader.spark
     empty = spark.createDataFrame([], "doc_id long, score double")
-    if isinstance(node, (Term, Phrase, Pattern, FieldTerm, Range)):
+    if isinstance(node, (Term, Phrase, Pattern, FieldTerm, Range, Exists)):
         out = _leaf_scores(reader, node)
         return empty if out is None else out
     if not isinstance(node, Bool):  # pragma: no cover

@@ -1028,3 +1028,38 @@ def test_ivfpq_materialized_layout_pruned_and_parity(spark, sf_dir, tmp_path):
     }
     for r in ref:
         assert r.cosine == exact[r.id], r.id
+
+
+def test_av_meta_real_headers(spark):
+    """WAV/MP4 metadata from REAL header parsing: hand-built minimal
+    containers with known parameters."""
+    import struct
+
+    # 2-channel 8kHz 16-bit WAV with 32000 bytes of data -> 1000 ms
+    fmt = (b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16))
+    data = b"data" + struct.pack("<I", 32000) + b"\x00" * 32000
+    wav = b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(data)) + b"WAVE" + fmt + data
+
+    # minimal MP4: ftyp(isom) + moov/mvhd v0 with timescale 600, duration 1800 -> 3000 ms
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    mvhd_body = (b"\x00" + b"\x00\x00\x00"          # version 0 + flags
+                 + struct.pack(">II", 0, 0)          # creation/modification
+                 + struct.pack(">II", 600, 1800)     # timescale, duration
+                 + b"\x00" * 80)
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    mp4 = ftyp + moov
+
+    df = spark.createDataFrame(
+        [(0, bytearray(wav)), (1, bytearray(mp4)), (2, b"not media"), (3, None)],
+        "id long, blob binary",
+    )
+    got = {r.id: r.asDict() for r in multimodal.extract_av_meta(df, "blob", "id").collect()}
+    w = got[0]
+    assert (w["container"], w["channels"], w["sample_rate"], w["bits"]) == ("wav", 2, 8000, 16)
+    assert w["duration_ms"] == 1000
+    m = got[1]
+    assert (m["container"], m["brand"], m["duration_ms"]) == ("mp4", "isom", 3000)
+    assert got[2]["container"] == "unknown" and got[2]["n_bytes"] == 9
+    assert got[3]["container"] == "unknown" and got[3]["n_bytes"] == 0

@@ -154,3 +154,30 @@ def test_qs_absent_term_conjunction_empty(reader):
     assert _ids(reader.search_query_string("flushBuffer OR zzznothere")) == _ids(
         reader.search("flushBuffer")
     )
+
+
+def test_exists_query(reader, spark):
+    """ES `_exists_:field`: constant-score filter on non-null stored
+    columns; composes with scored clauses like any filter-context
+    leaf, and validates the field at compile time."""
+    from esbulk_spark.plans.querystring import Exists
+
+    n = parse_query_string("_exists_:lang")
+    assert isinstance(n, Exists) and n.fld == "lang"
+    docs = reader.docs()
+    expect = sorted(
+        r.doc_id
+        for r in docs.filter("lang is not null").select("doc_id").collect()
+    )
+    got = reader.search_query_string("_exists_:lang", k=100_000)
+    assert sorted(r.doc_id for r in got.collect()) == expect and expect
+    assert all(r.score == 1.0 for r in got.collect())
+    # composition: +term +_exists_:lang == term filtered to non-null lang
+    rows = lambda df: [(r.doc_id, round(r.score, 6)) for r in df.collect()]
+    mixed = rows(reader.search_query_string("+flushBuffer +_exists_:lang", k=10))
+    filt = rows(
+        reader.search_bool(must=["flushBuffer"], filter="lang is not null", k=10)
+    )
+    assert mixed == [(d, round(s + 1.0, 6)) for d, s in filt] and mixed
+    with pytest.raises(QueryStringError):
+        reader.search_query_string("_exists_:nope").collect()
