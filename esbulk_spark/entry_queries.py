@@ -2589,6 +2589,106 @@ ORDER BY id
 """
 
 
+def q_training_pipeline(spark, sf_dir):
+    """The whole training-data curation pipeline composed END-TO-END
+    and graded as one entry: quality gate (Rae-style heuristics) ->
+    exact dedup (sha-256 keep-min-id) -> near-dup CLUSTER dedup
+    (shingle-Jaccard candidates with the hot-shingle guard, connected
+    components, keep the representative) -> per-language corpus stats
+    of what survives. Every stage is the same operator its standalone
+    graded entry pins; this entry pins their composition — the shape a
+    100 TB curation run actually executes."""
+    d = _t(spark, sf_dir, "documents")
+    q = (
+        textstats.quality_score(d, "text", "doc_id")
+        .filter("keep = 1")
+        .select(F.col("id").alias("doc_id"))
+    )
+    dq = d.join(q, "doc_id", "left_semi")
+    ed = dedup.exact_dedup(dq, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    d2 = d.join(ed, "doc_id", "left_semi")
+    cl = dedup.dedup_clusters(
+        d2, "text", "doc_id", n=3, threshold=0.08, max_shingle_df=_JACC_MAX_DF
+    )
+    surv = cl.filter("not is_duplicate").select("doc_id")
+    toks = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    )
+    return (
+        d.join(surv, "doc_id", "left_semi")
+        .select("lang", toks.alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TRAINING_PIPELINE = f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, lang, text, {_duck_words()} AS words FROM documents
+), q AS (
+  SELECT doc_id FROM w
+  WHERE len(words) >= 5
+    AND (CASE WHEN length(text) > 0
+         THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text)
+         ELSE 0 END) < 0.3
+    AND (CASE WHEN len(words) > 0
+         THEN length(array_to_string(words, '')) * 1.0 / len(words)
+         ELSE 0 END) BETWEEN 2.0 AND 12.0
+), ed AS (
+  SELECT min(d.doc_id) AS doc_id
+  FROM documents d JOIN q USING (doc_id)
+  GROUP BY sha256(d.text)
+), d2 AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN ed USING (doc_id)
+), sh AS (
+  SELECT DISTINCT doc_id AS id, {_duck_md5i('s')} AS sh
+  FROM (SELECT doc_id, unnest({_duck_shingles(3)}) AS s FROM d2)
+  WHERE s <> ''
+), sizes AS (
+  SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+), guarded AS (
+  SELECT * FROM sh
+  WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) > {_JACC_MAX_DF})
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM guarded a JOIN guarded b ON a.sh = b.sh AND a.id < b.id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN inter USING (id_a, id_b)
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.08
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT reach.id, s.v FROM reach JOIN sym s ON reach.r = s.u
+), comp AS (
+  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
+), surv AS (
+  SELECT d2.doc_id FROM d2 LEFT JOIN comp c ON c.id = d2.doc_id
+  WHERE coalesce(c.component, d2.doc_id) = d2.doc_id
+)
+SELECT w.lang, count(*) AS n_docs, CAST(sum(len(w.words)) AS BIGINT) AS n_tokens
+FROM w JOIN surv USING (doc_id)
+GROUP BY w.lang
+ORDER BY w.lang
+"""
+
+
 _MIX_RATES = {"src1": 1.0, "src2": 0.5, "src3": 0.0}
 _MIX_DEFAULT = 0.25
 
@@ -3315,6 +3415,7 @@ QUERIES = {
     "dedup_ngram_jaccard": (q_jaccard_pairs, SQL_JACCARD),
     "dedup_minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_cluster_cc": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "training_pipeline_e2e": (q_training_pipeline, SQL_TRAINING_PIPELINE),
     "dedup_exact_substring_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
     "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
