@@ -260,6 +260,10 @@ def main() -> None:
         "dictionary_top100", "bm25_topk_wand", "dedup_minhash_lsh",
         "dedup_ngram_jaccard", "simhash_fingerprint", "embedding_cosine_topk",
         "agg_lineitem_pricing", "events_hourly_window", "optype_index_lww",
+        # r4 additions: PQ ADC scan, hybrid RRF fusion, the composed
+        # curation pipeline, and search over unmerged attached segments
+        "ann_pq_adc_topk", "hybrid_rrf_topk", "training_pipeline_e2e",
+        "segment_set_search",
     ]:
         fn, _ = QUERIES[name]
         t0 = time.monotonic()
