@@ -194,9 +194,22 @@ def snapshot_index(index_dir: str, snap_dir: str) -> dict:
     dm = os.path.join(index_dir, "deletes_meta.json")
     if os.path.exists(dm):
         shutil.copy2(dm, os.path.join(snap_dir, "deletes_meta.json"))
+    # attached (not-yet-merged) segments are part of the committed state
+    # — ES snapshots every live segment; dropping them would restore an
+    # index missing the attached docs
+    segs = attached_segments(index_dir)
+    if segs:
+        dst_root = os.path.join(snap_dir, ATTACHED_DIR)
+        shutil.rmtree(dst_root, ignore_errors=True)
+        shutil.copytree(os.path.join(index_dir, ATTACHED_DIR), dst_root)
     with open(stats_path) as f:
         fp = json.load(f).get("fingerprint", "")
-    meta = {"source": os.path.abspath(index_dir), "fingerprint": fp, "tables": copied}
+    meta = {
+        "source": os.path.abspath(index_dir),
+        "fingerprint": fp,
+        "tables": copied,
+        "attached_segments": len(segs),
+    }
     with open(os.path.join(snap_dir, SNAPSHOT_FILE), "w") as f:
         json.dump(meta, f, indent=1)
     return meta
@@ -222,6 +235,9 @@ def restore_index(snap_dir: str, index_dir: str, overwrite: bool = False) -> dic
     dm = os.path.join(snap_dir, "deletes_meta.json")
     if os.path.exists(dm):
         shutil.copy2(dm, os.path.join(index_dir, "deletes_meta.json"))
+    src_root = os.path.join(snap_dir, ATTACHED_DIR)
+    if os.path.isdir(src_root):
+        shutil.copytree(src_root, os.path.join(index_dir, ATTACHED_DIR))
     return meta
 
 

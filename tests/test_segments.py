@@ -206,3 +206,49 @@ def test_segment_set_wider_surfaces(spark, seg_dirs):
     assert r.get_doc(some.doc_id)["found"] is True
     pre = r.search_prefix("ret", k=5).collect()
     assert pre
+
+
+def test_snapshot_restore_carries_attached_segments(spark, tmp_path):
+    """A snapshot of an index with attached segments must restore the
+    FULL committed state — attached docs included (ES snapshots every
+    live segment)."""
+    from esbulk_spark.operators.docids import assign_doc_ids_with_count
+    from esbulk_spark.plans.admin import (
+        append_docs,
+        attached_segments,
+        open_reader,
+        restore_index,
+        snapshot_index,
+    )
+
+    corpus = synth_corpus(spark, 120, seed=21)
+    half = corpus.filter("crc32(path) % 2 = 0")
+    rest = corpus.filter("crc32(path) % 2 = 1")
+    idx = str(tmp_path / "idx")
+    withid, _ = assign_doc_ids_with_count(
+        half, ("repo", "path", "commit"), out_col="doc_id"
+    )
+    build_index(
+        spark, withid,
+        IndexConfig(index_dir=idx, id_col="doc_id", n_buckets=8, n_shards=2,
+                    chunk_cap=256),
+        input_sig="snapseg",
+    )
+    append_docs(spark, idx, rest, merge=False)
+    n_before = open_reader(spark, idx).docs().count()
+    q = "flushBuffer retry"
+    before = [
+        (x.doc_id, round(x.score, 6))
+        for x in open_reader(spark, idx).search(q, k=10).collect()
+    ]
+
+    snap = str(tmp_path / "snap")
+    meta = snapshot_index(idx, snap)
+    assert meta["attached_segments"] == 1
+    dst = str(tmp_path / "restored")
+    restore_index(snap, dst)
+    assert len(attached_segments(dst)) == 1
+    rr = open_reader(spark, dst)
+    assert rr.docs().count() == n_before == corpus.count()
+    after = [(x.doc_id, round(x.score, 6)) for x in rr.search(q, k=10).collect()]
+    assert after == before
