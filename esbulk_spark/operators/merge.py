@@ -67,6 +67,38 @@ def segment_tf_rows(spark: SparkSession, index_dir: str) -> DataFrame:
     return posts.mapInPandas(decode, "doc_id long, term string, tf int, dl int")
 
 
+def _expand_attached(segment_dirs: list[str]) -> list[str]:
+    """A source index carrying ATTACHED (not-yet-merged) delta segments
+    (plans/admin.append_docs(merge=False): ``<index>/attached/seg_N``)
+    contributes only its main tables to a union — the attached docs
+    would silently vanish from the merge. Expand each such dir into
+    [main, seg_0, seg_1, ...], de-duplicated so callers that already
+    pass the attached dirs explicitly (compact_attached) are unchanged."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for d in segment_dirs:
+        for p in [d] + [
+            os.path.join(d, "attached", s)
+            for s in (
+                sorted(
+                    (
+                        x
+                        for x in os.listdir(os.path.join(d, "attached"))
+                        if x.startswith("seg_")
+                    ),
+                    key=lambda s: int(s.split("_")[1]),
+                )
+                if os.path.isdir(os.path.join(d, "attached"))
+                else []
+            )
+        ]:
+            key = os.path.realpath(p)
+            if key not in seen:
+                seen.add(key)
+                out.append(p)
+    return out
+
+
 def merge_segments(
     spark: SparkSession,
     segment_dirs: list[str],
@@ -76,6 +108,7 @@ def merge_segments(
 
     Doc ids must be globally unique across segments (disjoint ranges —
     the incremental-ingest contract, streaming/incremental.py)."""
+    segment_dirs = _expand_attached(segment_dirs)
     input_sig = "merge:" + "|".join(sorted(segment_dirs))
     out = out_cfg.index_dir
     fp = out_cfg.fingerprint(input_sig)
@@ -196,6 +229,7 @@ def merge_segments_fast(
 
     from esbulk_spark.plans.build import POSTINGS_SCHEMA, bucket_col
 
+    segment_dirs = _expand_attached(segment_dirs)
     input_sig = "fastmerge:" + "|".join(sorted(segment_dirs))
     out = out_cfg.index_dir
     fp = out_cfg.fingerprint(input_sig)

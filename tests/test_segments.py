@@ -252,3 +252,42 @@ def test_snapshot_restore_carries_attached_segments(spark, tmp_path):
     assert rr.docs().count() == n_before == corpus.count()
     after = [(x.doc_id, round(x.score, 6)) for x in rr.search(q, k=10).collect()]
     assert after == before
+
+
+def test_merge_expands_attached_sources(spark, tmp_path):
+    """merge_segments_fast over a source index that still has attached
+    segments must fold the attached docs in too (not silently drop
+    them) — the CLI `merge` path on a live appended index."""
+    from esbulk_spark.operators.docids import assign_doc_ids_with_count
+    from esbulk_spark.operators.merge import merge_segments_fast
+    from esbulk_spark.plans.admin import append_docs
+
+    corpus = synth_corpus(spark, 120, seed=31)
+    half = corpus.filter("crc32(path) % 2 = 0")
+    rest = corpus.filter("crc32(path) % 2 = 1")
+    idx = str(tmp_path / "idx")
+    withid, _ = assign_doc_ids_with_count(
+        half, ("repo", "path", "commit"), out_col="doc_id"
+    )
+    build_index(
+        spark, withid,
+        IndexConfig(index_dir=idx, id_col="doc_id", n_buckets=8, n_shards=2,
+                    chunk_cap=256),
+        input_sig="mergeatt",
+    )
+    append_docs(spark, idx, rest, merge=False)
+    merged = str(tmp_path / "merged")
+    stats = merge_segments_fast(
+        spark, [idx],
+        IndexConfig(index_dir=merged, id_col="doc_id", n_buckets=8,
+                    chunk_cap=256),
+    )
+    assert stats["n_docs"] == corpus.count()
+    r = IndexReader(spark, merged)
+    q = "flushBuffer retry"
+    oracle = [
+        (x.doc_id, round(x.score, 6))
+        for x in bm25_fullscan(r.docs(), q, text_col="content").collect()
+    ][:10]
+    got = [(x.doc_id, round(x.score, 6)) for x in r.search(q, k=10).collect()]
+    assert got == oracle
