@@ -318,6 +318,17 @@ def build_index(
     man = Manifest(d, fp)
     if cfg.overwrite and os.path.exists(d) and not _same_fingerprint(d, fp):
         shutil.rmtree(d)  # esbulk -purge (run.go:160-165)
+    elif cfg.overwrite and os.path.exists(d):
+        # same fingerprint: the committed BUILD stages are reusable
+        # (resume semantics), but post-build mutation overlays — attached
+        # delta segments (admin.append_docs(merge=False)) and delete
+        # tombstones — are NOT covered by the fingerprint and would
+        # resurrect as zombies on the "fresh" index a purge promises
+        for overlay in ("attached", "deletes"):
+            shutil.rmtree(os.path.join(d, overlay), ignore_errors=True)
+        dm = os.path.join(d, "deletes_meta.json")
+        if os.path.exists(dm):
+            os.remove(dm)
     os.makedirs(d, exist_ok=True)
     man.load()
 

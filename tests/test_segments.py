@@ -291,3 +291,43 @@ def test_merge_expands_attached_sources(spark, tmp_path):
     ][:10]
     got = [(x.doc_id, round(x.score, 6)) for x in r.search(q, k=10).collect()]
     assert got == oracle
+
+
+def test_overwrite_build_drops_stale_overlays(spark, tmp_path):
+    """build_index(overwrite=True) with an UNCHANGED fingerprint reuses
+    the committed stages but must drop post-build mutation overlays —
+    attached segments and tombstones — or a 'purged' rebuild resurrects
+    zombie docs/deletes (surfaced by the bench segset entry re-running
+    in a fresh process over a reused /tmp index)."""
+    from esbulk_spark.operators.docids import assign_doc_ids_with_count
+    from esbulk_spark.plans.admin import (
+        append_docs,
+        attached_segments,
+        delete_by_ids,
+        open_reader,
+    )
+
+    corpus = synth_corpus(spark, 90, seed=41)
+    half = corpus.filter("crc32(path) % 2 = 0")
+    rest = corpus.filter("crc32(path) % 2 = 1")
+    idx = str(tmp_path / "idx")
+    withid, _ = assign_doc_ids_with_count(
+        half, ("repo", "path", "commit"), out_col="doc_id"
+    )
+    cfg = IndexConfig(index_dir=idx, id_col="doc_id", n_buckets=8,
+                      n_shards=2, chunk_cap=256, overwrite=True)
+    build_index(spark, withid, cfg, input_sig="zombie")
+    n_main = open_reader(spark, idx).docs().count()
+    append_docs(spark, idx, rest, merge=False)
+    delete_by_ids(spark, idx, [0])
+    assert attached_segments(idx)
+
+    # same fingerprint + overwrite: stages reused, overlays dropped
+    build_index(spark, withid, cfg, input_sig="zombie")
+    assert attached_segments(idx) == []
+    r = open_reader(spark, idx)
+    assert isinstance(r, IndexReader)
+    assert r.docs().count() == n_main  # no zombie deletes either
+    # a re-append of the same delta now works (no id clash)
+    res = append_docs(spark, idx, rest, merge=False)
+    assert res["appended"] == rest.count()
