@@ -181,3 +181,27 @@ def test_exists_query(reader, spark):
     assert mixed == [(d, round(s + 1.0, 6)) for d, s in filt] and mixed
     with pytest.raises(QueryStringError):
         reader.search_query_string("_exists_:nope").collect()
+
+
+def test_parser_fuzz_never_crashes():
+    """Arbitrary strings either parse to an AST or raise the typed
+    QueryStringError — no other exception class escapes the parser."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abcXYZ019 _.:*?~+-()[]{}\"'\\/<>=ANDORTN")
+            ),
+            min_size=0,
+            max_size=40,
+        )
+    )
+    def run(q):
+        try:
+            parse_query_string(q)
+        except QueryStringError:
+            pass
+
+    run()
