@@ -2136,6 +2136,56 @@ ORDER BY qid, approx_d2 ASC, id ASC
 """
 
 
+def q_ann_sq8(spark, sf_dir):
+    """Scalar int8 quantization (ES dense_vector int8 mode / FAISS SQ8)
+    graded exactly: codes are floor(v/scale + 0.5) clamps — spelled as
+    floor(x+0.5) on BOTH engines so rounding cannot diverge — and the
+    per-vector scale cancels in cosine, so ranking reads only int8."""
+    e = _t(spark, sf_dir, "embeddings")
+    rows = sorted(
+        e.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id
+    )
+    qs = {
+        str(r.vec_id): [float(x) for x in r.embedding]
+        for r in rows
+        if r.vec_id < 3
+    }
+    return similarity.sq8_cosine_topk(e, "embedding", "vec_id", qs, k=10)
+
+
+SQL_ANN_SQ8 = """
+WITH sc AS (
+  SELECT vec_id, embedding,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) = 0
+              THEN 1.0
+              ELSE list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+         END AS s
+  FROM embeddings
+), codes AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> greatest(-127.0, least(127.0, floor(x::DOUBLE / s + 0.5)))) AS c
+  FROM sc
+), qv AS (
+  SELECT vec_id AS qvid, embedding AS v FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT CAST(q.qvid AS VARCHAR) AS qid, cd.vec_id AS id,
+         round(
+           list_sum(list_transform(range(1, len(cd.c) + 1),
+                    i -> cd.c[i] * q.v[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(cd.c, x -> x * x)))
+              * sqrt(list_sum(list_transform(q.v, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS approx_cos
+  FROM codes cd CROSS JOIN qv q
+)
+SELECT qid, id, approx_cos
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx_cos DESC, id ASC) AS rn
+      FROM scored)
+WHERE rn <= 10
+ORDER BY qid, approx_cos DESC, id ASC
+"""
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval (ES's BM25 + kNN with `rank.rrf`): the BM25
     top-20 full scan over documents and the exact cosine top-20 over
@@ -3425,6 +3475,7 @@ QUERIES = {
     "ann_ivf_topk": (q_ann_ivf, _sql_ann_ivf),
     "ann_pq_adc_topk": (q_ann_pq, _sql_ann_pq),
     "ann_ivfpq_topk": (q_ann_ivfpq, _sql_ann_ivfpq),
+    "ann_sq8_topk": (q_ann_sq8, SQL_ANN_SQ8),
     "hybrid_rrf_topk": (q_hybrid_rrf, _sql_hybrid_rrf()),
     "dedup_embedding_cosine": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "lang_id_heuristic": (q_lang_id, SQL_LANG_ID),

@@ -869,3 +869,68 @@ def ivfpq_search(
         .select("qid", "id", "cosine")
         .orderBy("qid", F.desc("cosine"), F.asc("id"))
     )
+
+
+# ---------------------------------------------------------------- SQ8
+
+
+def sq8_encode(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Scalar int8 quantization (the ES/Lucene dense_vector
+    `int8` quantization mode; FAISS SQ8): per-vector scale =
+    max|v|/127, code_i = floor(v_i/scale + 0.5) clamped to
+    [-127, 127] — floor(x+0.5) spelled explicitly so every engine
+    rounds identically (no half-even/half-up divergence). 4x memory
+    cut at <1% cosine error; pure Catalyst, (id, codes, scale)."""
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(mx == 0.0, F.lit(1.0)).otherwise(mx / F.lit(127.0))
+    codes = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+            ),
+        ).cast("int"),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), codes.alias("codes"), scale.alias("scale")
+    )
+
+
+def sq8_cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vecs: dict[str, list[float]],
+    k: int = 10,
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric cosine top-k over SQ8 codes: the per-vector scale
+    CANCELS in cosine, so ranking reads only the int8 codes —
+    cos ~= dot(codes, q) / (|codes| * |q|). Returns (qid, id,
+    approx_cos) desc, lowest-id ties; rounded ranking keys."""
+    from pyspark.sql.window import Window
+
+    codes = codes_df if codes_df is not None else sq8_encode(df, vec_col, id_col)
+    qdf = df.sparkSession.createDataFrame(
+        [(qid, [float(x) for x in v]) for qid, v in sorted(query_vecs.items())],
+        "qid string, qvec array<double>",
+    )
+    cv = F.transform(F.col("codes"), lambda x: x.cast("double"))
+    scored = codes.join(F.broadcast(qdf)).select(
+        "qid",
+        "id",
+        F.round(
+            _dot(cv, F.col("qvec")) / (_norm(cv) * _norm(F.col("qvec"))),
+            6,
+        ).alias("approx_cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("approx_cos"), F.asc("id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "id", "approx_cos")
+        .orderBy("qid", F.desc("approx_cos"), F.asc("id"))
+    )

@@ -1063,3 +1063,45 @@ def test_av_meta_real_headers(spark):
     assert (m["container"], m["brand"], m["duration_ms"]) == ("mp4", "isom", 3000)
     assert got[2]["container"] == "unknown" and got[2]["n_bytes"] == 9
     assert got[3]["container"] == "unknown" and got[3]["n_bytes"] == 0
+
+
+def test_sq8_codes_and_recall(spark, sf_dir):
+    """SQ8 codes must match driver replication exactly (floor(x/s+0.5)
+    clamp), zero vectors must not divide by zero, and int8 cosine must
+    recall nearly all of the exact top-10 (SQ8 error is sub-percent,
+    unlike the coarse PQ code)."""
+    import math
+
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    X = np.asarray([[float(x) for x in r.embedding] for r in rows])
+    got = {
+        r.id: (list(r.codes), r.scale)
+        for r in similarity.sq8_encode(emb, "embedding", "vec_id").collect()
+    }
+    for i, r in enumerate(rows):
+        mx = float(np.max(np.abs(X[i])))
+        s = 1.0 if mx == 0 else mx / 127.0
+        want = [
+            int(max(-127, min(127, math.floor(x / s + 0.5)))) for x in X[i]
+        ]
+        assert got[r.vec_id][0] == want, r.vec_id
+    # zero-vector guard
+    z = spark.createDataFrame([(999, [0.0] * 4)], "vec_id long, embedding array<double>")
+    zr = similarity.sq8_encode(z, "embedding", "vec_id").collect()[0]
+    assert list(zr.codes) == [0, 0, 0, 0] and zr.scale == 1.0
+    # recall vs exact cosine
+    q = [float(x) for x in rows[0].embedding]
+    exact10 = {
+        r.id
+        for r in similarity.cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()
+    }
+    got10 = {
+        r.id
+        for r in similarity.sq8_cosine_topk(
+            emb, "embedding", "vec_id", {"q": q}, k=10
+        ).collect()
+    }
+    assert len(exact10 & got10) / 10 >= 0.8, (exact10, got10)
