@@ -103,6 +103,14 @@ def main(argv: list[str] | None = None) -> int:
                                "built with --store-positions); prefix/fuzzy/"
                                "wildcard/regexp = dictionary term expansion "
                                "scored as a BM25 disjunction")
+    p_search.add_argument("--similarity",
+                          choices=["bm25", "classic", "lmdirichlet", "boolean"],
+                          default="bm25",
+                          help="scoring formula (ES index-module "
+                               "similarity; query-time here because the "
+                               "index stores raw tf/dl). Non-bm25 choices "
+                               "use the exact decode path (no WAND) and "
+                               "apply to match queries only")
     p_search.add_argument("--fuzziness", default="AUTO",
                           help="fuzzy mode: edit budget (int) or AUTO "
                                "(ES ladder by term length)")
@@ -528,6 +536,18 @@ def _cmd_search(spark, args) -> int:
 
     r = open_reader(spark, args.index_dir)
     search_after = getattr(args, "search_after", None)
+    similarity = getattr(args, "similarity", "bm25")
+    if similarity != "bm25" and (
+        args.mode not in ("wand", "fullscan")
+        or search_after is not None
+        or getattr(args, "format", "jsonl") == "es"
+    ):
+        print(
+            "error: --similarity applies to match queries "
+            "(--mode wand|fullscan, jsonl format, no paging)",
+            file=sys.stderr,
+        )
+        return 2
     if search_after is not None and args.mode not in ("wand", "fullscan"):
         print(
             f"error: --search-after only pages match queries "
@@ -600,6 +620,8 @@ def _cmd_search(spark, args) -> int:
                 args.query, k=args.k,
                 max_expansions=getattr(args, "max_expansions", 50),
             )
+        elif similarity != "bm25":
+            df = r.search_similarity(args.query, sim=similarity, k=args.k)
         else:
             df = r.search(args.query, k=args.k, prune=(args.mode == "wand"))
         rows = df.collect()

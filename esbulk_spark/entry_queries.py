@@ -1533,6 +1533,58 @@ def _sql_bm25(query: str, require_all: bool = False) -> str:
     return sql
 
 
+def q_sim_classic(spark, sf_dir):
+    """ES similarity-module analog (index setting `similarity: classic`,
+    Lucene ClassicSimilarity TF-IDF): same flagship query ranked under
+    sqrt(tf) * idf_c^2 / sqrt(dl). Exact decode path (no WAND — block
+    maxes are BM25 bounds); oracle recomputes the formula from the raw
+    corpus in DuckDB."""
+    r = _index_for(spark, sf_dir)
+    return r.search_similarity(FLAGSHIP_QUERY, sim="classic", k=10, round_to=4)
+
+
+def q_sim_lmdirichlet(spark, sf_dir):
+    """Lucene LMDirichletSimilarity (mu=2000) over the same index: the
+    collection language model (cf / total_tokens) comes from the
+    dictionary's cf column + stats total_tokens — no extra corpus
+    pass at query time."""
+    r = _index_for(spark, sf_dir)
+    return r.search_similarity(
+        FLAGSHIP_QUERY, sim="lmdirichlet", k=10, round_to=4
+    )
+
+
+def _sql_similarity(sim: str, query: str = FLAGSHIP_QUERY, mu: float = 2000.0) -> str:
+    """DuckDB oracle for search_similarity: identical per-term formulas
+    recomputed from the tokenized corpus (df/cf/total_tokens derived
+    independently of the index)."""
+    terms = sorted(set(analyze_query(query)))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    if sim == "classic":
+        contrib = "sqrt(tf) * pow(1 + ln(n_docs / (df + 1)), 2) / sqrt(dl)"
+    else:  # lmdirichlet
+        contrib = (
+            f"greatest(ln(1 + tf / ({mu} * cf / total_tokens))"
+            f" + ln({mu} / (dl + {mu})), 0)"
+        )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+stats AS (SELECT count(*) AS n_docs, sum(len(t)) AS total_tokens FROM toks),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+  ) WHERE term IN ({tlist})
+  GROUP BY doc_id, dl, term
+),
+ts AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term)
+SELECT doc_id, round(sum({contrib}), 4) AS score
+FROM tf JOIN ts USING (term), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup(d, "text", "doc_id").orderBy("keep_id")
@@ -3412,6 +3464,11 @@ QUERIES = {
     "bm25_topk_fullscan": (q_bm25_fullscan, _sql_bm25(QUERY_FULLSCAN)),
     "bm25_topk_hot_term": (q_bm25_hot, _sql_bm25(QUERY_HOT)),
     "bm25_batch_many": (q_bm25_batch, _sql_bm25_batch()),
+    "sim_classic_topk": (q_sim_classic, _sql_similarity("classic")),
+    "sim_lmdirichlet_topk": (
+        q_sim_lmdirichlet,
+        _sql_similarity("lmdirichlet"),
+    ),
     "phrase_match_topk": (q_phrase, _sql_phrase()),
     "phrase_hot_first_topk": (q_phrase_hot, _sql_phrase(PHRASE_HOT)),
     "phrase_slop_topk": (q_phrase_slop, _sql_phrase_slop()),

@@ -1551,6 +1551,100 @@ class IndexReader:
             out = out.withColumn("score", F.round("score", round_to))
         return out
 
+    def lookup_term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """term -> (df, cf) via the same bucket-pruned dictionary scan as
+        lookup_terms; cf (collection frequency) feeds the LM Dirichlet
+        similarity's collection language model."""
+        if not terms:
+            return {}
+        d = self.dictionary().filter(
+            bucket_col(F.col("term"), self.stats["n_buckets"]).isin(
+                self._buckets(terms)
+            )
+            & F.col("term").isin(terms)
+        )
+        return {
+            r["term"]: (int(r["df"]), int(r["cf"]))
+            for r in d.select("term", "df", "cf").collect()
+        }
+
+    def search_similarity(
+        self,
+        query: str,
+        sim: str = "classic",
+        k: int = 10,
+        mu: float = 2000.0,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES similarity-module analog (index setting ``similarity``;
+        Lucene ClassicSimilarity / LMDirichletSimilarity /
+        BooleanSimilarity): rank the query under a pluggable per-term
+        formula instead of BM25. The reference delegates this knob to
+        ES index settings; here it is a query-time choice because the
+        index stores raw (tf, dl) — no re-index needed to switch.
+
+        Exact, not WAND-pruned: the index's block-max metadata is BM25's
+        tf-norm upper bound, which is not an admissible bound for other
+        formulas — so this path decodes the (bucket+term-pruned)
+        postings of the query terms and hash-aggregates, the same
+        volume ``score_all`` pays. Per-term contribution:
+
+          classic      sqrt(tf) * idf_c^2 / sqrt(dl),
+                       idf_c = 1 + ln(n_docs / (df + 1))
+          lmdirichlet  max(0, ln(1 + tf / (mu * cf / total_tokens))
+                            + ln(mu / (dl + mu)))     (Lucene's >=0 clamp)
+          boolean      1 per matched term (rank = how many terms hit)
+        """
+        if sim not in ("classic", "lmdirichlet", "boolean"):
+            raise ValueError(
+                f"unknown similarity {sim!r}: "
+                "expected classic | lmdirichlet | boolean"
+            )
+        import math
+
+        terms = analyze_query(query)
+        stats = self.lookup_term_stats(sorted(set(terms)))
+        if not stats:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        rows = self._decode_to_rows(sorted(stats))
+        n = float(self.n_docs)
+        if sim == "classic":
+            idfmap = F.create_map(
+                *[
+                    F.lit(x)
+                    for t, (df, _) in sorted(stats.items())
+                    for x in (t, (1.0 + math.log(n / (df + 1.0))) ** 2)
+                ]
+            )
+            contrib = (
+                F.sqrt(F.col("tf").cast("double"))
+                * F.element_at(idfmap, F.col("term"))
+                / F.sqrt(F.col("dl").cast("double"))
+            )
+        elif sim == "lmdirichlet":
+            total = float(self.stats["total_tokens"])
+            # mu * P(t|C) inlined per term: the collection LM denominator
+            denom_map = F.create_map(
+                *[
+                    F.lit(x)
+                    for t, (_, cf) in sorted(stats.items())
+                    for x in (t, mu * cf / total)
+                ]
+            )
+            raw = F.log(
+                F.lit(1.0)
+                + F.col("tf").cast("double") / F.element_at(denom_map, F.col("term"))
+            ) + F.log(F.lit(mu) / (F.col("dl").cast("double") + F.lit(mu)))
+            contrib = F.greatest(raw, F.lit(0.0))
+        else:
+            contrib = F.lit(1.0)
+        out = (
+            rows.withColumn("__c", contrib)
+            .groupBy("doc_id")
+            .agg(F.sum("__c").alias("score"))
+        )
+        return topk_deterministic(out, k, round_to)
+
     def search_page(
         self,
         query: str,

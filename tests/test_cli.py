@@ -468,3 +468,37 @@ def test_cli_es_format_rejects_expansion_modes(spark, tmp_path, capsys):
                               query="alp", mode="prefix")
     assert cli_mod._cmd_search(spark, args) == 2
     assert "emits jsonl rows" in capsys.readouterr().err
+
+
+def test_cli_similarity_flag(spark, tmp_path, capsys):
+    """search --similarity routes match queries through the pluggable
+    formula; non-match modes reject it with a clear error."""
+    docs = [
+        {"k": "a", "body": "alpha beta gamma"},
+        {"k": "b", "body": "alphabet soup"},
+        {"k": "c", "body": "gamma delta"},
+    ]
+    p = str(tmp_path / "sim.jsonl")
+    _write_jsonl(p, docs)
+    idx = str(tmp_path / "idx_sim")
+    assert cli_mod._cmd_index(
+        spark, _args(input=p, index_dir=idx, id_spec="k", purge=True)
+    ) == 0
+    capsys.readouterr()
+    args = argparse.Namespace(index_dir=idx, k=10, format="jsonl",
+                              query="alpha gamma", mode="wand",
+                              similarity="boolean")
+    assert cli_mod._cmd_search(spark, args) == 0
+    rows = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if '"rank"' in l
+    ]
+    # boolean similarity = matched-term count: the doc with both terms
+    # scores 2.0, the gamma-only doc 1.0 ("alphabet" is not "alpha")
+    assert [r["score"] for r in rows] == [2.0, 1.0]
+    args = argparse.Namespace(index_dir=idx, k=10, format="jsonl",
+                              query="alp", mode="prefix",
+                              similarity="classic")
+    assert cli_mod._cmd_search(spark, args) == 2
+    assert "--similarity applies to match queries" in capsys.readouterr().err

@@ -1418,3 +1418,67 @@ def test_suggest_completion_prefix_rank(reader):
 def test_suggest_completion_pushes_prefix_filter(reader):
     plan = reader.suggest_completion("ret")._jdf.queryExecution().executedPlan().toString()
     assert "StartsWith" in plan, plan
+
+
+def test_search_similarity_formulas(spark, reader, corpus):
+    """search_similarity (ES similarity modules) matches a pure-Python
+    recomputation of each formula from the raw tokenized corpus —
+    classic TF-IDF, LM Dirichlet (mu=2000), and boolean."""
+    import math
+
+    from esbulk_spark.functions.analyzer import analyze_query, tokens_col
+
+    q = "merge scan buffer"
+    terms = analyze_query(q)
+    toks = {
+        r.doc_id: r.t
+        for r in reader.docs()
+        .select("doc_id", tokens_col("content").alias("t"))
+        .collect()
+    }
+    n = len(toks)
+    total_tokens = sum(len(t) for t in toks.values())
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    cf = {t: sum(ts.count(t) for ts in toks.values()) for t in terms}
+    mu = 2000.0
+
+    def expected(sim):
+        scores = {}
+        for d, ts in toks.items():
+            s = 0.0
+            hit = False
+            for t in terms:
+                tf = ts.count(t)
+                if not tf:
+                    continue
+                hit = True
+                if sim == "classic":
+                    s += (
+                        math.sqrt(tf)
+                        * (1 + math.log(n / (df[t] + 1))) ** 2
+                        / math.sqrt(len(ts))
+                    )
+                elif sim == "lmdirichlet":
+                    s += max(
+                        0.0,
+                        math.log(1 + tf / (mu * cf[t] / total_tokens))
+                        + math.log(mu / (len(ts) + mu)),
+                    )
+                else:
+                    s += 1.0
+            if hit:
+                scores[d] = s
+        top = sorted(scores.items(), key=lambda kv: (-round(kv[1], 4), kv[0]))[:10]
+        return [(d, round(s, 4)) for d, s in top]
+
+    for sim in ("classic", "lmdirichlet", "boolean"):
+        got = [
+            (r.doc_id, r.score)
+            for r in reader.search_similarity(q, sim=sim, k=10, round_to=4).collect()
+        ]
+        assert got == expected(sim), sim
+
+    # contract edges: unknown similarity is a typed error; no-term query empty
+    with pytest.raises(ValueError, match="similarity"):
+        reader.search_similarity(q, sim="dfr")
+    assert reader.search_similarity("zzznotaterm", sim="classic").count() == 0
