@@ -96,13 +96,23 @@ def main(argv: list[str] | None = None) -> int:
     p_search.add_argument("-k", type=int, default=10)
     p_search.add_argument("--mode", choices=["wand", "fullscan", "and", "phrase",
                                              "phrase_prefix", "prefix", "fuzzy",
-                                             "wildcard", "regexp"],
+                                             "wildcard", "regexp", "span_near",
+                                             "span_first"],
                           default="wand",
                           help="phrase/phrase_prefix = positional queries "
                                "over the positions table (index must be "
                                "built with --store-positions); prefix/fuzzy/"
                                "wildcard/regexp = dictionary term expansion "
                                "scored as a BM25 disjunction")
+    p_search.add_argument("--slop", type=int, default=0,
+                          help="span_near window allowance "
+                               "(width <= n_terms + slop)")
+    p_search.add_argument("--in-order", action="store_true",
+                          help="span_near: require the clause terms in "
+                               "query order")
+    p_search.add_argument("--span-end", type=int, default=1,
+                          help="span_first: match occurrences ending at "
+                               "or before this position")
     p_search.add_argument("--similarity",
                           choices=["bm25", "classic", "lmdirichlet", "boolean"],
                           default="bm25",
@@ -620,6 +630,15 @@ def _cmd_search(spark, args) -> int:
                 args.query, k=args.k,
                 max_expansions=getattr(args, "max_expansions", 50),
             )
+        elif args.mode == "span_near":
+            df = r.search_span_near(
+                args.query.split(), slop=getattr(args, "slop", 0),
+                in_order=getattr(args, "in_order", False), k=args.k,
+            )
+        elif args.mode == "span_first":
+            df = r.search_span_first(
+                args.query, getattr(args, "span_end", 1), k=args.k,
+            )
         elif similarity != "bm25":
             df = r.search_similarity(args.query, sim=similarity, k=args.k)
         else:
@@ -629,6 +648,8 @@ def _cmd_search(spark, args) -> int:
         rec = {"rank": rank, "doc_id": row.doc_id, "score": row.score}
         if args.mode in ("phrase", "phrase_prefix"):
             rec["phrase_freq"] = row.phrase_freq
+        elif args.mode in ("span_near", "span_first"):
+            rec["span_freq"] = row.span_freq
         print(json.dumps(rec))
     print(f"{len(rows)} hits", file=sys.stderr)
     return 0

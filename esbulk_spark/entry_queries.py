@@ -521,6 +521,116 @@ def q_phrase_slop(spark, sf_dir):
     return r.search_phrase_sloppy(" ".join(SLOP_TERMS), slop=SLOP, k=10, round_to=4)
 
 
+SPAN_TERMS = SLOP_TERMS  # same loose trigram exercises the span window
+SPAN_SLOP = 3
+
+
+def q_span_unordered(spark, sf_dir):
+    """ES span_near (in_order=false): every clause term within a window
+    of width <= len(terms) + slop; span_freq = distinct window minima
+    (plans/reader.py search_span_near)."""
+    r = _index_for(spark, sf_dir)
+    return r.search_span_near(
+        SPAN_TERMS, slop=SPAN_SLOP, in_order=False, k=10, round_to=4
+    )
+
+
+def q_span_inorder(spark, sf_dir):
+    """ES span_near (in_order=true): a strictly ascending chain of the
+    clause terms inside the same width bound; span_freq = distinct
+    chain starts."""
+    r = _index_for(spark, sf_dir)
+    return r.search_span_near(
+        SPAN_TERMS, slop=SPAN_SLOP + 1, in_order=True, k=10, round_to=4
+    )
+
+
+SPAN_FIRST_TERM, SPAN_FIRST_END = "table", 20
+
+
+def q_span_first(spark, sf_dir):
+    """ES span_first: occurrences of the term whose single-term span
+    ends at or before `end`; span_freq = count of such occurrences."""
+    r = _index_for(spark, sf_dir)
+    return r.search_span_first(
+        SPAN_FIRST_TERM, SPAN_FIRST_END, k=10, round_to=4
+    )
+
+
+def _sql_span_near(
+    terms: tuple = SPAN_TERMS, slop: int = SPAN_SLOP, in_order: bool = False
+) -> str:
+    """DuckDB oracle for search_span_near: 1-based list positions (the
+    window test is translation-invariant), identical freq definition."""
+    n = len(terms)
+    w = n + slop
+    plist = ", ".join(
+        f"list_filter(range(1, len(t)+1), i -> t[i] = '{q}') AS p{j}"
+        for j, q in enumerate(terms)
+    )
+    df_sel = ", ".join(
+        f"(SELECT count(*) FROM toks WHERE list_contains(t, '{q}')) AS df{j}"
+        for j, q in enumerate(terms)
+    )
+    idf_sum = " + ".join(
+        f"ln(1 + (n_docs - df{j} + 0.5) / (df{j} + 0.5))" for j in range(n)
+    )
+    if in_order:
+        # nested exists chain: x_{j} > x_{j-1}, all <= m + w - 1
+        expr = "1 > 0"
+        for j in range(n - 1, 0, -1):
+            expr = (
+                f"len(list_filter(p{j}, x{j} -> x{j} > {'m' if j == 1 else f'x{j-1}'}"
+                f" AND x{j} <= m + {w - 1} AND ({expr}))) > 0"
+            )
+        freq = f"len(list_filter(p0, m -> {expr}))"
+    else:
+        union = f"p0{''.join(f' || p{j}' for j in range(1, n))}"
+        covers = " AND ".join(
+            f"len(list_filter(p{j}, x -> x >= m AND x <= m + {w - 1})) > 0"
+            for j in range(n)
+        )
+        freq = f"len(list_filter(list_sort(list_distinct({union})), m -> {covers}))"
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+dfs AS (SELECT {df_sel}),
+pos AS (SELECT doc_id, len(t) AS dl, {plist} FROM toks),
+sf AS (SELECT doc_id, dl, {freq} AS span_freq FROM pos)
+SELECT doc_id, CAST(span_freq AS INT) AS span_freq,
+       round(({idf_sum})
+             * (span_freq * ({K1} + 1)) /
+               (span_freq + {K1} * (1 - {B} + {B} * dl / avgdl)), 4) AS score
+FROM sf, stats, dfs
+WHERE span_freq > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def _sql_span_first(term: str = SPAN_FIRST_TERM, end: int = SPAN_FIRST_END) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+dfs AS (SELECT (SELECT count(*) FROM toks
+                WHERE list_contains(t, '{term}')) AS df1),
+sf AS (
+  SELECT doc_id, len(t) AS dl,
+         len(list_filter(list_filter(range(1, len(t)+1), i -> t[i] = '{term}'),
+                         i -> i <= {end})) AS span_freq
+  FROM toks
+)
+SELECT doc_id, CAST(span_freq AS INT) AS span_freq,
+       round(ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+             * (span_freq * ({K1} + 1)) /
+               (span_freq + {K1} * (1 - {B} + {B} * dl / avgdl)), 4) AS score
+FROM sf, stats, dfs
+WHERE span_freq > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def _sql_phrase_slop(terms: tuple[str, str, str] = SLOP_TERMS, slop: int = SLOP) -> str:
     t1, t2, t3 = terms
     return f"""
@@ -3472,6 +3582,12 @@ QUERIES = {
     "phrase_match_topk": (q_phrase, _sql_phrase()),
     "phrase_hot_first_topk": (q_phrase_hot, _sql_phrase(PHRASE_HOT)),
     "phrase_slop_topk": (q_phrase_slop, _sql_phrase_slop()),
+    "span_near_unordered_topk": (q_span_unordered, _sql_span_near()),
+    "span_near_inorder_topk": (
+        q_span_inorder,
+        _sql_span_near(slop=SPAN_SLOP + 1, in_order=True),
+    ),
+    "span_first_topk": (q_span_first, _sql_span_first()),
     "stem_s_variants": (q_stem_variants, _sql_stem_variants()),
     "synonym_query_topk": (q_synonym_query, _sql_bm25("merge join fast slow")),
     "query_string_topk": (

@@ -951,6 +951,141 @@ class IndexReader:
         )
         return self._score_phrase_cand(cand, terms, dfs, freq_col="sloppy_freq")
 
+    def search_span_near(
+        self,
+        terms: list[str] | tuple,
+        slop: int = 0,
+        in_order: bool = False,
+        k: int = 10,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES ``span_near`` analog over the positions table: docs where
+        one occurrence of EVERY clause term fits in a window of width
+        <= len(terms) + slop (Lucene's matchWidth - clauses <= slop for
+        single-term spans); ``in_order`` additionally requires a
+        strictly ascending chain. Returns (doc_id, span_freq, score).
+
+        span_freq counts DISTINCT window minima: unordered, a minimum m
+        (drawn from the union of clause positions) is valid iff every
+        clause has an occurrence in [m, m + len(terms) + slop - 1]
+        (choosing those occurrences realizes an assignment with
+        min == m); in-order, m ranges over the first clause's positions
+        and the chain must ascend within the same window. Documented
+        divergence from Lucene's SpanScorer, mirrored exactly in the
+        DuckDB oracle: freq is a plain match count, not the
+        1/(1 + matchLength) weighting, and repeated clause terms may
+        align to the same occurrence.
+
+        Plan: per-clause positions are bucket+term-pruned scans joined
+        on doc_id rarest-first (only docs containing ALL clauses
+        survive, the same candidate shape as search_phrase); the window
+        test runs JVM-side as nested array HOFs — no Python, no
+        explode. Scoring = BM25 with tf = span_freq, idf = sum of
+        clause idfs (the shared phrase tail)."""
+        terms = [t for q in terms for t in analyze_query(q)]
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, span_freq int, score double"
+        )
+        if len(terms) < 2:
+            raise ValueError("span_near needs >= 2 clause terms")
+        uniq = sorted(set(terms))
+        dfs = self._dfs_cached(uniq)
+        if any(t not in dfs for t in uniq):
+            return empty
+        if not self.has_positions():
+            raise ValueError(
+                "span_near needs a positions table (rebuild with "
+                "IndexConfig(store_positions=True))"
+            )
+        pruned = self._table("positions").filter(
+            F.col("bucket").isin(self._buckets(uniq)) & F.col("term").isin(uniq)
+        )
+        base = None
+        for i in phrase_join_order(terms, dfs):
+            p_i = pruned.filter(F.col("term") == terms[i]).select(
+                "doc_id", F.col("positions").alias(f"p{i}")
+            )
+            base = p_i if base is None else base.join(p_i, "doc_id")
+        n = len(terms)
+        w = n + slop  # max window width (max - min + 1)
+        arrs = [F.col(f"p{i}") for i in range(n)]
+        if in_order:
+            def chain(j, prev, m):
+                if j == n:
+                    return F.lit(True)
+                return F.exists(
+                    arrs[j],
+                    # single-param lambda: Spark derives HOF arity from the
+                    # signature; j binds per recursion frame, no loop capture
+                    lambda x: (x > prev) & (x <= m + w - 1) & chain(j + 1, x, m),
+                )
+
+            freq = F.size(F.filter(arrs[0], lambda m: chain(1, m, m)))
+        else:
+            union = arrs[0]
+            for a in arrs[1:]:
+                union = F.array_union(union, a)
+
+            def covers(m):
+                cond = F.lit(True)
+                for j in range(n):
+                    cond = cond & F.exists(
+                        arrs[j], lambda x: (x >= m) & (x <= m + w - 1)
+                    )
+                return cond
+
+            freq = F.size(F.filter(union, covers))
+        cand = (
+            base.withColumn("span_freq", freq)
+            .filter(F.col("span_freq") > 0)
+            .select("doc_id", "span_freq")
+        )
+        out = self._score_phrase_cand(cand, terms, dfs, freq_col="span_freq")
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_span_first(
+        self, term: str, end: int, k: int = 10, round_to: int | None = None
+    ) -> DataFrame:
+        """ES ``span_first`` analog: occurrences of ``term`` whose span
+        ends at or before position ``end`` in the analyzed stream (a
+        0-based occurrence p is a single-term span with end p + 1, so
+        p + 1 <= end matches — Lucene SpanFirstQuery). span_freq counts
+        the matching occurrences; score = BM25 with tf = span_freq."""
+        toks = analyze_query(term)
+        if len(toks) != 1:
+            raise ValueError(f"span_first takes one clause term, got {toks!r}")
+        t = toks[0]
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, span_freq int, score double"
+        )
+        dfs = self._dfs_cached([t])
+        if t not in dfs:
+            return empty
+        if not self.has_positions():
+            raise ValueError(
+                "span_first needs a positions table (rebuild with "
+                "IndexConfig(store_positions=True))"
+            )
+        cand = (
+            self._table("positions")
+            .filter(
+                F.col("bucket").isin(self._buckets([t])) & (F.col("term") == t)
+            )
+            .select(
+                "doc_id",
+                F.size(
+                    F.filter(F.col("positions"), lambda p: p + 1 <= F.lit(end))
+                ).alias("span_freq"),
+            )
+            .filter(F.col("span_freq") > 0)
+        )
+        out = self._score_phrase_cand(cand, [t], dfs, freq_col="span_freq")
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def _score_phrase_cand(
         self, cand: DataFrame, terms: list[str], dfs: dict[str, int],
         freq_col: str = "phrase_freq",

@@ -502,3 +502,42 @@ def test_cli_similarity_flag(spark, tmp_path, capsys):
                               similarity="classic")
     assert cli_mod._cmd_search(spark, args) == 2
     assert "--similarity applies to match queries" in capsys.readouterr().err
+
+
+def test_cli_span_modes(spark, tmp_path, capsys):
+    """search --mode span_near/span_first with --slop/--in-order/--span-end."""
+    docs = [
+        {"k": "a", "body": "alpha beta gamma delta"},
+        {"k": "b", "body": "alpha xx beta yy gamma"},
+        {"k": "c", "body": "gamma beta alpha"},
+    ]
+    p = str(tmp_path / "span.jsonl")
+    _write_jsonl(p, docs)
+    idx = str(tmp_path / "idx_spancli")
+    assert cli_mod._cmd_index(
+        spark, _args(input=p, index_dir=idx, id_spec="k", purge=True,
+                     store_positions=True)
+    ) == 0
+    capsys.readouterr()
+
+    def run(**kw):
+        kw.setdefault("k", 10)
+        kw.setdefault("similarity", "bm25")
+        args = argparse.Namespace(index_dir=idx, format="jsonl", **kw)
+        assert cli_mod._cmd_search(spark, args) == 0
+        return [
+            json.loads(l)
+            for l in capsys.readouterr().out.strip().splitlines()
+            if '"rank"' in l
+        ]
+
+    rows = run(query="alpha beta", mode="span_near", slop=0, in_order=True)
+    assert len(rows) == 1 and rows[0]["span_freq"] == 1
+    rows = run(query="alpha beta", mode="span_near", slop=0, in_order=False)
+    assert len(rows) == 2
+    # content is the raw JSON line, so the analyzed stream opens with the
+    # JSON keys ("k", "body", ...) — "alpha" sits a few positions in
+    rows = run(query="alpha", mode="span_first", span_end=1)
+    assert rows == []
+    rows = run(query="alpha", mode="span_first", span_end=10)
+    assert len(rows) == 3

