@@ -1914,6 +1914,36 @@ ORDER BY cosine DESC, id ASC LIMIT 10
 """
 
 
+def q_knn_filtered(spark, sf_dir):
+    """ES filtered kNN (`knn` query with `filter`): exact cosine top-k
+    restricted to vectors whose metadata passes the predicate BEFORE
+    scoring — the winners are guaranteed to match the filter (ES's
+    pre-filter contract). The predicate reaches the parquet scan
+    (pushdown); at 10^9-vector scale the same `where` stacks with IVF
+    partition pruning via ivf_search(where=...)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk(
+        e, "embedding", "vec_id", [float(x) for x in qvec],
+        k=10, exclude_id=0, where="label = 1",
+    )
+
+
+SQL_KNN_FILTERED = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id AS id,
+       round(
+         list_sum(list_transform(range(1, len(embedding) + 1),
+                                 i -> embedding[i]::DOUBLE * qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE)))
+            * sqrt(list_sum(list_transform(qv, v -> v::DOUBLE * v::DOUBLE)))),
+         6) AS cosine
+FROM embeddings CROSS JOIN q
+WHERE vec_id <> 0 AND label = 1
+ORDER BY cosine DESC, id ASC LIMIT 10
+"""
+
+
 def q_ann_lsh(spark, sf_dir):
     """Approximate NN (LSH-bucketed). The op is approximate but fully
     DETERMINISTIC given the seed, so an exact oracle exists: the DuckDB
@@ -3642,6 +3672,7 @@ QUERIES = {
     "dedup_exact_substring_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
     "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "knn_filtered_topk": (q_knn_filtered, SQL_KNN_FILTERED),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
     # callable oracle: centroid literals are data-derived (sf0.01, the
     # driver's correctness scale); __spark_entry__ resolves callables

@@ -40,9 +40,17 @@ def cosine_topk(
     k: int = 10,
     exclude_id: int | None = None,
     round_to: int | None = 6,
+    where: "str | None" = None,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k against a literal query vector."""
+    """Exact brute-force cosine top-k against a literal query vector.
+
+    ``where``: ES knn ``filter`` analog — a SQL predicate over the input
+    columns applied BEFORE scoring (pre-filter: the top-k are guaranteed
+    to pass it, ES's filtered-kNN contract). Applied on the raw scan so
+    Catalyst pushes it into the parquet read."""
     q = F.array(*[F.lit(float(v)) for v in query_vec])
+    if where is not None:
+        df = df.filter(where)
     out = df.select(
         F.col(id_col).alias("id"),
         (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))).alias("cosine"),
@@ -296,6 +304,7 @@ def ivf_build(
     n_lists: int = 16,
     seed: int = 42,
     train_fraction: float | None = None,
+    meta_cols: "list[str] | None" = None,
 ) -> dict:
     """Materialized IVF layout — the ANN scale path the in-memory
     ivf_ann_topk only documents: k-means coarse quantizer (trained on a
@@ -317,12 +326,15 @@ def ivf_build(
         array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
             "features"
         ),
+        # metadata columns ride into the layout so filtered kNN
+        # (ivf_search where=...) can pre-filter inside the probed lists
+        *[F.col(c) for c in (meta_cols or [])],
     )
     train = feat.sample(train_fraction, seed=seed) if train_fraction else feat
     km = KMeans(k=n_lists, seed=seed, initMode="k-means||").fit(train)
     assigned = km.transform(feat).withColumnRenamed("prediction", "list_id")
     (
-        assigned.select("id", "vec", "list_id")
+        assigned.select("id", "vec", *(meta_cols or []), "list_id")
         .repartition(n_lists, "list_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
@@ -343,12 +355,18 @@ def ivf_search(
     query_vecs: dict[str, list[float]],
     k: int = 10,
     n_probe: int = 4,
+    where: "str | None" = None,
 ) -> DataFrame:
     """Query the materialized IVF layout: probe lists are chosen
     DRIVER-side from the centroid sidecar (no Spark job), so the
     vectors scan carries ``list_id IN (...)`` literals -> partition
     pruning; candidates join the broadcast (qid, list_id, qvec) table.
-    Returns (qid, id, cosine) per-query top-k, rounded ranking."""
+    Returns (qid, id, cosine) per-query top-k, rounded ranking.
+
+    ``where``: ES knn ``filter`` analog over metadata columns carried
+    into the layout via ivf_build(meta_cols=...) — applied on the
+    probed-lists scan BEFORE scoring (pre-filter), so it stacks with
+    the partition pruning instead of post-filtering winners."""
     import json
     import os
 
@@ -368,6 +386,8 @@ def ivf_search(
     vectors = spark.read.parquet(os.path.join(out_dir, "vectors")).filter(
         F.col("list_id").isin(all_lists)
     )
+    if where is not None:
+        vectors = vectors.filter(where)
     joined = vectors.join(F.broadcast(qdf), "list_id").select(
         "qid",
         "id",

@@ -1105,3 +1105,35 @@ def test_sq8_codes_and_recall(spark, sf_dir):
         ).collect()
     }
     assert len(exact10 & got10) / 10 >= 0.8, (exact10, got10)
+
+
+def test_knn_filtered_prefilter_contract(spark, sf_dir, tmp_path):
+    """Filtered kNN (ES knn `filter`): winners all pass the predicate,
+    equal the filter-then-rank oracle, and the IVF path pre-filters
+    inside the probed lists (metadata carried via meta_cols)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+
+    got = similarity.cosine_topk(
+        emb, "embedding", "vec_id", q, k=10, exclude_id=0, where="label = 1"
+    ).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert got and all(labels[r.id] == 1 for r in got)
+    # filter-then-rank == rank from the pre-filtered input (exact oracle)
+    oracle = similarity.cosine_topk(
+        emb.filter("label = 1"), "embedding", "vec_id", q, k=10, exclude_id=0
+    ).collect()
+    assert [(r.id, r.cosine) for r in got] == [(r.id, r.cosine) for r in oracle]
+
+    out = str(tmp_path / "ivf_f")
+    similarity.ivf_build(
+        emb, "embedding", "vec_id", out, n_lists=8, meta_cols=["label"]
+    )
+    res = similarity.ivf_search(
+        spark, out, {"q": q}, k=10, n_probe=3, where="label = 1"
+    )
+    rows = res.collect()
+    assert rows and all(labels[r.id] == 1 for r in rows)
+    # the filter composes with (does not replace) the partition pruning
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "label" in plan
