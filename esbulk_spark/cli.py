@@ -187,6 +187,17 @@ def main(argv: list[str] | None = None) -> int:
     p_re.add_argument("--n-shards", type=int, default=None)
     _add_common(p_re)
 
+    p_rs = sub.add_parser(
+        "reshard", help="rewrite an index under a new shard count "
+                        "(ES _split/_shrink; no re-tokenize)"
+    )
+    p_rs.add_argument("--src", required=True, help="source index dir")
+    p_rs.add_argument("--index-dir", required=True, help="destination index dir")
+    p_rs.add_argument("--n-shards", type=int, required=True)
+    p_rs.add_argument("--n-buckets", type=int, default=None,
+                      help="defaults to the source's bucket count")
+    _add_common(p_rs)
+
     args = ap.parse_args(argv)
 
     # metadata-only commands: no Spark session needed
@@ -210,6 +221,8 @@ def main(argv: list[str] | None = None) -> int:
             rc = _cmd_reindex(spark, args)
         elif args.cmd == "compact":
             rc = _cmd_compact(spark, args)
+        elif args.cmd == "reshard":
+            rc = _cmd_reshard(spark, args)
         else:
             rc = _cmd_merge(spark, args)
     finally:
@@ -271,6 +284,19 @@ def _cmd_reindex(spark, args) -> int:
         spark, args.src, cfg, query=args.query, max_docs=args.max_docs
     )
     print(json.dumps({"n_docs": stats.get("n_docs")}))
+    return 0
+
+
+def _cmd_reshard(spark, args) -> int:
+    from esbulk_spark.plans import admin
+
+    stats = admin.reshard_index(
+        spark, args.src, args.index_dir,
+        n_shards=args.n_shards, n_buckets=args.n_buckets,
+    )
+    print(json.dumps({
+        "n_docs": stats.get("n_docs"), "n_shards": stats.get("n_shards"),
+    }))
     return 0
 
 

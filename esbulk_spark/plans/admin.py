@@ -278,6 +278,53 @@ def reindex(
     )
 
 
+def reshard_index(
+    spark: SparkSession,
+    src_index_dir: str,
+    dst_index_dir: str,
+    n_shards: int,
+    n_buckets: int | None = None,
+) -> dict:
+    """ES ``_split`` / ``_shrink`` analog: rewrite an index under a new
+    shard count (and optionally a new bucket count) WITHOUT touching
+    content — shards here are doc-id ranges (the parallelism unit of
+    both the build exchange and the per-(qid, shard) scorer), so
+    resharding re-groups decoded (doc_id, term, tf, dl) rows under the
+    new shard_size and re-encodes. That is exactly the single-segment
+    merge path: index-sized data movement, no tokenize, no corpus scan
+    — the reason ES's own _split forbids changing doc routing while we
+    can re-range freely (ids are already global and dense).
+
+    Scores are UNCHANGED (BM25 inputs — tf, dl, df, avgdl — are shard-
+    independent); only the physical grouping moves. Tombstones carry
+    over; attached segments are folded in by the merge expansion."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.operators.merge import merge_segments
+
+    src_stats = json.load(open(os.path.join(src_index_dir, STATS_FILE)))
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    cfg = IndexConfig(
+        index_dir=dst_index_dir,
+        id_col="doc_id",
+        text_col=src_stats.get("text_col", "content"),
+        n_shards=int(n_shards),
+        n_buckets=int(n_buckets or src_stats["n_buckets"]),
+        chunk_cap=src_stats.get("chunk_cap", 1 << 17),
+        block_size=src_stats.get("block_size", 128),
+        k1=src_stats.get("k1", 1.2),
+        b=src_stats.get("b", 0.75),
+        store_positions=bool(src_stats.get("store_positions")),
+    )
+    out = merge_segments(spark, [src_index_dir], cfg)
+    # deletes are doc_id-keyed (shard-independent): copy them over
+    src_del = os.path.join(src_index_dir, "deletes")
+    if os.path.isdir(src_del):
+        ids = spark.read.parquet(src_del)
+        _write_deletes(spark, dst_index_dir, ids)
+    return out
+
+
 # --------------------------------------------- delete / update by query
 
 

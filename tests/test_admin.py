@@ -305,3 +305,41 @@ def test_cli_admin_roundtrip(index_dir, tmp_path, capsys):
     cat = [r for r in rows if r.get("health")]
     assert len(cat) == 2 and all(r["health"] == "green" for r in cat)
     assert cat[0]["docs_count"] == cat[1]["docs_count"] == 150
+
+
+def test_reshard_split_and_shrink(spark, corpus, tmp_path):
+    """ES _split/_shrink analog: resharding re-groups decoded postings
+    under a new shard_size without re-tokenizing; ranks AND scores are
+    identical (BM25 inputs are shard-independent), positions carry over,
+    and tombstones stay masked."""
+    base = str(tmp_path)
+    src_cfg = IndexConfig(index_dir=f"{base}/src", n_buckets=8, n_shards=2,
+                          chunk_cap=256, store_positions=True)
+    build_index(spark, corpus, src_cfg, input_sig="rs150")
+    admin.delete_by_ids(spark, f"{base}/src", [3])
+    rs = IndexReader(spark, f"{base}/src")
+    queries = ["flushBuffer retry score", "return", "getUserName"]
+    before = {
+        q: [(x.doc_id, round(x.score, 6)) for x in rs.search(q, k=10).collect()]
+        for q in queries
+    }
+    ph_before = [(x.doc_id, x.phrase_freq) for x in rs.search_phrase("get user").collect()]
+
+    for n_shards in (5, 1):  # split 2->5, shrink 2->1
+        dst = f"{base}/dst{n_shards}"
+        stats = admin.reshard_index(spark, f"{base}/src", dst, n_shards=n_shards)
+        assert stats["n_shards"] == n_shards
+        rd = IndexReader(spark, dst)
+        assert rd.stats["n_shards"] == n_shards
+        assert rd.doc_count() == rs.doc_count()
+        for q in queries:
+            got = [(x.doc_id, round(x.score, 6)) for x in rd.search(q, k=10).collect()]
+            assert got == before[q], (n_shards, q)
+        assert 3 not in {d for q in queries for d, _ in
+                         [(x.doc_id, 0) for x in rd.search(q, k=50).collect()]}
+        # positions carried over: phrase results identical
+        assert [(x.doc_id, x.phrase_freq)
+                for x in rd.search_phrase("get user").collect()] == ph_before
+
+    with pytest.raises(ValueError, match="n_shards"):
+        admin.reshard_index(spark, f"{base}/src", f"{base}/bad", n_shards=0)
