@@ -1695,6 +1695,68 @@ LIMIT 10
 """
 
 
+_BPE_MERGES, _BPE_MINFREQ = 16, 2
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py): the merge
+    table learned over documents.text — one corpus pass for word counts,
+    then per-iteration JVM pair-count aggs + fold merges over the
+    word-frequency table (the map-reduce Sennrich BPE). The oracle is an
+    INDEPENDENT pure-Python implementation run on the same parquet (via
+    DuckDB read) with its result inlined as VALUES — the same
+    data-derived-literals pattern as the IVF oracle."""
+    from esbulk_spark.operators import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    m = bpe.bpe_train(d, "text", n_merges=_BPE_MERGES, min_freq=_BPE_MINFREQ)
+    return spark.createDataFrame(
+        [
+            (x["iteration"], x["left"], x["right"], x["merged"], x["pair_count"])
+            for x in m
+        ],
+        "iteration int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    ).orderBy("iteration")
+
+
+def _sql_bpe_merges(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    import duckdb
+
+    from esbulk_spark.operators import bpe
+
+    texts = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(f"SELECT text FROM '{sf_dir}/documents.parquet'")
+        .fetchall()
+    ]
+    merges = bpe.bpe_train_local(
+        bpe.local_word_counts(texts), n_merges=_BPE_MERGES, min_freq=_BPE_MINFREQ
+    )
+    if not merges:
+        return (
+            "SELECT CAST(NULL AS INT) AS iteration, '' AS left_sym, "
+            "'' AS right_sym, '' AS merged, CAST(NULL AS BIGINT) AS "
+            "pair_count WHERE false"
+        )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({m['iteration']}, {q(m['left'])}, {q(m['right'])}, "
+        f"{q(m['merged'])}, {m['pair_count']})"
+        for m in merges
+    )
+    return f"""
+SELECT CAST(iteration AS INT) AS iteration, left_sym, right_sym, merged,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM (VALUES {vals}) AS t(iteration, left_sym, right_sym, merged, pair_count)
+ORDER BY iteration
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup(d, "text", "doc_id").orderBy("keep_id")
@@ -3664,6 +3726,7 @@ QUERIES = {
     "incremental_append_search": (q_incremental_append, _sql_bm25(QUERY_AND)),
     "segment_set_search": (q_segment_set_search, _sql_bm25(QUERY_FULLSCAN)),
     # training-data pipeline operators
+    "bpe_merge_table": (q_bpe_merges, _sql_bpe_merges),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_jaccard_pairs, SQL_JACCARD),
     "dedup_minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),

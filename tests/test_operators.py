@@ -1137,3 +1137,32 @@ def test_knn_filtered_prefilter_contract(spark, sf_dir, tmp_path):
     # the filter composes with (does not replace) the partition pruning
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "label" in plan
+
+
+def test_bpe_train_matches_local_reference(spark, corpus):
+    """Distributed BPE == the independent pure-Python Sennrich
+    implementation, merge for merge (counts, order, tie-breaks), and the
+    encoder replays merges losslessly (tokens concatenate back to the
+    original words)."""
+    from esbulk_spark.operators import bpe
+
+    df = corpus.limit(40)
+    texts = [r.content for r in df.collect()]
+    m_spark = bpe.bpe_train(df, "content", n_merges=24, min_freq=2)
+    m_local = bpe.bpe_train_local(
+        bpe.local_word_counts(texts), n_merges=24, min_freq=2
+    )
+    assert m_spark == m_local and len(m_spark) == 24
+    # pair counts strictly positive and non-increasing? not guaranteed by
+    # BPE (later merges can beat earlier residuals) — but all >= min_freq
+    assert all(m["pair_count"] >= 2 for m in m_spark)
+
+    toks = bpe.apply_bpe(df, "content", m_spark).select("content", "bpe_tokens")
+    import re as _re
+    for row in toks.collect():
+        words = [w for w in _re.split(r"\s+", row.content.strip()) if w]
+        joined = "".join(row.bpe_tokens).split(bpe.EOW)
+        assert [w for w in joined if w] == words  # lossless round-trip
+    # early stop: a corpus where no pair reaches min_freq trains nothing
+    tiny = spark.createDataFrame([("a b",)], "content string")
+    assert bpe.bpe_train(tiny, "content", n_merges=4, min_freq=2) == []
