@@ -2893,6 +2893,48 @@ ORDER BY id
 """
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM perplexity quality scores (Wenzek 2020):
+    train the add-alpha bigram model on the documents table, score every
+    doc with >= 2 tokens. The oracle recomputes the identical model and
+    formula in DuckDB from the same tokenization."""
+    d = _t(spark, sf_dir, "documents")
+    out = textstats.lm_bigram_perplexity(d, d, "text", "doc_id", alpha=0.5)
+    return out.select(
+        "id", "n_bigrams", F.round("ppl", 4).alias("ppl")
+    ).orderBy("id")
+
+
+SQL_LM_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+uni AS (
+  SELECT u AS w1, count(*) AS c1
+  FROM (SELECT unnest(w) AS u FROM toks) GROUP BY 1
+),
+v AS (SELECT count(*) AS vsz FROM uni),
+big AS (
+  SELECT doc_id, pr[1] AS w1, pr[2] AS w2
+  FROM (SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS pr
+        FROM toks WHERE len(w) >= 2)
+),
+model AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2)
+SELECT b.doc_id AS id,
+       count(*) AS n_bigrams,
+       round(exp(-avg(ln((m.c12 + 0.5) / (u.c1 + 0.5 * v.vsz)))), 4) AS ppl
+FROM big b
+JOIN model m USING (w1, w2)
+JOIN uni u USING (w1)
+CROSS JOIN v
+GROUP BY b.doc_id
+ORDER BY id
+"""
+
+
 def q_training_pipeline(spark, sf_dir):
     """The whole training-data curation pipeline composed END-TO-END
     and graded as one entry: quality gate (Rae-style heuristics) ->
@@ -3747,6 +3789,7 @@ QUERIES = {
     "dedup_embedding_cosine": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "lang_id_heuristic": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality, SQL_QUALITY),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "decontaminate_ngram_overlap": (q_decontaminate, SQL_DECONTAMINATE),

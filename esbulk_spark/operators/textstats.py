@@ -476,3 +476,83 @@ def boilerplate_lines(
         .orderBy(F.desc("n_docs"), F.asc("line"))
         .limit(limit)
     )
+
+
+def _ws_words(text_col: str):
+    """Lowercased whitespace tokens, blanks dropped (matches the DuckDB
+    list_filter(regexp_split_to_array(...)) oracle macro exactly)."""
+    return F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+
+
+def _bigram_pairs():
+    """struct(w1, w2) pairs from adjacent tokens of the `w` array column."""
+    return F.zip_with(
+        F.expr("slice(w, 1, size(w) - 1)"),
+        F.expr("slice(w, 2, size(w) - 1)"),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def lm_bigram_perplexity(
+    train_df: DataFrame,
+    score_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style LM quality filter (Wenzek et al. 2020, public): train
+    an add-alpha-smoothed bigram language model on `train_df`, score
+    each `score_df` document by perplexity. CCNet trains KenLM on a
+    clean reference corpus and keeps the low-perplexity tail of the
+    target; this is the same pipeline shape with a bigram model that
+    both engines can recompute exactly (P(w2|w1) = (c12+a)/(c1+a*V)).
+
+    Returns (id, n_bigrams, ppl) for every doc with >= 2 tokens, where
+    ppl = exp(-mean log P) over the doc's bigrams. Unseen words/bigrams
+    (score corpus outside the train corpus) back off to the alpha mass.
+
+    Scale shape: two hash-aggs over the train corpus tokens build the
+    model (one shuffle each); scoring is two equi-joins whose MODEL side
+    is unique per key, so hot function-word bigrams ("of the") skew only
+    the probe side — AQE skew-split territory, never a fan-out. V rides
+    as a one-row aggregate cross join (broadcast), not a driver action,
+    so the whole plan stays lazy. At 100 TB the model is a corpus-derived
+    table partitioned by its own group keys; nothing collects."""
+    toks_train = train_df.select(_ws_words(text_col).alias("w"))
+    uni = (
+        toks_train.select(F.explode("w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    model = (
+        toks_train.filter(F.size("w") >= 2)
+        .select(F.explode(_bigram_pairs()).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    vocab = uni.agg(F.count("*").alias("vsz"))  # 1 row -> broadcast join
+
+    doc_bi = (
+        score_df.select(F.col(id_col).alias("id"), _ws_words(text_col).alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("id", F.explode(_bigram_pairs()).alias("p"))
+        .select("id", "p.w1", "p.w2")
+    )
+    lp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("vsz"))
+    )
+    return (
+        doc_bi.join(model, ["w1", "w2"], "left")
+        .join(uni, ["w1"], "left")
+        .crossJoin(vocab)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.exp(-F.avg(lp)).alias("ppl"),
+        )
+    )

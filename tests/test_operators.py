@@ -1166,3 +1166,62 @@ def test_bpe_train_matches_local_reference(spark, corpus):
     # early stop: a corpus where no pair reaches min_freq trains nothing
     tiny = spark.createDataFrame([("a b",)], "content string")
     assert bpe.bpe_train(tiny, "content", n_merges=4, min_freq=2) == []
+
+
+def test_lm_perplexity_matches_python_reference(spark):
+    """Bigram-LM perplexity == a pure-Python recomputation, including
+    the unseen-word/bigram backoff path (score corpus not in train)."""
+    import math
+    from collections import Counter
+
+    from esbulk_spark.operators.textstats import lm_bigram_perplexity
+
+    train = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "a cat and a dog"),
+    ]
+    score = train + [(4, "the zebra sat quietly")]  # unseen words
+    alpha = 0.5
+
+    tok = lambda s: [w for w in s.lower().split() if w]
+    uni = Counter(w for _, t in train for w in tok(t))
+    big = Counter(
+        (a, b) for _, t in train for a, b in zip(tok(t), tok(t)[1:])
+    )
+    vocab = len(uni)
+
+    def ppl(text):
+        ws = tok(text)
+        lps = [
+            math.log(
+                (big.get((a, b), 0) + alpha) / (uni.get(a, 0) + alpha * vocab)
+            )
+            for a, b in zip(ws, ws[1:])
+        ]
+        return math.exp(-sum(lps) / len(lps))
+
+    train_df = spark.createDataFrame(train, ["doc_id", "text"])
+    score_df = spark.createDataFrame(score, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in lm_bigram_perplexity(
+            train_df, score_df, "text", "doc_id", alpha=alpha
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    for doc_id, text in score:
+        assert out[doc_id]["n_bigrams"] == len(tok(text)) - 1
+        assert out[doc_id]["ppl"] == pytest.approx(ppl(text), rel=1e-9)
+    # the in-domain docs are less perplexing than the unseen-word doc
+    assert max(out[i]["ppl"] for i in (1, 2, 3)) < out[4]["ppl"]
+
+
+def test_lm_perplexity_drops_short_docs(spark):
+    from esbulk_spark.operators.textstats import lm_bigram_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "only"), (2, ""), (3, "two tokens")], ["doc_id", "text"]
+    )
+    got = lm_bigram_perplexity(df, df, "text", "doc_id").collect()
+    assert [r["id"] for r in got] == [3]
