@@ -24,7 +24,14 @@ from esbulk_spark.functions.analyzer import (
     duckdb_tokens_sql,
     tokens_col,
 )
-from esbulk_spark.operators import dedup, multimodal, optype, similarity, textstats
+from esbulk_spark.operators import (
+    dedup,
+    mixing,
+    multimodal,
+    optype,
+    similarity,
+    textstats,
+)
 from esbulk_spark.plans.score import bm25_fullscan, duckdb_bm25_sql
 
 # ---------------------------------------------------------------- helpers
@@ -2935,6 +2942,95 @@ ORDER BY id
 """
 
 
+_DSIR_BUCKETS = 1024
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie 2023): raw = the documents table,
+    target = the quality-gated subset (keep=1 under the repo's Rae-style
+    heuristics) — the paper's exact pipeline shape (target = trusted
+    corpus, raw = web crawl). Hashed unigram+bigram models with add-1
+    smoothing; oracle recomputes everything in DuckDB from the same
+    md5 bucket hash."""
+    d = _t(spark, sf_dir, "documents")
+    keep_ids = (
+        textstats.quality_score(d, "text", "doc_id")
+        .filter(F.col("keep") == 1)
+        .select("id")
+    )
+    target = d.join(
+        keep_ids.withColumnRenamed("id", "doc_id"), ["doc_id"], "semi"
+    )
+    out = mixing.dsir_weights(d, target, "text", "doc_id", _DSIR_BUCKETS)
+    return out.select(
+        "id", "n_grams", F.round("log_weight", 4).alias("log_weight")
+    ).orderBy("id")
+
+
+def _sql_dsir() -> str:
+    b = _DSIR_BUCKETS
+    keep_pred = """
+      len(words) >= 5
+      AND (CASE WHEN length(text) > 0
+           THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text)
+           ELSE 0 END) < 0.3
+      AND (CASE WHEN len(words) > 0
+           THEN length(array_to_string(words, '')) * 1.0 / len(words)
+           ELSE 0 END) BETWEEN 2.0 AND 12.0
+    """
+
+    def feats(toks: str) -> str:
+        return f"""
+  SELECT id, {_duck_md5i("g")} % {b} AS b, count(*) AS c FROM (
+    SELECT id, unnest(w) AS g FROM {toks}
+    UNION ALL
+    SELECT id, pr[1] || ' ' || pr[2] AS g
+    FROM (SELECT id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS pr
+          FROM {toks} WHERE len(w) >= 2)
+  ) GROUP BY 1, 2
+"""
+
+    return f"""
+WITH lowtoks AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+raw_toks AS (SELECT id, w FROM lowtoks WHERE len(w) >= 1),
+target_toks AS (
+  SELECT lt.id, lt.w
+  FROM lowtoks lt JOIN (
+    SELECT doc_id FROM
+      (SELECT doc_id, text, {_duck_words()} AS words FROM documents)
+    WHERE {keep_pred}
+  ) k ON lt.id = k.doc_id
+  WHERE len(lt.w) >= 1
+),
+feats AS ({feats("raw_toks")}),
+t_model AS (
+  SELECT b, sum(c) AS ct FROM ({feats("target_toks")}) GROUP BY b
+),
+r_model AS (SELECT b, sum(c) AS cr FROM feats GROUP BY b),
+totals AS (
+  SELECT (SELECT sum(ct) FROM t_model) AS tt,
+         (SELECT sum(cr) FROM r_model) AS tr
+)
+SELECT f.id,
+       CAST(sum(f.c) AS BIGINT) AS n_grams,
+       round(sum(f.c * (
+         ln((coalesce(t.ct, 0) + 1.0) / (tot.tt + {b}.0))
+         - ln((coalesce(r.cr, 0) + 1.0) / (tot.tr + {b}.0))
+       )), 4) AS log_weight
+FROM feats f
+LEFT JOIN t_model t USING (b)
+LEFT JOIN r_model r USING (b)
+CROSS JOIN totals tot
+GROUP BY f.id
+ORDER BY f.id
+"""
+
+
 def q_training_pipeline(spark, sf_dir):
     """The whole training-data curation pipeline composed END-TO-END
     and graded as one entry: quality gate (Rae-style heuristics) ->
@@ -3794,6 +3890,7 @@ QUERIES = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "decontaminate_ngram_overlap": (q_decontaminate, SQL_DECONTAMINATE),
     "sample_mixture_rates": (q_sample_mixture, _sql_sample_mixture()),
+    "dsir_importance_weights": (q_dsir_weights, _sql_dsir()),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "doc_winnowing": (q_winnowing, SQL_WINNOWING),
     "quality_gopher": (q_gopher, SQL_GOPHER),

@@ -60,3 +60,80 @@ def sample_mixture(
         rate = F.when(F.col(key_col) == key, F.lit(float(r))).otherwise(rate)
     u = mixture_hash(id_col, salt)
     return df.filter(u < rate * _RESOLUTION)
+
+
+def _hashed_ngram_buckets(df: DataFrame, text_col: str, id_col, n_buckets: int):
+    """(id, bucket, c) hashed unigram+bigram bag per doc — the DSIR
+    feature map. Tokens are lowercased whitespace words (the repo's LM
+    tokenization); n-grams hash through md5_int so the DuckDB oracle
+    reproduces the buckets exactly."""
+    from esbulk_spark.operators.textstats import _bigram_pairs, _ws_words
+
+    toks = df.select(
+        F.col(id_col).alias("id"), _ws_words(text_col).alias("w")
+    ).filter(F.size("w") >= 1)
+    uni = toks.select("id", F.explode("w").alias("g"))
+    bi = (
+        toks.filter(F.size("w") >= 2)
+        .select("id", F.explode(_bigram_pairs()).alias("p"))
+        .select("id", F.concat_ws(" ", "p.w1", "p.w2").alias("g"))
+    )
+    return (
+        uni.unionByName(bi)
+        .select("id", F.pmod(md5_int(F.col("g")), F.lit(n_buckets)).alias("b"))
+        .groupBy("id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def dsir_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public): estimate
+    log w(x) = log p_target(x) - log p_raw(x) under hashed-n-gram
+    bag-of-words models (unigrams + bigrams -> n_buckets via the
+    cross-engine md5 hash, add-1 smoothing). Selection keeps the
+    highest-weight raw docs (the paper resamples with Gumbel noise; the
+    deterministic top-k variant is what a reproducible pipeline grades).
+
+    Returns (id, n_grams, log_weight) for every raw doc with >= 1 token.
+
+    Scale shape: the two models are B-row aggregates (B = n_buckets,
+    constant) — they and the one-row totals broadcast to the scoring
+    join, so scoring is ONE pass over the raw corpus features plus a
+    per-doc hash-agg; nothing shuffles at corpus width except the final
+    groupBy(id), which is the output itself."""
+    feats = _hashed_ngram_buckets(raw_df, text_col, id_col, n_buckets)
+    t_model = (
+        _hashed_ngram_buckets(target_df, text_col, id_col, n_buckets)
+        .groupBy("b")
+        .agg(F.sum("c").alias("ct"))
+    )
+    r_model = feats.groupBy("b").agg(F.sum("c").alias("cr"))
+    totals = t_model.agg(F.sum("ct").alias("tt")).crossJoin(
+        r_model.agg(F.sum("cr").alias("tr"))
+    )  # one row -> broadcast
+
+    lp_t = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+        / (F.col("tt") + F.lit(float(n_buckets)))
+    )
+    lp_r = F.log(
+        (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1.0))
+        / (F.col("tr") + F.lit(float(n_buckets)))
+    )
+    return (
+        feats.join(F.broadcast(t_model), ["b"], "left")
+        .join(F.broadcast(r_model), ["b"], "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * (lp_t - lp_r)).alias("log_weight"),
+        )
+    )

@@ -1225,3 +1225,62 @@ def test_lm_perplexity_drops_short_docs(spark):
     )
     got = lm_bigram_perplexity(df, df, "text", "doc_id").collect()
     assert [r["id"] for r in got] == [3]
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """DSIR log-weights == pure-Python hashed-ngram model recomputation,
+    and target-like docs outweigh off-target docs."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from esbulk_spark.operators.mixing import dsir_weights
+
+    B = 64
+    raw = [
+        (1, "clean prose about science and method"),
+        (2, "clean prose about careful method"),
+        (3, "buy now click here spam spam"),
+        (4, "click spam buy buy now"),
+    ]
+    target = raw[:2]
+
+    def h(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    def feats(text):
+        ws = [w for w in text.lower().split() if w]
+        grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        return Counter(h(g) for g in grams)
+
+    t_model = Counter()
+    for _, t in target:
+        t_model.update(feats(t))
+    r_model = Counter()
+    for _, t in raw:
+        r_model.update(feats(t))
+    tt, tr = sum(t_model.values()), sum(r_model.values())
+
+    def logw(text):
+        f = feats(text)
+        return sum(
+            c
+            * (
+                math.log((t_model.get(b, 0) + 1.0) / (tt + B))
+                - math.log((r_model.get(b, 0) + 1.0) / (tr + B))
+            )
+            for b, c in f.items()
+        )
+
+    raw_df = spark.createDataFrame(raw, ["doc_id", "text"])
+    target_df = spark.createDataFrame(target, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in dsir_weights(raw_df, target_df, "text", "doc_id", B).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    for doc_id, text in raw:
+        assert out[doc_id]["log_weight"] == pytest.approx(logw(text), rel=1e-9)
+    assert min(out[1]["log_weight"], out[2]["log_weight"]) > max(
+        out[3]["log_weight"], out[4]["log_weight"]
+    )
