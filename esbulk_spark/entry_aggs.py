@@ -169,6 +169,73 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------- deterministic HLL cardinality
+
+
+def q_agg_cardinality_hll(spark, sf_dir):
+    """ES cardinality is HLL at scale; this grades the ESTIMATE itself:
+    the deterministic md5-based HyperLogLog (operators/sketch.py) next
+    to the exact distinct count, per event_type."""
+    from esbulk_spark.operators.sketch import hll_cardinality
+
+    ev = _t(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    hll = hll_cardinality(ev, "user_id", ["event_type"], p=10)
+    return (
+        exact.join(hll, ["event_type"])
+        .select(
+            "event_type",
+            "exact_users",
+            F.round("hll_estimate", 4).alias("hll_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_agg_hll() -> str:
+    from esbulk_spark.operators.sketch import _alpha
+
+    m, width = 1 << 10, 50
+    scale = 1 << (width + 1)
+    a = repr(_alpha(m) * m * m * float(scale))
+    raw = (
+        f"{a} / CAST(sum_present + ({m} - n_present) * {scale}::BIGINT"
+        " AS DOUBLE)"
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS UBIGINT)::BIGINT AS h
+  FROM events
+),
+reg AS (
+  SELECT event_type, h % {m} AS j,
+         max({width + 1} - length(ltrim(bin(h // {m}), '0'))) AS rho
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         sum(CAST(pow(2.0, {width + 1} - rho) AS BIGINT)) AS sum_present,
+         count(*) AS n_present
+  FROM reg GROUP BY 1
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN {raw} <= {2.5 * m} AND ({m} - n_present) > 0
+              THEN {float(m)} * ln({float(m)} / ({m} - n_present))
+              ELSE {raw} END AS hll
+  FROM agg
+)
+SELECT e.event_type, e.exact_users, round(est.hll, 4) AS hll_users
+FROM (SELECT event_type, count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY 1) e
+JOIN est USING (event_type)
+ORDER BY event_type
+"""
+
+
 # ------------------------------------------------- terms + sub-metrics, count-desc
 
 
@@ -449,6 +516,7 @@ AGG_QUERIES = {
     "agg_extended_stats": (q_agg_extended_stats, SQL_AGG_EXTENDED_STATS),
     "agg_percentiles": (q_agg_percentiles, SQL_AGG_PERCENTILES),
     "agg_cardinality_by_type": (q_agg_cardinality, SQL_AGG_CARDINALITY),
+    "agg_cardinality_hll": (q_agg_cardinality_hll, _sql_agg_hll()),
     "agg_terms_subagg": (q_agg_terms_subagg, SQL_AGG_TERMS_SUBAGG),
     "agg_filters_named": (q_agg_filters, SQL_AGG_FILTERS),
     "agg_composite_page": (q_agg_composite, SQL_AGG_COMPOSITE),
