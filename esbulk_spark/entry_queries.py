@@ -3760,6 +3760,94 @@ WHERE rnk <= 3 ORDER BY o_orderpriority, rnk
 """
 
 
+def q_has_child(spark, sf_dir):
+    """ES has_child analog (join-field query): orders with >= 2
+    lineitems of quantity > 45, score_mode=max over the children's
+    extendedprice. The child agg reduces to one row per parent before
+    the join (plans/relations.py)."""
+    from esbulk_spark.plans import relations
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    out = relations.has_child(
+        orders.select("o_orderkey", "o_totalprice"),
+        li,
+        "o_orderkey",
+        "l_orderkey",
+        F.col("l_quantity") > 45,
+        child_score=F.col("l_extendedprice"),
+        score_mode="max",
+        min_children=2,
+    )
+    return (
+        out.select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("score", 2).alias("score"),
+            "n_matching_children",
+        )
+        .orderBy(F.desc("score"), F.asc("o_orderkey"))
+        .limit(15)
+    )
+
+
+SQL_HAS_CHILD = """
+SELECT o.o_orderkey,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round(c.score, 2) AS score,
+       c.n_matching_children
+FROM orders o
+JOIN (
+  SELECT l_orderkey, count(*) AS n_matching_children,
+         max(l_extendedprice) AS score
+  FROM lineitem WHERE l_quantity > 45 GROUP BY l_orderkey
+  HAVING count(*) >= 2
+) c ON o.o_orderkey = c.l_orderkey
+ORDER BY score DESC, o.o_orderkey ASC
+LIMIT 15
+"""
+
+
+def q_has_parent(spark, sf_dir):
+    """ES has_parent analog: lineitems whose parent order totals over
+    400k, parent score propagated to every child (score=true)."""
+    from esbulk_spark.plans import relations
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    out = relations.has_parent(
+        orders,
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "o_orderkey",
+        "l_orderkey",
+        F.col("o_totalprice") > 400000,
+        parent_score=F.col("o_totalprice"),
+        score=True,
+    )
+    return (
+        out.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+            F.round("score", 2).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(25)
+    )
+
+
+SQL_HAS_PARENT = """
+SELECT l.l_orderkey, l.l_linenumber,
+       round(l.l_extendedprice, 2) AS l_extendedprice,
+       round(o.o_totalprice, 2) AS score
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 400000
+ORDER BY score DESC, l.l_orderkey ASC, l.l_linenumber ASC
+LIMIT 25
+"""
+
+
 def q_join_dims(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -3910,6 +3998,8 @@ QUERIES = {
     "agg_lineitem_pricing": (q_agg_pricing, SQL_AGG_PRICING),
     "topk_orders_window": (q_topk_window, SQL_TOPK_WINDOW),
     "join_customer_nation_region": (q_join_dims, SQL_JOIN_DIMS),
+    "has_child_orders": (q_has_child, SQL_HAS_CHILD),
+    "has_parent_lineitems": (q_has_parent, SQL_HAS_PARENT),
 }
 
 # ES aggregation framework entries (esbulk_spark/entry_aggs.py)

@@ -1284,3 +1284,37 @@ def test_dsir_weights_match_python_reference(spark):
     assert min(out[1]["log_weight"], out[2]["log_weight"]) > max(
         out[3]["log_weight"], out[4]["log_weight"]
     )
+
+
+def test_has_child_score_modes_and_bounds(spark):
+    from esbulk_spark.plans.relations import has_child, has_parent
+
+    parents = spark.createDataFrame([(1, "p1"), (2, "p2"), (3, "p3")], ["pk", "name"])
+    children = spark.createDataFrame(
+        [(1, 10.0, True), (1, 30.0, True), (2, 5.0, True), (3, 7.0, False)],
+        ["ck", "val", "ok"],
+    )
+    got = {
+        r["pk"]: r
+        for r in has_child(
+            parents, children, "pk", "ck", F.col("ok"),
+            child_score=F.col("val"), score_mode="sum",
+        ).collect()
+    }
+    # parent 3's only child fails the predicate -> absent
+    assert set(got) == {1, 2}
+    assert got[1]["score"] == 40.0 and got[1]["n_matching_children"] == 2
+    assert got[2]["score"] == 5.0
+
+    # min_children=2 keeps only parent 1; score_mode none zeroes the score
+    only = has_child(
+        parents, children, "pk", "ck", F.col("ok"), min_children=2
+    ).collect()
+    assert [(r["pk"], r["score"]) for r in only] == [(1, 0.0)]
+
+    # has_parent: children of matching parents, parent score propagated
+    hp = has_parent(
+        parents, children, "pk", "ck",
+        F.col("name") == "p1", parent_score=F.lit(9.0), score=True,
+    ).collect()
+    assert sorted((r["ck"], r["score"]) for r in hp) == [(1, 9.0), (1, 9.0)]
