@@ -3249,6 +3249,61 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+_CMS_D, _CMS_W, _CMS_TOP = 4, 4096, 12
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter words via a deterministic count-min sketch next to
+    their exact counts (cms_count >= exact_count always — one-sided
+    error). The sketch is <= d*w counters however wide the corpus; the
+    oracle rebuilds every counter from the same md5 row hashes."""
+    from esbulk_spark.operators import sketch
+    from esbulk_spark.operators.textstats import _ws_words
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(_ws_words("text")).alias("word"))
+    exact = words.groupBy("word").agg(F.count("*").alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), F.asc("word")).limit(_CMS_TOP)
+    sk = sketch.cms_sketch(words, "word", d=_CMS_D, w=_CMS_W)
+    est = sketch.cms_estimate(sk, top, "word", d=_CMS_D, w=_CMS_W)
+    return (
+        top.join(est, ["word"])
+        .select("word", "exact_count", "cms_count")
+        .orderBy(F.desc("exact_count"), F.asc("word"))
+    )
+
+
+def _sql_cms() -> str:
+    def bucket(val: str) -> str:
+        probe = f"CAST(i AS VARCHAR) || ':' || {val}"
+        return f"{_duck_md5i(probe)} % {_CMS_W}"
+
+    return f"""
+WITH words AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                x -> x <> '')) AS word
+  FROM documents
+),
+exact AS (SELECT word, count(*) AS exact_count FROM words GROUP BY 1),
+top AS (SELECT * FROM exact ORDER BY exact_count DESC, word LIMIT {_CMS_TOP}),
+counters AS (
+  SELECT i, {bucket("word")} AS b, count(*) AS c
+  FROM words CROSS JOIN range({_CMS_D}) t(i) GROUP BY 1, 2
+),
+probes AS (
+  SELECT word, i, {bucket("word")} AS b
+  FROM top CROSS JOIN range({_CMS_D}) t(i)
+),
+est AS (
+  SELECT word, min(coalesce(c, 0)) AS cms_count
+  FROM probes LEFT JOIN counters USING (i, b) GROUP BY word
+)
+SELECT t.word, t.exact_count, e.cms_count
+FROM top t JOIN est e USING (word)
+ORDER BY exact_count DESC, word
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return textstats.fingerprint(d, "text", "doc_id").orderBy("id")
@@ -3975,6 +4030,7 @@ QUERIES = {
     "quality_score": (q_quality, SQL_QUALITY),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms()),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "decontaminate_ngram_overlap": (q_decontaminate, SQL_DECONTAMINATE),
     "sample_mixture_rates": (q_sample_mixture, _sql_sample_mixture()),

@@ -114,3 +114,79 @@ def hll_cardinality(
     return hll_estimate(
         hll_sketch(df, value_col, group_cols, p), group_cols, p
     )
+
+
+# --------------------------------------------------- count-min sketch
+
+
+def _cms_bucket(value: F.Column, i, w: int):
+    """Row-i bucket for a value: md5 of 'i:value' (same family the
+    MinHash/mixture ops use for engine-identical hashing)."""
+    return F.pmod(
+        md5_int(F.concat(i.cast("string"), F.lit(":"), value.cast("string"))),
+        F.lit(w),
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    d: int = 4,
+    w: int = 4096,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005, public):
+    (group..., i, b, c) counters, one row per non-empty cell (<= d*w
+    rows per group regardless of corpus width). Deterministic md5 row
+    hashes -> a DuckDB oracle reproduces every counter; merge = union +
+    sum (associative, so map-side combine and per-segment sketches
+    compose exactly like the HLL registers above)."""
+    group_cols = group_cols or []
+    v = F.col(value_col)
+    return (
+        df.select(*group_cols, v.alias("__v"))
+        .select(
+            *group_cols,
+            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i"),
+            F.col("__v"),
+        )
+        .select(
+            *group_cols,
+            "i",
+            _cms_bucket(F.col("__v"), F.col("i"), w).alias("b"),
+        )
+        .groupBy(*group_cols, "i", "b")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Sum counters cell-wise: sketch(A) + sketch(B) == sketch(A||B)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "c"]
+    return out.groupBy(*keys).agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 4096,
+) -> DataFrame:
+    """Point-frequency estimates for candidate values: min over the d
+    row counters (one-sided error — never under-counts). The sketch is
+    tiny (<= d*w rows), so it broadcasts to the candidate join."""
+    cand = candidates.select(F.col(value_col).alias("__v")).distinct()
+    probes = cand.select(
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i"),
+    ).select("__v", "i", _cms_bucket(F.col("__v"), F.col("i"), w).alias("b"))
+    return (
+        probes.join(F.broadcast(sketch), ["i", "b"], "left")
+        .groupBy("__v")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_count"))
+        .withColumnRenamed("__v", value_col)
+    )

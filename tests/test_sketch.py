@@ -46,3 +46,35 @@ def test_hll_multiple_groups_independent(spark):
            hll_cardinality(df, "v", ["g"]).collect()}
     assert out["a"] == pytest.approx(1000, rel=0.15)
     assert out["b"] == pytest.approx(10, rel=0.15)
+
+
+def test_cms_overestimates_never_under(spark):
+    from esbulk_spark.operators.sketch import cms_estimate, cms_sketch
+
+    rows = [("hot",)] * 500 + [(f"w{i}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["v"])
+    sk = cms_sketch(df, "v", d=4, w=256)  # narrow -> collisions likely
+    cand = spark.createDataFrame(
+        [("hot",), ("w0",), ("absent",)], ["v"]
+    )
+    got = {r["v"]: r["cms_count"] for r in
+           cms_estimate(sk, cand, "v", d=4, w=256).collect()}
+    assert got["hot"] >= 500
+    assert got["w0"] >= 1
+    # one-sided error bound: eps = e/w over total mass (2500), 4 rows
+    assert got["hot"] <= 500 + 4 * 2500 // 256
+    assert got["absent"] >= 0
+
+
+def test_cms_merge_equals_sketch_of_concat(spark):
+    from esbulk_spark.operators.sketch import cms_merge, cms_sketch
+
+    a = spark.createDataFrame([(f"x{i % 50}",) for i in range(300)], ["v"])
+    b = spark.createDataFrame([(f"x{i % 80}",) for i in range(400)], ["v"])
+    u = a.unionAll(b)
+    merged = cms_merge(cms_sketch(a, "v", d=3, w=128),
+                       cms_sketch(b, "v", d=3, w=128))
+    direct = cms_sketch(u, "v", d=3, w=128)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
