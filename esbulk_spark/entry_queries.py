@@ -3903,6 +3903,82 @@ LIMIT 25
 """
 
 
+def q_rank_eval(spark, sf_dir):
+    """ES _rank_eval analog: per-query precision@10 / recall@10 / MRR /
+    DCG@10 / NDCG@10. Queries = order priorities, ranking = totalprice
+    desc, judgments = finished orders graded 2 (>200k) or 1 — a fully
+    deterministic rated-ranking fixture both engines recompute."""
+    from esbulk_spark.plans.rankeval import rank_eval
+
+    o = _t(spark, sf_dir, "orders")
+    results = o.select(
+        F.col("o_orderpriority").alias("qid"),
+        F.col("o_orderkey").alias("doc_id"),
+        F.col("o_totalprice").alias("score"),
+    )
+    judgments = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("qid"),
+        F.col("o_orderkey").alias("doc_id"),
+        F.when(F.col("o_totalprice") > 200000, 2).otherwise(1).alias("grade"),
+    )
+    out = rank_eval(results, judgments, k=10)
+    return out.select(
+        "qid",
+        F.round("precision_at_k", 4).alias("precision_at_k"),
+        F.round("recall_at_k", 4).alias("recall_at_k"),
+        F.round("mrr", 4).alias("mrr"),
+        F.round("dcg_at_k", 4).alias("dcg_at_k"),
+        F.round("ndcg_at_k", 4).alias("ndcg_at_k"),
+    ).orderBy("qid")
+
+
+SQL_RANK_EVAL = """
+WITH res AS (
+  SELECT o_orderpriority AS qid, o_orderkey AS doc_id,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+),
+topk AS (SELECT * FROM res WHERE rank <= 10),
+jud AS (
+  SELECT o_orderpriority AS qid, o_orderkey AS doc_id,
+         CASE WHEN o_totalprice > 200000 THEN 2 ELSE 1 END AS grade
+  FROM orders WHERE o_orderstatus = 'F'
+),
+joined AS (
+  SELECT t.qid, t.rank, coalesce(j.grade, 0) AS g
+  FROM topk t LEFT JOIN jud j USING (qid, doc_id)
+),
+perq AS (
+  SELECT qid,
+         sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) / 10.0 AS precision_at_k,
+         sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS n_rel_ret,
+         coalesce(max(CASE WHEN g > 0 THEN 1.0 / rank END), 0.0) AS mrr,
+         sum((pow(2.0, g) - 1) / log2(rank + 1)) AS dcg
+  FROM joined GROUP BY qid
+),
+ideal AS (
+  SELECT qid, sum((pow(2.0, grade) - 1) / log2(rank + 1)) AS idcg
+  FROM (SELECT qid, grade,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY grade DESC, doc_id ASC) AS rank
+        FROM jud)
+  WHERE rank <= 10 GROUP BY qid
+),
+nrel AS (SELECT qid, count(*) AS n_rel FROM jud GROUP BY qid)
+SELECT p.qid,
+       round(p.precision_at_k, 4) AS precision_at_k,
+       round(CASE WHEN coalesce(n.n_rel, 0) > 0
+             THEN p.n_rel_ret * 1.0 / n.n_rel ELSE 0.0 END, 4) AS recall_at_k,
+       round(p.mrr, 4) AS mrr,
+       round(p.dcg, 4) AS dcg_at_k,
+       round(CASE WHEN coalesce(i.idcg, 0) > 0
+             THEN p.dcg / i.idcg ELSE 0 END, 4) AS ndcg_at_k
+FROM perq p LEFT JOIN ideal i USING (qid) LEFT JOIN nrel n USING (qid)
+ORDER BY qid
+"""
+
+
 def q_join_dims(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -4056,6 +4132,7 @@ QUERIES = {
     "join_customer_nation_region": (q_join_dims, SQL_JOIN_DIMS),
     "has_child_orders": (q_has_child, SQL_HAS_CHILD),
     "has_parent_lineitems": (q_has_parent, SQL_HAS_PARENT),
+    "rank_eval_metrics": (q_rank_eval, SQL_RANK_EVAL),
 }
 
 # ES aggregation framework entries (esbulk_spark/entry_aggs.py)

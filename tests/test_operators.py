@@ -1318,3 +1318,38 @@ def test_has_child_score_modes_and_bounds(spark):
         F.col("name") == "p1", parent_score=F.lit(9.0), score=True,
     ).collect()
     assert sorted((r["ck"], r["score"]) for r in hp) == [(1, 9.0), (1, 9.0)]
+
+
+def test_rank_eval_hand_example(spark):
+    """Metrics match hand-computed values on a tiny rated ranking."""
+    import math
+
+    from esbulk_spark.plans.rankeval import rank_eval
+
+    # q1: ranked docs a(3.0) b(2.0) c(1.0); judgments a=2, c=1, d=1
+    results = spark.createDataFrame(
+        [("q1", "a", 3.0), ("q1", "b", 2.0), ("q1", "c", 1.0),
+         ("q2", "x", 1.0)],
+        ["qid", "doc_id", "score"],
+    )
+    judgments = spark.createDataFrame(
+        [("q1", "a", 2), ("q1", "c", 1), ("q1", "d", 1)],
+        ["qid", "doc_id", "grade"],
+    )
+    out = {r["qid"]: r for r in
+           rank_eval(results, judgments, k=3).collect()}
+
+    q1 = out["q1"]
+    assert q1["precision_at_k"] == pytest.approx(2 / 3)
+    assert q1["recall_at_k"] == pytest.approx(2 / 3)
+    assert q1["mrr"] == pytest.approx(1.0)
+    dcg = (2**2 - 1) / math.log2(2) + (2**1 - 1) / math.log2(4)
+    idcg = (2**2 - 1) / math.log2(2) + (2**1 - 1) / math.log2(3) \
+        + (2**1 - 1) / math.log2(4)
+    assert q1["dcg_at_k"] == pytest.approx(dcg)
+    assert q1["ndcg_at_k"] == pytest.approx(dcg / idcg)
+
+    # q2 has no judged docs: all metrics zero
+    q2 = out["q2"]
+    assert (q2["precision_at_k"], q2["recall_at_k"], q2["mrr"],
+            q2["dcg_at_k"], q2["ndcg_at_k"]) == (0.0, 0.0, 0.0, 0.0, 0.0)
