@@ -264,6 +264,9 @@ def main() -> None:
         # curation pipeline, and search over unmerged attached segments
         "ann_pq_adc_topk", "hybrid_rrf_topk", "training_pipeline_e2e",
         "segment_set_search",
+        # late-r4: LM quality filter, DSIR selection, sketch family
+        "lm_perplexity", "dsir_importance_weights", "cms_heavy_hitters",
+        "agg_cardinality_hll",
     ]:
         fn, _ = QUERIES[name]
         t0 = time.monotonic()

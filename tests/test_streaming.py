@@ -269,3 +269,63 @@ def test_incremental_positions_phrase_on_compacted(spark, tmp_path):
             for x in r.search_phrase(" ".join(phrase), k=100).collect()
         }
         assert got == want, phrase
+
+
+def test_streaming_hll_matches_batch_estimate(spark, sf_dir, tmp_path):
+    """HLL maintained over micro-batches == one batch sketch of the
+    whole table (merge property end-to-end through foreachBatch), and
+    batch replay is a no-op."""
+    from esbulk_spark.operators.sketch import hll_cardinality
+    from esbulk_spark.streaming.sketches import StreamingSketch
+
+    base = str(tmp_path)
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "user_id")
+        .cache()
+    )
+    rows = events.collect()
+    src = f"{base}/incoming"
+    os.makedirs(src)
+    thirds = [rows[i::3] for i in range(3)]
+    for w, chunk in enumerate(thirds):
+        spark.createDataFrame(chunk, events.schema).coalesce(1).write.parquet(
+            f"{base}/wave{w}"
+        )
+        for f in os.listdir(f"{base}/wave{w}"):
+            if f.endswith(".parquet"):
+                import shutil
+
+                shutil.copy(f"{base}/wave{w}/{f}", f"{src}/w{w}.parquet")
+
+    sk = StreamingSketch(
+        spark, f"{base}/sketch", "user_id", ["event_type"], kind="hll"
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sk.process_batch)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r["event_type"]: r["hll_estimate"] for r in sk.estimate().collect()
+    }
+    batch = {
+        r["event_type"]: r["hll_estimate"]
+        for r in hll_cardinality(events, "user_id", ["event_type"]).collect()
+    }
+    assert streamed == batch
+    assert len(sk._seg_dirs()) >= 2  # genuinely incremental
+
+    # replaying a completed batch does not change the sketch
+    sk.process_batch(spark.createDataFrame(rows[:5], events.schema), 0)
+    assert {
+        r["event_type"]: r["hll_estimate"] for r in sk.estimate().collect()
+    } == batch
