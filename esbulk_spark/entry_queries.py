@@ -3031,6 +3031,104 @@ ORDER BY f.id
 """
 
 
+_SUGGEST_PHRASE_Q = "tabel hasj"  # -> "table hash" in the synth vocab
+
+
+def q_phrase_suggest(spark, sf_dir):
+    """ES phrase suggester ("did you mean"): noisy-channel rerank of
+    per-token fuzzy candidates under the corpus bigram LM
+    (operators/spell.py). The oracle rebuilds candidates, LM and
+    penalty in DuckDB from the same tokenization and levenshtein."""
+    from esbulk_spark.operators.spell import phrase_suggest
+
+    d = _t(spark, sf_dir, "documents")
+    out = phrase_suggest(d, "text", _SUGGEST_PHRASE_Q, k=3)
+    return out.select(
+        "suggestion", "n_edits", F.round("score", 4).alias("score")
+    )
+
+
+def _sql_phrase_suggest(
+    query: str = _SUGGEST_PHRASE_Q,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    per_slot: int = 5,
+    k: int = 3,
+    alpha: float = 0.5,
+    p_error: float = 0.1,
+) -> str:
+    import math
+
+    toks = [w for w in query.lower().split() if w]
+    n = len(toks)
+    lnp = repr(math.log(p_error))
+
+    def cand_cte(i: int, tok: str) -> str:
+        pref = tok[:prefix_length].replace("'", "''")
+        t = tok.replace("'", "''")
+        return f"""c{i} AS (
+  SELECT t AS w{i}, e AS e{i} FROM (
+    SELECT t, c1, e,
+           row_number() OVER (ORDER BY e ASC, c1 DESC, t ASC) AS r
+    FROM (
+      SELECT t, c1, levenshtein(t, '{t}') AS e FROM uni
+      WHERE length(t) BETWEEN {len(tok) - max_edits} AND {len(tok) + max_edits}
+        AND t LIKE '{pref}%' AND levenshtein(t, '{t}') <= {max_edits}
+      UNION ALL
+      SELECT '{t}', 0::BIGINT, 0
+      WHERE NOT EXISTS (SELECT 1 FROM uni WHERE t = '{t}')
+    )
+  ) WHERE r <= {per_slot + 1}
+)"""
+
+    cands = ",\n".join(cand_cte(i, tok) for i, tok in enumerate(toks))
+    cross = " CROSS JOIN ".join(f"c{i}" for i in range(n))
+    ujoins = ["LEFT JOIN uni u0 ON u0.t = combos.w0"]
+    score = [f"ln((coalesce(u0.c1, 0) + {alpha}) / (tot.tt + {alpha} * tot.vsz))"]
+    for i in range(n - 1):
+        ujoins.append(
+            f"LEFT JOIN bi b{i} ON b{i}.w1 = combos.w{i}"
+            f" AND b{i}.w2 = combos.w{i + 1}"
+        )
+        ujoins.append(f"LEFT JOIN uni d{i} ON d{i}.t = combos.w{i}")
+        score.append(
+            f"ln((coalesce(b{i}.c12, 0) + {alpha})"
+            f" / (coalesce(d{i}.c1, 0) + {alpha} * tot.vsz))"
+        )
+    edits = " + ".join(f"combos.e{i}" for i in range(n))
+    lm = "\n       + ".join(score)
+    return f"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+uni AS (
+  SELECT u AS t, count(*) AS c1
+  FROM (SELECT unnest(w) AS u FROM toks) GROUP BY 1
+),
+bi AS (
+  SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS c12
+  FROM (SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS pr
+        FROM toks WHERE len(w) >= 2)
+  GROUP BY 1, 2
+),
+tot AS (SELECT sum(c1) AS tt, count(*) AS vsz FROM uni),
+{cands},
+combos AS (SELECT * FROM {cross}),
+scored AS (
+  SELECT {" || ' ' || ".join(f"combos.w{i}" for i in range(n))} AS suggestion,
+         CAST({edits} AS INT) AS n_edits,
+         {lm}
+       + ({edits}) * {lnp} AS score
+  FROM combos CROSS JOIN tot
+  {chr(10).join(ujoins)}
+)
+SELECT suggestion, n_edits, round(score, 4) AS score
+FROM scored ORDER BY score DESC, suggestion ASC LIMIT {k}
+"""
+
+
 def q_training_pipeline(spark, sf_dir):
     """The whole training-data curation pipeline composed END-TO-END
     and graded as one entry: quality gate (Rae-style heuristics) ->
@@ -4105,6 +4203,7 @@ QUERIES = {
     "lang_id_heuristic": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality, SQL_QUALITY),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "phrase_suggest_dym": (q_phrase_suggest, _sql_phrase_suggest()),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms()),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

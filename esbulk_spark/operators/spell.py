@@ -1,0 +1,146 @@
+"""ES phrase-suggester analog: whole-phrase "did you mean" correction.
+
+ES's phrase suggester generates per-token candidates from the index
+terms (edit-distance bounded, like the term suggester) and re-ranks
+whole candidate phrases with a Laplace-smoothed n-gram language model
+built from the index's shingle field. This is the same design as a
+noisy-channel spelling model (Kernighan, Church & Gale 1990, public):
+
+    score(phrase) = log P_LM(phrase) + n_edits * log(p_error)
+
+re-expressed over DataFrames: the LM is the corpus's add-alpha bigram
+model (the machinery of textstats.lm_bigram_perplexity — ES's shingle
+field is exactly an indexed bigram table), candidate generation is the
+same length-band + prefix + levenshtein dictionary filter the fuzzy
+query uses, and phrase composition is a chain of tiny broadcast cross
+joins (<= per_slot+1 candidates per token, ES default-like caps).
+
+Scale shape: the two LM aggs are one corpus pass each (shareable /
+precomputable); candidate generation scans the VOCABULARY (not the
+corpus) with a cheap band prefilter; the combo table is bounded by
+per_slot^n_tokens rows (n_tokens capped), so the scoring joins keep
+the combo side broadcast no matter the corpus size.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from esbulk_spark.operators.textstats import _bigram_pairs, _ws_words
+
+MAX_TOKENS = 5
+
+
+def phrase_suggest(
+    df: DataFrame,
+    text_col: str,
+    query: str,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    per_slot: int = 5,
+    k: int = 3,
+    alpha: float = 0.5,
+    p_error: float = 0.1,
+) -> DataFrame:
+    """Top-k corrected phrases for `query` as (suggestion, n_edits,
+    score). The original token is always a candidate with 0 edits, so
+    "no correction" competes on LM probability like any other phrase."""
+    toks = [w for w in query.lower().split() if w]
+    if not toks:
+        raise ValueError("empty query")
+    if len(toks) > MAX_TOKENS:
+        raise ValueError(f"phrase suggester caps at {MAX_TOKENS} tokens")
+
+    words = df.select(_ws_words(text_col).alias("w"))
+    uni = (
+        words.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = (
+        words.filter(F.size("w") >= 2)
+        .select(F.explode(_bigram_pairs()).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    totals = uni.agg(
+        F.sum("c1").alias("tt"), F.count("*").alias("vsz")
+    )  # one row -> broadcast
+
+    def slot_candidates(i: int, tok: str) -> DataFrame:
+        pref = tok[:prefix_length]
+        band = (
+            (F.length("t") >= len(tok) - max_edits)
+            & (F.length("t") <= len(tok) + max_edits)
+            & F.col("t").startswith(pref)
+        )
+        cand = (
+            uni.filter(band)
+            .withColumn("e", F.levenshtein(F.col("t"), F.lit(tok)))
+            .filter(F.col("e") <= max_edits)
+        )
+        # the original token always competes, even out-of-vocabulary
+        self_row = uni.sparkSession.createDataFrame(
+            [(tok, 0, 0)], "t string, c1 long, e int"
+        ).join(uni.filter(F.col("t") == tok), ["t"], "anti").select(
+            "t", F.lit(0).cast("long").alias("c1"), F.lit(0).alias("e")
+        )
+        cand = cand.unionByName(self_row)
+        # DirectSpellChecker-style rank: distance asc, freq desc, term asc
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.asc("e"), F.desc("c1"), F.asc("t"))
+        return (
+            cand.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= per_slot + 1)
+            .select(
+                F.col("t").alias(f"w{i}"), F.col("e").alias(f"e{i}")
+            )
+        )
+
+    combos = slot_candidates(0, toks[0])
+    for i, tok in enumerate(toks[1:], start=1):
+        combos = combos.crossJoin(F.broadcast(slot_candidates(i, tok)))
+
+    # LM score: log P(w0) + sum_i log P(w_{i+1} | w_i), add-alpha
+    # the COMBO side is the broadcast side: per_slot^n rows vs a
+    # corpus-sized LM table
+    scored = combos.crossJoin(F.broadcast(totals)).hint("broadcast").join(
+        uni.select(F.col("t").alias("w0"), F.col("c1").alias("p0")),
+        ["w0"],
+        "left",
+    )
+    score = F.log(
+        (F.coalesce(F.col("p0"), F.lit(0)) + F.lit(alpha))
+        / (F.col("tt") + F.lit(alpha) * F.col("vsz"))
+    )
+    n_edits = F.col("e0")
+    for i in range(len(toks) - 1):
+        b = bi.select(
+            F.col("w1").alias(f"w{i}"),
+            F.col("w2").alias(f"w{i + 1}"),
+            F.col("c12").alias(f"b{i}"),
+        )
+        u = uni.select(
+            F.col("t").alias(f"w{i}"), F.col("c1").alias(f"u{i}")
+        )
+        scored = scored.hint("broadcast").join(b, [f"w{i}", f"w{i + 1}"], "left")
+        scored = scored.hint("broadcast").join(u, [f"w{i}"], "left")
+        score = score + F.log(
+            (F.coalesce(F.col(f"b{i}"), F.lit(0)) + F.lit(alpha))
+            / (F.coalesce(F.col(f"u{i}"), F.lit(0)) + F.lit(alpha) * F.col("vsz"))
+        )
+        n_edits = n_edits + F.col(f"e{i + 1}")
+
+    out = scored.select(
+        F.concat_ws(" ", *[F.col(f"w{i}") for i in range(len(toks))]).alias(
+            "suggestion"
+        ),
+        n_edits.alias("n_edits"),
+        (score + n_edits * F.lit(math.log(p_error))).alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("suggestion")).limit(k)

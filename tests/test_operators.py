@@ -1353,3 +1353,28 @@ def test_rank_eval_hand_example(spark):
     q2 = out["q2"]
     assert (q2["precision_at_k"], q2["recall_at_k"], q2["mrr"],
             q2["dcg_at_k"], q2["ndcg_at_k"]) == (0.0, 0.0, 0.0, 0.0, 0.0)
+
+
+def test_phrase_suggest_corrects_typos(spark):
+    from esbulk_spark.operators.spell import phrase_suggest
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps") for i in range(20)]
+        + [(100, "the quick brown dog sleeps")],
+        ["doc_id", "text"],
+    )
+    top = phrase_suggest(docs, "text", "quick browm", k=3).collect()
+    assert top[0]["suggestion"] == "quick brown"
+    assert top[0]["n_edits"] == 1
+    # uncorrected input still competes somewhere in the candidates
+    assert any(r["suggestion"] == "quick browm" for r in top)
+
+    # correctly-spelled frequent phrase: no correction wins
+    top2 = phrase_suggest(docs, "text", "quick brown", k=1).collect()
+    assert top2[0]["suggestion"] == "quick brown"
+    assert top2[0]["n_edits"] == 0
+
+    with pytest.raises(ValueError):
+        phrase_suggest(docs, "text", "")
+    with pytest.raises(ValueError):
+        phrase_suggest(docs, "text", "a b c d e f")
