@@ -4001,6 +4001,121 @@ LIMIT 25
 """
 
 
+def _user_points(spark, sf_dir):
+    """Deterministic synthetic user coordinates (graded-fixture rule:
+    derive from the input tables, identically in both engines):
+    lat/lon are md5-hash fractions of the user id."""
+    from esbulk_spark.operators.dedup import md5_int
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    return ev.select("user_id").distinct().select(
+        "user_id",
+        (
+            F.pmod(md5_int(F.concat(uid, F.lit(":lat"))), F.lit(1600001))
+            / 10000.0
+            - 80.0
+        ).alias("lat"),
+        (
+            F.pmod(md5_int(F.concat(uid, F.lit(":lon"))), F.lit(3600001))
+            / 10000.0
+            - 180.0
+        ).alias("lon"),
+    )
+
+
+_SQL_USER_POINTS = f"""
+  SELECT user_id,
+         {_duck_md5i("CAST(user_id AS VARCHAR) || ':lat'")} % 1600001
+           / 10000.0 - 80.0 AS lat,
+         {_duck_md5i("CAST(user_id AS VARCHAR) || ':lon'")} % 3600001
+           / 10000.0 - 180.0 AS lon
+  FROM (SELECT DISTINCT user_id FROM events)
+"""
+
+_GEO_CENTER, _GEO_RADIUS_KM = (40.0, -74.0), 6000.0
+
+
+def q_geo_distance(spark, sf_dir):
+    """ES geo_distance query: users within 6000 km of (40, -74), by
+    haversine, nearest 25. The operator's bounding-box prefilter keeps
+    the scan sargable before the trig (operators/geo.py)."""
+    from esbulk_spark.operators.geo import geo_distance
+
+    pts = _user_points(spark, sf_dir)
+    out = geo_distance(pts, "lat", "lon", _GEO_CENTER, _GEO_RADIUS_KM)
+    return (
+        out.select(
+            "user_id", F.round("distance_km", 4).alias("distance_km")
+        )
+        .orderBy(F.asc("distance_km"), F.asc("user_id"))
+        .limit(25)
+    )
+
+
+SQL_GEO_DISTANCE = f"""
+WITH pts AS ({_SQL_USER_POINTS}),
+d AS (
+  SELECT user_id,
+         2.0 * 6371.0088 * asin(sqrt(
+           sin(radians({_GEO_CENTER[0]} - lat) / 2)
+             * sin(radians({_GEO_CENTER[0]} - lat) / 2)
+           + cos(radians(lat)) * cos(radians({_GEO_CENTER[0]}))
+             * sin(radians({_GEO_CENTER[1]} - lon) / 2)
+             * sin(radians({_GEO_CENTER[1]} - lon) / 2)
+         )) AS distance_km
+  FROM pts
+)
+SELECT user_id, round(distance_km, 4) AS distance_km
+FROM d WHERE distance_km <= {_GEO_RADIUS_KM}
+ORDER BY distance_km ASC, user_id ASC LIMIT 25
+"""
+
+_GEOHASH_PRECISION, _GEOHASH_TOP = 2, 15
+
+
+def _sql_geohash_expr(precision: int) -> str:
+    """The same unrolled bit arithmetic as operators/geo.geohash."""
+    nbits = precision * 5
+    bits = []
+    for k in range(nbits):
+        axis = "((lon + 180.0) / 360.0)" if k % 2 == 0 else "((lat + 90.0) / 180.0)"
+        idx = k // 2
+        bits.append(
+            f"(CAST(floor({axis} * {float(1 << (idx + 1))}) AS BIGINT) % 2)"
+        )
+    chars = []
+    for c in range(precision):
+        v = " + ".join(
+            f"{bits[c * 5 + j]} * {1 << (4 - j)}" for j in range(5)
+        )
+        chars.append(
+            f"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(({v}) AS INT) + 1, 1)"
+        )
+    return " || ".join(chars)
+
+
+def q_geohash_grid(spark, sf_dir):
+    """ES geohash_grid agg over the same derived user points: doc
+    counts per precision-2 cell, top cells. Pure-arithmetic cell ids
+    (binary interval subdivision) — engine-identical, no trig."""
+    from esbulk_spark.operators.geo import geohash_grid
+
+    pts = _user_points(spark, sf_dir)
+    return (
+        geohash_grid(pts, "lat", "lon", _GEOHASH_PRECISION)
+        .orderBy(F.desc("doc_count"), F.asc("cell"))
+        .limit(_GEOHASH_TOP)
+    )
+
+
+SQL_GEOHASH_GRID = f"""
+WITH pts AS ({_SQL_USER_POINTS})
+SELECT {_sql_geohash_expr(_GEOHASH_PRECISION)} AS cell, count(*) AS doc_count
+FROM pts GROUP BY 1 ORDER BY doc_count DESC, cell ASC LIMIT {_GEOHASH_TOP}
+"""
+
+
 def q_rank_eval(spark, sf_dir):
     """ES _rank_eval analog: per-query precision@10 / recall@10 / MRR /
     DCG@10 / NDCG@10. Queries = order priorities, ranking = totalprice
@@ -4232,6 +4347,8 @@ QUERIES = {
     "has_child_orders": (q_has_child, SQL_HAS_CHILD),
     "has_parent_lineitems": (q_has_parent, SQL_HAS_PARENT),
     "rank_eval_metrics": (q_rank_eval, SQL_RANK_EVAL),
+    "geo_distance_users": (q_geo_distance, SQL_GEO_DISTANCE),
+    "geohash_grid_users": (q_geohash_grid, SQL_GEOHASH_GRID),
 }
 
 # ES aggregation framework entries (esbulk_spark/entry_aggs.py)

@@ -1378,3 +1378,49 @@ def test_phrase_suggest_corrects_typos(spark):
         phrase_suggest(docs, "text", "")
     with pytest.raises(ValueError):
         phrase_suggest(docs, "text", "a b c d e f")
+
+
+def test_geohash_known_vectors(spark):
+    from esbulk_spark.operators.geo import geohash
+
+    df = spark.createDataFrame(
+        [(42.6, -5.6), (57.64911, 10.40744), (40.7128, -74.0060)],
+        ["lat", "lon"],
+    )
+    got = [r[0] for r in df.select(geohash(F.col("lat"), F.col("lon"), 5)).collect()]
+    assert got == ["ezs42", "u4pru", "dr5re"]  # public reference hashes
+    with pytest.raises(ValueError):
+        geohash(F.col("lat"), F.col("lon"), 0)
+
+
+def test_geo_distance_prefilter_never_drops(spark):
+    """The sargable cap bounding box must be a superset of the circle —
+    including large radii where the cap nears a pole (the naive
+    cos-scaled box drops far-east/west points there)."""
+    from esbulk_spark.operators.geo import geo_distance, haversine_km
+
+    import itertools
+    pts = spark.createDataFrame(
+        [(float(la), float(lo))
+         for la, lo in itertools.product(range(-80, 81, 20), range(-180, 180, 30))],
+        ["lat", "lon"],
+    )
+    for center, radius in [((40.0, -74.0), 6000.0), ((0.0, 0.0), 500.0),
+                           ((70.0, 10.0), 3000.0)]:
+        exact = pts.withColumn(
+            "d", haversine_km(F.col("lat"), F.col("lon"),
+                              F.lit(center[0]), F.lit(center[1]))
+        ).filter(F.col("d") <= radius)
+        got = geo_distance(pts, "lat", "lon", center, radius)
+        assert got.count() == exact.count()
+
+
+def test_geo_bounding_box_inclusive(spark):
+    from esbulk_spark.operators.geo import geo_bounding_box
+
+    df = spark.createDataFrame(
+        [(10.0, 20.0), (15.0, 25.0), (9.9, 20.0), (10.0, 30.1)],
+        ["lat", "lon"],
+    )
+    got = geo_bounding_box(df, "lat", "lon", (15.0, 20.0), (10.0, 30.0))
+    assert sorted(map(tuple, got.collect())) == [(10.0, 20.0), (15.0, 25.0)]
