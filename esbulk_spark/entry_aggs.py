@@ -236,6 +236,34 @@ ORDER BY event_type
 """
 
 
+_ADJ_FILTERS = {
+    "discounted": "l_discount > 0.05",
+    "high_qty": "l_quantity > 25",
+    "taxed": "l_tax > 0.04",
+}
+
+
+def q_agg_adjacency(spark, sf_dir):
+    """ES adjacency_matrix agg: singles + pairwise intersections of
+    overlapping lineitem predicates, one conditional-sum pass."""
+    return A.adjacency_matrix_agg(_t(spark, sf_dir, "lineitem"), _ADJ_FILTERS)
+
+
+def _sql_adjacency() -> str:
+    names = sorted(_ADJ_FILTERS)
+    parts = [
+        f"SELECT '{n}' AS key, count(*) FILTER ({_ADJ_FILTERS[n]}) AS doc_count FROM lineitem"
+        for n in names
+    ]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            parts.append(
+                f"SELECT '{a}&{b}', count(*) FILTER (({_ADJ_FILTERS[a]}) AND ({_ADJ_FILTERS[b]})) FROM lineitem"
+            )
+    union = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM ({union}) WHERE doc_count > 0 ORDER BY key"
+
+
 # ------------------------------------------------- terms + sub-metrics, count-desc
 
 
@@ -519,6 +547,7 @@ AGG_QUERIES = {
     "agg_cardinality_hll": (q_agg_cardinality_hll, _sql_agg_hll()),
     "agg_terms_subagg": (q_agg_terms_subagg, SQL_AGG_TERMS_SUBAGG),
     "agg_filters_named": (q_agg_filters, SQL_AGG_FILTERS),
+    "agg_adjacency_matrix": (q_agg_adjacency, _sql_adjacency()),
     "agg_composite_page": (q_agg_composite, SQL_AGG_COMPOSITE),
     "agg_nested_type_day": (q_agg_nested_type_day, SQL_AGG_NESTED),
     "agg_top_hits_per_lang": (q_agg_top_hits, SQL_AGG_TOP_HITS),

@@ -280,6 +280,38 @@ def filters_agg(df: DataFrame, filters: dict[str, str]) -> DataFrame:
     ).orderBy("key")
 
 
+def adjacency_matrix_agg(df: DataFrame, filters: dict[str, str]) -> DataFrame:
+    """ES `adjacency_matrix` aggregation: doc counts for every named
+    filter AND every pairwise intersection (keys "a", "a&b" — the ES
+    key format, pairs joined in sorted-name order). Same one-pass shape
+    as filters_agg: |F| + C(|F|,2) conditional sums in a single agg
+    (map-side partials), one stacked row out, empty buckets dropped
+    (ES omits them)."""
+    names = sorted(filters)
+    conds = {n: F.expr(filters[n]) for n in names}
+    cols, keys = [], []
+    for i, n in enumerate(names):
+        cols.append(
+            F.sum(F.when(conds[n], 1).otherwise(0)).cast("long").alias(f"__a_{len(keys)}")
+        )
+        keys.append(n)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            cols.append(
+                F.sum(F.when(conds[a] & conds[b], 1).otherwise(0))
+                .cast("long")
+                .alias(f"__a_{len(keys)}")
+            )
+            keys.append(f"{a}&{b}")
+    row = df.agg(*cols)
+    stack = ", ".join(f"'{k}', __a_{i}" for i, k in enumerate(keys))
+    return (
+        row.selectExpr(f"stack({len(keys)}, {stack}) as (key, doc_count)")
+        .filter(F.col("doc_count") > 0)
+        .orderBy("key")
+    )
+
+
 # ------------------------------------------------------------ composite
 
 

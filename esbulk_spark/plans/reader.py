@@ -1976,6 +1976,89 @@ class IndexReader:
             ]
         return out
 
+    def suggest_phrase(
+        self,
+        text: str,
+        max_edits: int = 2,
+        prefix_length: int = 1,
+        per_slot: int = 5,
+        size: int = 3,
+    ) -> list[dict]:
+        """ES phrase-suggester analog over THIS index's stored content:
+        per-token fuzzy candidates re-ranked as whole phrases under the
+        corpus bigram LM with a per-edit noisy-channel penalty
+        (operators/spell.py; ES builds the LM from a shingle field —
+        here it derives from the stored docs, so the index must carry
+        content). Uses the LM's whitespace tokenization, not the code
+        analyzer: phrase suggestions operate on surface forms."""
+        from esbulk_spark.operators.spell import phrase_suggest
+
+        out = phrase_suggest(
+            self.docs(),
+            self._text_col(),
+            text,
+            max_edits=max_edits,
+            prefix_length=prefix_length,
+            per_slot=per_slot,
+            k=size,
+        )
+        return [
+            {
+                "text": r["suggestion"],
+                "n_edits": int(r["n_edits"]),
+                "score": float(r["score"]),
+            }
+            for r in out.collect()
+        ]
+
+    # ES field type for a Spark docs-table dtype (_field_caps/_mapping)
+    _ES_TYPES = {
+        "string": "text",
+        "bigint": "long",
+        "int": "integer",
+        "double": "double",
+        "float": "float",
+        "boolean": "boolean",
+        "timestamp": "date",
+        "binary": "binary",
+    }
+
+    def field_caps(self) -> dict[str, dict]:
+        """ES _field_caps analog: per stored field, the mapped ES type
+        and searchable/aggregatable flags (the indexed text column is
+        the searchable one; numeric/date/keyword fields aggregate).
+        Metadata only — reads the docs schema, no Spark job."""
+        tc = self._text_col()
+        caps: dict[str, dict] = {}
+        for name, dtype in self._table("docs").dtypes:
+            if name in self._DOC_META_COLS:
+                continue
+            es = self._ES_TYPES.get(dtype, "keyword")
+            caps[name] = {
+                "type": es,
+                "searchable": name == tc,
+                "aggregatable": es != "text",
+            }
+        return caps
+
+    def mapping(self) -> dict:
+        """ES GET _mapping analog: the index's properties plus the
+        build settings ES would report (analyzer, shards, similarity
+        knobs) from stats.json."""
+        props = {
+            name: {"type": caps["type"]}
+            for name, caps in self.field_caps().items()
+        }
+        s = self.stats
+        return {
+            "mappings": {"properties": props},
+            "settings": {
+                "number_of_shards": s.get("n_shards"),
+                "analysis": {"analyzer": "code"},
+                "similarity": {"k1": s.get("k1"), "b": s.get("b")},
+            },
+        }
+
     # build-derived docs columns that are NOT part of the user document
     # and must not leak into ES _source envelopes
     _DOC_META_COLS = ("doc_id", "content_sha", "dl", "n_terms")

@@ -1535,3 +1535,33 @@ def test_span_near_and_span_first(spark, tmp_path):
     assert sf("beta", 5) == [(0, 1), (1, 1), (2, 1), (3, 1), (4, 1)]
     with pytest.raises(ValueError, match="span_first"):
         r.search_span_first("two words", 3)
+
+
+def test_field_caps_and_mapping(reader):
+    caps = reader.field_caps()
+    tc = reader._text_col()
+    assert caps[tc] == {"type": "text", "searchable": True,
+                        "aggregatable": False}
+    assert all(not c["searchable"] for n, c in caps.items() if n != tc)
+    assert "doc_id" not in caps and "content_sha" not in caps
+    m = reader.mapping()
+    assert set(m["mappings"]["properties"]) == set(caps)
+    assert m["settings"]["number_of_shards"] == reader.stats["n_shards"]
+
+
+def test_suggest_phrase_on_index(reader):
+    """Typo'd pair of real corpus terms corrects to the real phrase."""
+    import re
+
+    text = " ".join(
+        r[0] for r in reader.docs().select(reader._text_col()).head(5)
+    ).lower()
+    words = [w for w in re.split(r"\s+", text) if len(w) >= 4]
+    pairs = list(zip(words, words[1:]))
+    assert pairs, "fixture corpus has adjacent words"
+    a, b = pairs[0]
+    typo = a[:-1] + ("x" if a[-1] != "x" else "y")
+    got = reader.suggest_phrase(f"{typo} {b}", size=3)
+    assert any(s["text"] == f"{a} {b}" for s in got)
+    top = got[0]
+    assert set(top) == {"text", "n_edits", "score"}
