@@ -2942,6 +2942,48 @@ ORDER BY id
 """
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet's selection step (Wenzek 2020): split each language's docs
+    into head/middle/tail perplexity tertiles (head = least perplexing
+    = cleanest; CCNet trains on head+middle). ntile over the rounded
+    ppl with doc-id tie-break keeps the ordering engine-identical."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    ppl = textstats.lm_bigram_perplexity(d, d, "text", "doc_id", alpha=0.5)
+    j = ppl.join(
+        d.select(F.col("doc_id").alias("id"), "lang"), ["id"]
+    ).withColumn("rp", F.round("ppl", 4))
+    w = Window.partitionBy("lang").orderBy(F.asc("rp"), F.asc("id"))
+    bucket = F.ntile(3).over(w)
+    return j.select(
+        "id",
+        "lang",
+        F.col("rp").alias("ppl"),
+        F.when(bucket == 1, "head")
+        .when(bucket == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).orderBy("id")
+
+
+SQL_CCNET_BUCKETS = f"""
+WITH scored AS ({SQL_LM_PERPLEXITY.replace("ORDER BY id", "")}),
+j AS (
+  SELECT s.id, d.lang, s.ppl AS rp FROM scored s
+  JOIN documents d ON d.doc_id = s.id
+),
+b AS (
+  SELECT id, lang, rp,
+         ntile(3) OVER (PARTITION BY lang ORDER BY rp ASC, id ASC) AS nt
+  FROM j
+)
+SELECT id, lang, rp AS ppl,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM b ORDER BY id
+"""
+
+
 _DSIR_BUCKETS = 1024
 
 
@@ -4319,6 +4361,7 @@ QUERIES = {
     "quality_score": (q_quality, SQL_QUALITY),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "phrase_suggest_dym": (q_phrase_suggest, _sql_phrase_suggest()),
+    "ccnet_ppl_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms()),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
