@@ -1424,3 +1424,30 @@ def test_geo_bounding_box_inclusive(spark):
     )
     got = geo_bounding_box(df, "lat", "lon", (15.0, 20.0), (10.0, 30.0))
     assert sorted(map(tuple, got.collect())) == [(10.0, 20.0), (15.0, 25.0)]
+
+
+def test_strip_html_extracts_text(spark):
+    from esbulk_spark.operators.textstats import strip_html
+
+    html = (
+        "<html><head><style>body {color: red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><!-- nav --><h1>Title &amp; More</h1>"
+        "<p>First&nbsp;paragraph.</p><p>Second &lt;b&gt;</p>"
+        "<div>List:<ul><li>one</li><li>two</li></ul></div></body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, "plain, no markup")],
+                               ["doc_id", "raw"])
+    got = {r["doc_id"]: r["text"]
+           for r in strip_html(df, "raw").collect()}
+    t = got[1]
+    assert "Title & More" in t
+    assert "First paragraph." in t
+    assert "Second <b>" in t
+    assert "one" in t and "two" in t
+    # script/style payloads and comments are gone
+    assert "color" not in t and "not text" not in t and "nav" not in t
+    # paragraph structure survived as line breaks
+    assert t.index("Title") < t.index("First") < t.index("Second")
+    assert "\n" in t
+    assert got[2] == "plain, no markup"
