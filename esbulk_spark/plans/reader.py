@@ -1976,6 +1976,48 @@ class IndexReader:
             ]
         return out
 
+    def search_intervals(
+        self,
+        terms: list[str],
+        mode: str = "all_of",
+        max_gaps: int = -1,
+        ordered: bool = False,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES ``intervals`` query, the single-level term shape: `all_of`
+        requires every clause with the combined span's internal gap
+        bounded by ``max_gaps`` (Lucene: width - clauses <= max_gaps;
+        ``max_gaps=-1`` waives proximity entirely, i.e. document-level
+        conjunction — routed to the pruned AND path, no positions
+        needed); `any_of` matches any clause, scored per ES's
+        best-clause behavior (the dis_max shape: max clause score).
+        Proximity-bounded all_of rides the span_near machinery
+        (identical window semantics)."""
+        if mode not in ("all_of", "any_of"):
+            raise ValueError("mode must be all_of|any_of")
+        if mode == "all_of":
+            if max_gaps < 0:
+                return self.search_and(" ".join(terms), k=k)
+            return self.search_span_near(
+                terms, slop=max_gaps, in_order=ordered, k=k
+            )
+        # any_of: best single-clause score per doc (dis_max, tie 0)
+        per = [
+            self.search(t, k=max(k * 4, 50)).select(
+                "doc_id", F.col("score").alias("s")
+            )
+            for t in terms
+        ]
+        from functools import reduce as _reduce
+
+        u = _reduce(lambda a, b: a.unionByName(b), per)
+        return (
+            u.groupBy("doc_id")
+            .agg(F.max("s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def suggest_phrase(
         self,
         text: str,

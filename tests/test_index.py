@@ -1565,3 +1565,55 @@ def test_suggest_phrase_on_index(reader):
     assert any(s["text"] == f"{a} {b}" for s in got)
     top = got[0]
     assert set(top) == {"text", "n_edits", "score"}
+
+
+def test_intervals_query_maps_to_primitives(spark, tmp_path):
+    """ES intervals: all_of(max_gaps) == span_near window semantics,
+    all_of(max_gaps=-1) == pruned conjunction, any_of == best clause."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha xx beta yy gamma"),
+        (2, "gamma beta alpha"),
+        (3, "alpha zz zz zz beta"),
+        (4, "beta only here"),
+    ]
+    docs = spark.createDataFrame(rows, "uid long, content string")
+    d = str(tmp_path / "idx_iv")
+    cfg = IndexConfig(index_dir=d, id_col="uid", n_buckets=4, n_shards=2,
+                      store_positions=True)
+    build_index(spark, docs, cfg, input_sig="iv5")
+    r = IndexReader(spark, d)
+
+    near = sorted(
+        (x.doc_id, round(x.score, 6))
+        for x in r.search_span_near(["alpha", "beta"], slop=1).collect()
+    )
+    iv = sorted(
+        (x.doc_id, round(x.score, 6))
+        for x in r.search_intervals(["alpha", "beta"], max_gaps=1).collect()
+    )
+    assert iv == near and iv
+
+    conj = sorted(
+        (x.doc_id, round(x.score, 6))
+        for x in r.search_and("alpha beta").collect()
+    )
+    iv_all = sorted(
+        (x.doc_id, round(x.score, 6))
+        for x in r.search_intervals(["alpha", "beta"]).collect()
+    )
+    assert iv_all == conj and len(iv_all) == 4
+
+    any_of = {x.doc_id: x.score
+              for x in r.search_intervals(["alpha", "only"], mode="any_of").collect()}
+    a = {x.doc_id: x.score for x in r.search("alpha").collect()}
+    o = {x.doc_id: x.score for x in r.search("only").collect()}
+    for doc, s in any_of.items():
+        assert s == pytest.approx(max(a.get(doc, 0.0), o.get(doc, 0.0)))
+    assert set(any_of) == set(a) | set(o)
+
+    with pytest.raises(ValueError):
+        r.search_intervals(["alpha"], mode="one_of")
