@@ -105,9 +105,11 @@ def dsir_weights(
 
     Scale shape: the two models are B-row aggregates (B = n_buckets,
     constant) — they and the one-row totals broadcast to the scoring
-    join, so scoring is ONE pass over the raw corpus features plus a
-    per-doc hash-agg; nothing shuffles at corpus width except the final
-    groupBy(id), which is the output itself."""
+    join, so nothing shuffles at corpus width except the feature
+    hash-aggs and the final groupBy(id) (the output itself). The raw
+    feature table feeds both r_model and the scoring join; at 100 TB
+    persist/checkpoint it (or pass a precomputed table) so the corpus
+    tokenizes once — the lazy plan recomputes branches."""
     feats = _hashed_ngram_buckets(raw_df, text_col, id_col, n_buckets)
     t_model = (
         _hashed_ngram_buckets(target_df, text_col, id_col, n_buckets)
