@@ -850,3 +850,46 @@ def cat_indices(index_dirs: list[str]) -> list[dict]:
             ) + (row["docs_count"] or 0)
         out.append(row)
     return out
+
+
+def cat_segments(index_dir: str) -> list[dict]:
+    """ES GET /_cat/segments analog: one driver-side metadata row per
+    physical segment of the index — the base segment plus every
+    attached (unmerged) delta. No Spark jobs."""
+    rows = []
+    for name, d in [("_base", index_dir)] + [
+        (os.path.basename(s), s) for s in attached_segments(index_dir)
+    ]:
+        stats_path = os.path.join(d, STATS_FILE)
+        if not os.path.exists(stats_path):
+            rows.append({"segment": name, "committed": False})
+            continue
+        with open(stats_path) as f:
+            st = json.load(f)
+        rows.append(
+            {
+                "segment": name,
+                "committed": True,
+                "docs_count": st.get("n_docs"),
+                "terms": st.get("total_postings"),
+                "n_shards": st.get("n_shards"),
+                "store_size_bytes": _du(d),
+                "store_positions": bool(st.get("store_positions")),
+            }
+        )
+    return rows
+
+
+def index_stats(index_dir: str) -> dict:
+    """ES GET <index>/_stats analog: totals across the base segment and
+    attached deltas (docs, postings, bytes, segment count), driver-side
+    only."""
+    segs = cat_segments(index_dir)
+    live = [s for s in segs if s.get("committed")]
+    return {
+        "segments": len(segs),
+        "docs_count": sum(s.get("docs_count") or 0 for s in live),
+        "terms": sum(s.get("terms") or 0 for s in live),
+        "store_size_bytes": sum(s.get("store_size_bytes") or 0 for s in live),
+        "attached": len(segs) - 1,
+    }

@@ -343,3 +343,29 @@ def test_reshard_split_and_shrink(spark, corpus, tmp_path):
 
     with pytest.raises(ValueError, match="n_shards"):
         admin.reshard_index(spark, f"{base}/src", f"{base}/bad", n_shards=0)
+
+
+def test_cat_segments_and_index_stats(spark, tmp_path):
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.corpus import synth_corpus
+    from esbulk_spark.plans.admin import (
+        append_docs,
+        cat_segments,
+        index_stats,
+    )
+    from esbulk_spark.plans.build import build_index
+
+    d = str(tmp_path / "idx_cat")
+    cfg = IndexConfig(index_dir=d, n_buckets=4, n_shards=2)
+    build_index(spark, synth_corpus(spark, 60, seed=3), cfg, input_sig="c60")
+    append_docs(spark, d, synth_corpus(spark, 15, seed=4), merge=False)
+
+    segs = cat_segments(d)
+    assert [s["segment"] for s in segs][0] == "_base"
+    assert len(segs) == 2 and all(s["committed"] for s in segs)
+    assert segs[0]["docs_count"] == 60 and segs[1]["docs_count"] == 15
+
+    st = index_stats(d)
+    assert st["docs_count"] == 75
+    assert st["segments"] == 2 and st["attached"] == 1
+    assert st["store_size_bytes"] > 0
