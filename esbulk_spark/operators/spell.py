@@ -48,12 +48,6 @@ def phrase_suggest(
     """Top-k corrected phrases for `query` as (suggestion, n_edits,
     score). The original token is always a candidate with 0 edits, so
     "no correction" competes on LM probability like any other phrase."""
-    toks = [w for w in query.lower().split() if w]
-    if not toks:
-        raise ValueError("empty query")
-    if len(toks) > MAX_TOKENS:
-        raise ValueError(f"phrase suggester caps at {MAX_TOKENS} tokens")
-
     words = df.select(_ws_words(text_col).alias("w"))
     uni = (
         words.select(F.explode("w").alias("t"))
@@ -70,6 +64,32 @@ def phrase_suggest(
     totals = uni.agg(
         F.sum("c1").alias("tt"), F.count("*").alias("vsz")
     )  # one row -> broadcast
+    return _suggest_over(
+        uni, bi, totals, query, max_edits, prefix_length, per_slot, k,
+        alpha, p_error,
+    )
+
+
+def _suggest_over(
+    uni: DataFrame,
+    bi: DataFrame,
+    totals: DataFrame,
+    query: str,
+    max_edits: int,
+    prefix_length: int,
+    per_slot: int,
+    k: int,
+    alpha: float,
+    p_error: float,
+) -> DataFrame:
+    """Candidate generation + noisy-channel scoring over (uni, bi,
+    totals) count tables — shared by the corpus-pass and prebuilt-LM
+    entry points."""
+    toks = [w for w in query.lower().split() if w]
+    if not toks:
+        raise ValueError("empty query")
+    if len(toks) > MAX_TOKENS:
+        raise ValueError(f"phrase suggester caps at {MAX_TOKENS} tokens")
 
     def slot_candidates(i: int, tok: str) -> DataFrame:
         pref = tok[:prefix_length]
@@ -144,3 +164,75 @@ def phrase_suggest(
         (score + n_edits * F.lit(math.log(p_error))).alias("score"),
     )
     return out.orderBy(F.desc("score"), F.asc("suggestion")).limit(k)
+
+
+def build_lm(df: DataFrame, text_col: str, out_dir: str) -> dict:
+    """Materialize the suggester's language model (unigram + bigram
+    count tables + totals) to parquet. A deployment builds this once
+    per index build; suggest-time work then drops from two corpus
+    passes per query to joins against two count tables — the ES
+    analogy is the shingle FIELD being indexed up front.
+
+    Layout: <out_dir>/uni (t, c1), <out_dir>/bi (w1, w2, c12),
+    <out_dir>/lm_meta.json {tt, vsz}."""
+    import json
+    import os
+
+    words = df.select(_ws_words(text_col).alias("w"))
+    uni = (
+        words.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = (
+        words.filter(F.size("w") >= 2)
+        .select(F.explode(_bigram_pairs()).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    uni.write.mode("overwrite").parquet(os.path.join(out_dir, "uni"))
+    bi.write.mode("overwrite").parquet(os.path.join(out_dir, "bi"))
+    spark = df.sparkSession
+    tt, vsz = spark.read.parquet(os.path.join(out_dir, "uni")).agg(
+        F.sum("c1"), F.count("*")
+    ).first()
+    meta = {"tt": int(tt), "vsz": int(vsz)}
+    with open(os.path.join(out_dir, "lm_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+class PrebuiltLM:
+    """Handle over a materialized LM directory for suggest-time reuse."""
+
+    def __init__(self, spark, lm_dir: str):
+        import json
+        import os
+
+        self.spark = spark
+        self.uni = spark.read.parquet(os.path.join(lm_dir, "uni"))
+        self.bi = spark.read.parquet(os.path.join(lm_dir, "bi"))
+        with open(os.path.join(lm_dir, "lm_meta.json")) as f:
+            self.meta = json.load(f)
+
+
+def phrase_suggest_lm(
+    lm: PrebuiltLM,
+    query: str,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    per_slot: int = 5,
+    k: int = 3,
+    alpha: float = 0.5,
+    p_error: float = 0.1,
+) -> DataFrame:
+    """phrase_suggest against a PrebuiltLM: identical scoring, zero
+    corpus passes (candidate scan over the uni table + count joins)."""
+    totals = lm.uni.sparkSession.createDataFrame(
+        [(lm.meta["tt"], lm.meta["vsz"])], "tt long, vsz long"
+    )
+    return _suggest_over(
+        lm.uni, lm.bi, totals, query, max_edits, prefix_length,
+        per_slot, k, alpha, p_error,
+    )

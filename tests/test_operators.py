@@ -1451,3 +1451,30 @@ def test_strip_html_extracts_text(spark):
     assert t.index("Title") < t.index("First") < t.index("Second")
     assert "\n" in t
     assert got[2] == "plain, no markup"
+
+
+def test_phrase_suggest_prebuilt_lm_identical(spark, tmp_path):
+    """Materialized-LM suggester returns exactly the corpus-pass
+    result (same scores), with zero corpus passes at suggest time."""
+    from esbulk_spark.operators.spell import (
+        PrebuiltLM,
+        build_lm,
+        phrase_suggest,
+        phrase_suggest_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps") for i in range(20)]
+        + [(100, "the quick brown dog sleeps")],
+        ["doc_id", "text"],
+    )
+    lm_dir = str(tmp_path / "lm")
+    meta = build_lm(docs, "text", lm_dir)
+    assert meta["vsz"] == 7 and meta["tt"] == 105
+
+    lm = PrebuiltLM(spark, lm_dir)
+    a = [(r["suggestion"], r["n_edits"], round(r["score"], 10))
+         for r in phrase_suggest(docs, "text", "quick browm", k=3).collect()]
+    b = [(r["suggestion"], r["n_edits"], round(r["score"], 10))
+         for r in phrase_suggest_lm(lm, "quick browm", k=3).collect()]
+    assert a == b
