@@ -893,3 +893,15 @@ def index_stats(index_dir: str) -> dict:
         "store_size_bytes": sum(s.get("store_size_bytes") or 0 for s in live),
         "attached": len(segs) - 1,
     }
+
+
+def build_suggest_lm(spark: SparkSession, index_dir: str) -> dict:
+    """Materialize the phrase-suggester language model under
+    <index>/lm from the index's stored content (the ES analogy:
+    indexing the shingle field up front). IndexReader.suggest_phrase
+    auto-detects it; rebuild after appends/compaction to refresh."""
+    from esbulk_spark.operators.spell import build_lm
+    from esbulk_spark.plans.reader import IndexReader
+
+    r = IndexReader(spark, index_dir)
+    return build_lm(r.docs(), r._text_col(), os.path.join(index_dir, "lm"))

@@ -2032,18 +2032,39 @@ class IndexReader:
         (operators/spell.py; ES builds the LM from a shingle field —
         here it derives from the stored docs, so the index must carry
         content). Uses the LM's whitespace tokenization, not the code
-        analyzer: phrase suggestions operate on surface forms."""
-        from esbulk_spark.operators.spell import phrase_suggest
+        analyzer: phrase suggestions operate on surface forms.
 
-        out = phrase_suggest(
-            self.docs(),
-            self._text_col(),
-            text,
-            max_edits=max_edits,
-            prefix_length=prefix_length,
-            per_slot=per_slot,
-            k=size,
+        If ``admin.build_suggest_lm`` materialized ``<index>/lm``, the
+        prebuilt count tables serve the query (score-identical, zero
+        corpus passes); otherwise two corpus aggs run inline."""
+        import os
+
+        from esbulk_spark.operators.spell import (
+            PrebuiltLM,
+            phrase_suggest,
+            phrase_suggest_lm,
         )
+
+        lm_dir = os.path.join(self.index_dir, "lm")
+        if os.path.exists(os.path.join(lm_dir, "lm_meta.json")):
+            out = phrase_suggest_lm(
+                PrebuiltLM(self.spark, lm_dir),
+                text,
+                max_edits=max_edits,
+                prefix_length=prefix_length,
+                per_slot=per_slot,
+                k=size,
+            )
+        else:
+            out = phrase_suggest(
+                self.docs(),
+                self._text_col(),
+                text,
+                max_edits=max_edits,
+                prefix_length=prefix_length,
+                per_slot=per_slot,
+                k=size,
+            )
         return [
             {
                 "text": r["suggestion"],

@@ -369,3 +369,34 @@ def test_cat_segments_and_index_stats(spark, tmp_path):
     assert st["docs_count"] == 75
     assert st["segments"] == 2 and st["attached"] == 1
     assert st["store_size_bytes"] > 0
+
+
+def test_suggest_phrase_uses_prebuilt_lm(spark, tmp_path):
+    """suggest_phrase is identical before/after materializing the LM."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.corpus import synth_corpus
+    from esbulk_spark.plans.admin import build_suggest_lm
+    from esbulk_spark.plans.build import build_index
+    from esbulk_spark.plans.reader import IndexReader
+
+    d = str(tmp_path / "idx_lm")
+    cfg = IndexConfig(index_dir=d, n_buckets=4, n_shards=2)
+    build_index(spark, synth_corpus(spark, 80, seed=9), cfg, input_sig="l80")
+    r = IndexReader(spark, d)
+
+    text = " ".join(
+        x[0] for x in r.docs().select(r._text_col()).head(3)
+    ).lower().split()
+    pair = next((a, b) for a, b in zip(text, text[1:]) if len(a) >= 4)
+    typo = pair[0][:-1] + ("x" if pair[0][-1] != "x" else "y")
+    q = f"{typo} {pair[1]}"
+
+    before = r.suggest_phrase(q, size=3)
+    build_suggest_lm(spark, d)
+    import os
+    assert os.path.exists(os.path.join(d, "lm", "lm_meta.json"))
+    after = r.suggest_phrase(q, size=3)
+    assert [(s["text"], s["n_edits"]) for s in before] == \
+        [(s["text"], s["n_edits"]) for s in after]
+    for x, y in zip(before, after):
+        assert x["score"] == pytest.approx(y["score"], abs=1e-9)
