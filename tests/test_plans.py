@@ -126,3 +126,54 @@ def test_search_page_keyset_filter_below_topk(reader):
     assert "TakeOrderedAndProject" in plan
     after_topk, _, below = plan.partition("TakeOrderedAndProject")
     assert "Filter" in below  # the keyset filter feeds the top-k
+
+
+def test_r4_text_operators_stay_jvm_side(spark, sf_dir):
+    """The LM/DSIR/sketch/suggest plans must contain no Python eval
+    node anywhere — every expression is Catalyst (codegen) so nothing
+    falls off the Arrow cliff at 100 TB."""
+    from esbulk_spark.entry_queries import QUERIES
+
+    for name in ("lm_perplexity", "dsir_importance_weights",
+                 "cms_heavy_hitters", "agg_cardinality_hll",
+                 "phrase_suggest_dym", "ccnet_ppl_buckets"):
+        fn, _sql = QUERIES[name]
+        plan = _plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_geo_distance_box_prefilter_is_pushed(spark, sf_dir):
+    """geo_distance's cap bounding box must reach the parquet scan as
+    pushed range predicates — the trig filter alone would force a full
+    read."""
+    from esbulk_spark.operators.geo import geo_distance
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("value") / 10).alias("lat"), (F.col("value") - 180).alias("lon")
+    )
+    # derived (non-scan) columns can't push; write a real-column frame
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    ev.limit(100).write.mode("overwrite").parquet(os.path.join(d, "pts"))
+    pts = spark.read.parquet(os.path.join(d, "pts"))
+    plan = _plan(geo_distance(pts, "lat", "lon", (40.0, -74.0), 500.0))
+    pushed = plan.split("PushedFilters", 1)[1]
+    assert "lat" in pushed and "lon" in pushed
+    assert "GreaterThanOrEqual" in pushed or ">=" in pushed
+
+
+def test_sketch_aggs_partial_before_exchange(spark, sf_dir):
+    """HLL register build must partial-aggregate map-side (HashAggregate
+    below the Exchange) — the sketch's scale contract."""
+    from esbulk_spark.operators.sketch import hll_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(hll_sketch(ev, "user_id", ["event_type"]))
+    first_agg = plan.index("HashAggregate")
+    first_ex = plan.index("Exchange")
+    # reading bottom-up: the partial agg appears AFTER the exchange in
+    # the printed tree (deeper = later in string), i.e. there must be a
+    # HashAggregate deeper than the exchange
+    assert plan.rindex("HashAggregate") > first_ex
+    assert first_agg < first_ex  # and a final agg above it
