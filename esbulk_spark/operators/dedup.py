@@ -225,7 +225,7 @@ def minhash_signatures(
     return exploded.groupBy("id", "perm").agg(F.min("h").alias("minhash"))
 
 
-def minhash_lsh_pairs(
+def minhash_band_keys(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -234,12 +234,12 @@ def minhash_lsh_pairs(
     n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """LSH candidate pairs: ids agreeing on ALL rows of >=1 band.
-
-    bands = n_perm / band_size; a pair with Jaccard j collides with
-    probability 1-(1-j^band_size)^bands — the classic S-curve."""
+    """(id, band_key) — each doc's LSH band keys. The band key is a
+    pure function of the text (hash minima only), so keys computed for
+    different batches at different times collide iff the same-batch
+    keys would: the property incremental dedup rests on."""
     sig = minhash_signatures(df, text_col, id_col, n_perm, n, seed)
-    banded = (
+    return (
         sig.withColumn("band", (F.col("perm") / band_size).cast("int"))
         .groupBy("id", "band")
         .agg(F.sort_array(F.collect_list(F.struct("perm", "minhash"))).alias("sig"))
@@ -253,6 +253,25 @@ def minhash_lsh_pairs(
                 ),
             ),
         )
+        .select("id", "band_key")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_perm: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs: ids agreeing on ALL rows of >=1 band.
+
+    bands = n_perm / band_size; a pair with Jaccard j collides with
+    probability 1-(1-j^band_size)^bands — the classic S-curve."""
+    banded = minhash_band_keys(
+        df, text_col, id_col, n_perm, band_size, n, seed
     )
     a = banded.select(F.col("id").alias("id_a"), "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band_key")
@@ -509,3 +528,86 @@ def duplicate_spans(
         )
         .select("doc_id", "span_start", "span_end", "n_grams")
     )
+
+
+# ------------------------------------------------- incremental dedup
+
+
+def minhash_state_write(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    state_dir: str,
+    n_perm: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    seed: int = 42,
+) -> None:
+    """Append a batch's (id, band_key) rows to the dedup state table.
+    The state is band-key-sized (bands x docs rows), not corpus-sized —
+    the artifact an incremental 100 TB pipeline keeps between runs."""
+    minhash_band_keys(
+        df, text_col, id_col, n_perm, band_size, n, seed
+    ).write.mode("append").parquet(state_dir)
+
+
+def minhash_lsh_pairs_incremental(
+    spark,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    state_dir: str,
+    n_perm: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    seed: int = 42,
+    update_state: bool = True,
+) -> DataFrame:
+    """Candidate near-dup pairs touching the NEW batch only: new-vs-new
+    plus new-vs-history via the stored band keys — history text is
+    never re-read, never re-hashed. Appending each batch's keys keeps
+    the invariant: the union of per-batch incremental pairs equals the
+    from-scratch LSH pairs over the concatenated corpus (band keys are
+    text-pure functions; pytest pins the equality).
+
+    Scale shape: one equi-join of the batch's keys against the state on
+    band_key (both sides hash-partitioned on the key), plus the batch
+    self-join. Hot band keys (boilerplate docs) fan out exactly as they
+    do in the batch variant — the guard knobs there apply here."""
+    import glob
+    import os
+
+    new_keys = minhash_band_keys(
+        new_df, text_col, id_col, n_perm, band_size, n, seed
+    )
+    # snapshot the state's file list BEFORE the append below: the
+    # returned (lazy) plan reads exactly these files, so recomputation
+    # can never see this batch's own keys on the history side
+    old_files = sorted(glob.glob(os.path.join(state_dir, "*.parquet")))
+    if update_state:
+        new_keys.write.mode("append").parquet(state_dir)
+        new_keys = spark.read.parquet(state_dir).join(
+            new_df.select(F.col(id_col).alias("id")).distinct(), ["id"]
+        )
+    a = new_keys.select(F.col("id").alias("id_a"), "band_key")
+    b = new_keys.select(F.col("id").alias("id_b"), "band_key")
+    pairs = (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    if old_files:
+        old = spark.read.parquet(*old_files).select(
+            F.col("id").alias("id_a"), "band_key"
+        )
+        cross = (
+            old.join(new_keys.select(F.col("id").alias("id_b"), "band_key"),
+                     "band_key")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+        )
+        pairs = pairs.unionByName(cross)
+    return pairs.distinct()

@@ -1478,3 +1478,38 @@ def test_phrase_suggest_prebuilt_lm_identical(spark, tmp_path):
     b = [(r["suggestion"], r["n_edits"], round(r["score"], 10))
          for r in phrase_suggest_lm(lm, "quick browm", k=3).collect()]
     assert a == b
+
+
+def test_incremental_lsh_equals_from_scratch(spark, tmp_path, sf_dir):
+    """Union of per-batch incremental candidate pairs == from-scratch
+    LSH pairs over the whole corpus; history is only touched via the
+    stored band keys."""
+    state = str(tmp_path / "dedup_state")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+        .cache()
+    )
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 1)
+    b3 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    got = set()
+    for batch in (b1, b2, b3):
+        pairs = dedup.minhash_lsh_pairs_incremental(
+            spark, batch, "text", "doc_id", state
+        )
+        got |= {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    }
+    assert got == full and full  # fixture has real near-dups
+
+    # a replayed batch adds no NEW pairs beyond its own known ones
+    again = dedup.minhash_lsh_pairs_incremental(
+        spark, b2, "text", "doc_id", state, update_state=False
+    )
+    assert {(r["id_a"], r["id_b"]) for r in again.collect()} <= full
