@@ -337,6 +337,52 @@ FROM lineitem GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 5
 """
 
 
+def q_agg_boxplot(spark, sf_dir):
+    """ES boxplot agg (exact interpolated quartiles) per returnflag."""
+    return A.compile_aggs(
+        _t(spark, sf_dir, "lineitem"),
+        {
+            "by_flag": {
+                "terms": {"field": "l_returnflag", "order": "key_asc"},
+                "aggs": {"price": {"boxplot": {"field": "l_extendedprice"}}},
+            }
+        },
+    )
+
+
+SQL_AGG_BOXPLOT = """
+SELECT l_returnflag AS key, count(*) AS doc_count,
+       round(min(l_extendedprice), 4) AS price_min,
+       round(max(l_extendedprice), 4) AS price_max,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS price_q1,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS price_q2,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS price_q3
+FROM lineitem GROUP BY 1 ORDER BY key
+"""
+
+
+def q_agg_mad(spark, sf_dir):
+    """ES median_absolute_deviation, exact two-pass per returnflag."""
+    out = A.mad_agg(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", ["l_returnflag"]
+    )
+    return out.select(
+        F.col("l_returnflag").alias("key"), "mad"
+    ).orderBy("key")
+
+
+SQL_AGG_MAD = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag AS key,
+       round(quantile_cont(abs(l.l_extendedprice - med.m), 0.5), 4) AS mad
+FROM lineitem l JOIN med USING (l_returnflag)
+GROUP BY 1 ORDER BY key
+"""
+
+
 # ------------------------------------------------- filters agg
 
 
@@ -597,6 +643,8 @@ AGG_QUERIES = {
     "agg_adjacency_matrix": (q_agg_adjacency, _sql_adjacency()),
     "agg_matrix_stats_corr": (q_agg_matrix_stats, _sql_matrix_stats()),
     "agg_weighted_avg": (q_agg_weighted_avg, SQL_AGG_WEIGHTED_AVG),
+    "agg_boxplot_price": (q_agg_boxplot, SQL_AGG_BOXPLOT),
+    "agg_mad_price": (q_agg_mad, SQL_AGG_MAD),
     "agg_composite_page": (q_agg_composite, SQL_AGG_COMPOSITE),
     "agg_nested_type_day": (q_agg_nested_type_day, SQL_AGG_NESTED),
     "agg_top_hits_per_lang": (q_agg_top_hits, SQL_AGG_TOP_HITS),

@@ -165,6 +165,21 @@ def _metric_cols(name: str, kind: str, body: dict, rnd: int | None):
         return [
             _r(F.sum(v * wt) / F.sum(wt)).alias(name)
         ], {}
+    if kind == "boxplot":
+        # ES boxplot (TDigest-approx there; EXACT interpolated here,
+        # documented divergence — same choice as the percentiles agg)
+        arr = F.expr(f"percentile({f}, array(0.25, 0.5, 0.75))")
+        cols = [
+            _r(F.min(F.col(f))).alias(f"{name}_min"),
+            _r(F.max(F.col(f))).alias(f"{name}_max"),
+            arr.alias(f"__{name}_q"),
+        ]
+        post = {
+            f"{name}_q1": _r(F.col(f"__{name}_q").getItem(0)),
+            f"{name}_q2": _r(F.col(f"__{name}_q").getItem(1)),
+            f"{name}_q3": _r(F.col(f"__{name}_q").getItem(2)),
+        }
+        return cols, post
     if kind == "percentiles":
         percents = body.get("percents", [25.0, 50.0, 75.0, 95.0, 99.0])
         fracs = ", ".join(repr(p / 100.0) for p in percents)
@@ -565,3 +580,27 @@ def top_hits(
     if select:
         out = out.select(group_field, "hit_rank", *select)
     return out.orderBy(F.asc(group_field), F.asc("hit_rank"))
+
+
+def mad_agg(
+    df: DataFrame,
+    field: str,
+    group_cols: list[str],
+    round_to: int | None = 4,
+) -> DataFrame:
+    """ES `median_absolute_deviation`, exact: median(|x - median(x)|)
+    per group. ES approximates with TDigest; exact needs the two-pass
+    shape — per-group median, join back (median side is one row per
+    group -> broadcast), second exact-percentile agg."""
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({field}, 0.5)").alias("__med")
+    )
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "__dev", F.abs(F.col(field) - F.col("__med"))
+    )
+    out = dev.groupBy(*group_cols).agg(
+        F.expr("percentile(__dev, 0.5)").alias("mad")
+    )
+    if round_to is not None:
+        out = out.withColumn("mad", F.round("mad", round_to))
+    return out

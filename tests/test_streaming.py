@@ -329,3 +329,36 @@ def test_streaming_hll_matches_batch_estimate(spark, sf_dir, tmp_path):
     assert {
         r["event_type"]: r["hll_estimate"] for r in sk.estimate().collect()
     } == batch
+
+
+def test_streaming_cms_matches_batch(spark, sf_dir, tmp_path):
+    """CMS maintained per micro-batch == one batch sketch (cell-wise sum
+    merge through the segment files)."""
+    from esbulk_spark.operators.sketch import cms_estimate, cms_sketch
+    from esbulk_spark.streaming.sketches import StreamingSketch
+
+    base = str(tmp_path)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type")
+        .limit(3000)
+        .cache()
+    )
+    rows = ev.collect()
+    sk = StreamingSketch(spark, f"{base}/cms", "event_type", [], kind="cms",
+                         d=3, w=512)
+    for i in range(3):
+        sk.process_batch(
+            spark.createDataFrame(rows[i::3], ev.schema), i
+        )
+    cand = ev.distinct()
+    streamed = {r["event_type"]: r["cms_count"] for r in
+                sk.estimate(cand).collect()}
+    direct_sk = cms_sketch(ev, "event_type", d=3, w=512)
+    direct = {r["event_type"]: r["cms_count"] for r in
+              cms_estimate(direct_sk, cand, "event_type", d=3, w=512).collect()}
+    assert streamed == direct
+    exact = {r["event_type"]: r["c"] for r in
+             ev.groupBy("event_type").agg(F.count("*").alias("c")).collect()}
+    for k, v in exact.items():
+        assert streamed[k] >= v  # one-sided error survives the merge
