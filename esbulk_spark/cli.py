@@ -172,6 +172,24 @@ def main(argv: list[str] | None = None) -> int:
     p_cat = sub.add_parser("cat", help="_cat/indices metadata")
     p_cat.add_argument("--index-dirs", required=True, help="comma-separated")
 
+    p_st = sub.add_parser("stats", help="<index>/_stats + _cat/segments")
+    p_st.add_argument("--index-dir", required=True)
+    p_st.add_argument("--segments", action="store_true",
+                      help="per-segment rows instead of totals")
+
+    p_sg = sub.add_parser(
+        "suggest", help='phrase suggester ("did you mean") over an index'
+    )
+    p_sg.add_argument("--index-dir", required=True)
+    p_sg.add_argument("--query", required=True)
+    p_sg.add_argument("--size", type=int, default=3)
+    p_sg.add_argument("--max-edits", type=int, default=2)
+    p_sg.add_argument(
+        "--build-lm", action="store_true",
+        help="materialize <index>/lm first (then suggest from it)",
+    )
+    _add_common(p_sg)
+
     p_compact = sub.add_parser(
         "compact", help="fold attached segments into the main index"
     )
@@ -201,7 +219,7 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     # metadata-only commands: no Spark session needed
-    if args.cmd in ("alias", "snapshot", "restore", "cat"):
+    if args.cmd in ("alias", "snapshot", "restore", "cat", "stats"):
         return _cmd_admin(args)
 
     from esbulk_spark.session import get_spark
@@ -223,6 +241,8 @@ def main(argv: list[str] | None = None) -> int:
             rc = _cmd_compact(spark, args)
         elif args.cmd == "reshard":
             rc = _cmd_reshard(spark, args)
+        elif args.cmd == "suggest":
+            rc = _cmd_suggest(spark, args)
         else:
             rc = _cmd_merge(spark, args)
     finally:
@@ -252,7 +272,29 @@ def _cmd_admin(args) -> int:
         meta = admin.restore_index(args.snap_dir, args.index_dir, args.overwrite)
         print(json.dumps(meta))
         return 0
+    if args.cmd == "stats":
+        if args.segments:
+            for row in admin.cat_segments(args.index_dir):
+                print(json.dumps(row))
+        else:
+            print(json.dumps(admin.index_stats(args.index_dir)))
+        return 0
     for row in admin.cat_indices(args.index_dirs.split(",")):
+        print(json.dumps(row))
+    return 0
+
+
+def _cmd_suggest(spark, args) -> int:
+    from esbulk_spark.plans.reader import IndexReader
+
+    if args.build_lm:
+        from esbulk_spark.plans.admin import build_suggest_lm
+
+        build_suggest_lm(spark, args.index_dir)
+    r = IndexReader(spark, args.index_dir)
+    for row in r.suggest_phrase(
+        args.query, max_edits=args.max_edits, size=args.size
+    ):
         print(json.dumps(row))
     return 0
 

@@ -541,3 +541,56 @@ def test_cli_span_modes(spark, tmp_path, capsys):
     assert rows == []
     rows = run(query="alpha", mode="span_first", span_end=10)
     assert len(rows) == 3
+
+
+def test_cli_suggest_and_stats(spark, tmp_path, capsys):
+    """`suggest` corrects a typo'd corpus phrase (with and without the
+    materialized LM); `stats` is Spark-free metadata."""
+    w = str(tmp_path / "s.parquet")
+    spark.createDataFrame(
+        [(i, "merge sort stable fast") for i in range(8)],
+        "k long, content string",
+    ).write.parquet(w)
+    idx = str(tmp_path / "idx_sg")
+    rc = cli_mod._cmd_index(
+        spark,
+        _args(input=w, index_dir=idx, id_col="k", sort_keys="k", purge=True),
+    )
+    assert rc == 0
+    capsys.readouterr()  # drain the ingest summary lines
+
+    rc = cli_mod._cmd_suggest(
+        spark,
+        _args(index_dir=idx, query="merge sart", size=3, max_edits=2,
+              build_lm=False),
+    )
+    assert rc == 0
+    out = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert out[0]["text"] == "merge sort"
+
+    # with the materialized LM: identical top suggestion
+    rc = cli_mod._cmd_suggest(
+        spark,
+        _args(index_dir=idx, query="merge sart", size=3, max_edits=2,
+              build_lm=True),
+    )
+    assert rc == 0
+    out2 = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert out2[0]["text"] == "merge sort"
+    import os
+    assert os.path.exists(os.path.join(idx, "lm", "lm_meta.json"))
+
+    # stats command routes through _cmd_admin without a Spark session
+    rc = cli_mod._cmd_admin(
+        argparse.Namespace(cmd="stats", index_dir=idx, segments=False)
+    )
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip())
+    assert st["docs_count"] == 8 and st["segments"] == 1
+
+    rc = cli_mod._cmd_admin(
+        argparse.Namespace(cmd="stats", index_dir=idx, segments=True)
+    )
+    assert rc == 0
+    segs = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert segs[0]["segment"] == "_base" and segs[0]["docs_count"] == 8
