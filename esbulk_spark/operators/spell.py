@@ -18,8 +18,9 @@ joins (<= per_slot+1 candidates per token, ES default-like caps).
 Scale shape: the two LM aggs are one corpus pass each (shareable /
 precomputable); candidate generation scans the VOCABULARY (not the
 corpus) with a cheap band prefilter; the combo table is bounded by
-per_slot^n_tokens rows (n_tokens capped), so the scoring joins keep
-the combo side broadcast no matter the corpus size.
+per_slot^n_tokens rows (n_tokens capped); each count table narrows to
+the combos' keys via a broadcast semi join before the outer scoring
+join, so no corpus-sized table is ever built or shuffled per query.
 """
 
 from __future__ import annotations
@@ -126,11 +127,21 @@ def _suggest_over(
     for i, tok in enumerate(toks[1:], start=1):
         combos = combos.crossJoin(F.broadcast(slot_candidates(i, tok)))
 
-    # LM score: log P(w0) + sum_i log P(w_{i+1} | w_i), add-alpha
-    # the COMBO side is the broadcast side: per_slot^n rows vs a
-    # corpus-sized LM table
-    scored = combos.crossJoin(F.broadcast(totals)).hint("broadcast").join(
-        uni.select(F.col("t").alias("w0"), F.col("c1").alias("p0")),
+    # LM score: log P(w0) + sum_i log P(w_{i+1} | w_i), add-alpha.
+    # Outer joins cannot broadcast their preserved side, so the scale
+    # move is: narrow each corpus-sized count table to the combos' keys
+    # with a broadcast SEMI join (combos is per_slot^n rows), then the
+    # left join's build side is that narrowed, combo-sized table.
+    def _narrow(model: DataFrame, keys: list[str]) -> DataFrame:
+        return model.join(
+            F.broadcast(combos.select(*keys).distinct()), keys, "semi"
+        )
+
+    scored = combos.crossJoin(F.broadcast(totals)).join(
+        F.broadcast(_narrow(
+            uni.select(F.col("t").alias("w0"), F.col("c1").alias("p0")),
+            ["w0"],
+        )),
         ["w0"],
         "left",
     )
@@ -148,8 +159,14 @@ def _suggest_over(
         u = uni.select(
             F.col("t").alias(f"w{i}"), F.col("c1").alias(f"u{i}")
         )
-        scored = scored.hint("broadcast").join(b, [f"w{i}", f"w{i + 1}"], "left")
-        scored = scored.hint("broadcast").join(u, [f"w{i}"], "left")
+        scored = scored.join(
+            F.broadcast(_narrow(b, [f"w{i}", f"w{i + 1}"])),
+            [f"w{i}", f"w{i + 1}"],
+            "left",
+        )
+        scored = scored.join(
+            F.broadcast(_narrow(u, [f"w{i}"])), [f"w{i}"], "left"
+        )
         score = score + F.log(
             (F.coalesce(F.col(f"b{i}"), F.lit(0)) + F.lit(alpha))
             / (F.coalesce(F.col(f"u{i}"), F.lit(0)) + F.lit(alpha) * F.col("vsz"))
