@@ -1939,6 +1939,34 @@ ORDER BY id_a, id_b
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """The INCREMENTAL near-dup path graded against the from-scratch
+    oracle: three batches (doc_id mod 3) run through
+    minhash_lsh_pairs_incremental with a fresh band-key state dir —
+    history is only ever touched via stored keys — and the union of
+    per-batch pairs must equal the full-corpus LSH SQL exactly."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    state = os.path.join(tempfile.mkdtemp(prefix="dedup_inc_"), "keys")
+    parts = []
+    for r in range(3):
+        batch = d.filter(F.col("doc_id") % 3 == r)
+        parts.append(
+            dedup.minhash_lsh_pairs_incremental(
+                spark, batch, "text", "doc_id", state,
+                n_perm=_N_PERM, band_size=_BAND, n=3,
+            )
+        )
+    from functools import reduce
+
+    return (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash(d, "text", "doc_id", bits=16).orderBy("id")
@@ -4342,6 +4370,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_jaccard_pairs, SQL_JACCARD),
     "dedup_minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "dedup_incremental_lsh": (q_dedup_incremental, SQL_MINHASH_LSH),
     "dedup_cluster_cc": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "training_pipeline_e2e": (q_training_pipeline, SQL_TRAINING_PIPELINE),
     "dedup_exact_substring_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),

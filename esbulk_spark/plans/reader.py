@@ -2018,6 +2018,22 @@ class IndexReader:
             .limit(k)
         )
 
+    def rank_eval(
+        self,
+        queries: dict[str, str],
+        judgments: DataFrame,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES _rank_eval over THIS index: run the rated queries through
+        the engine's batch search path (one job for all queries) and
+        score the rankings against `judgments` (qid, doc_id, grade)
+        with plans/rankeval.py — per-qid precision@k, recall@k, MRR,
+        DCG@k, NDCG@k."""
+        from esbulk_spark.plans.rankeval import rank_eval as _re
+
+        results = self.search_many(queries, k=k)
+        return _re(results.select("qid", "doc_id", "score"), judgments, k=k)
+
     def suggest_phrase(
         self,
         text: str,
