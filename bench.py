@@ -264,9 +264,11 @@ def main() -> None:
         # curation pipeline, and search over unmerged attached segments
         "ann_pq_adc_topk", "hybrid_rrf_topk", "training_pipeline_e2e",
         "segment_set_search",
-        # late-r4: LM quality filter, DSIR selection, sketch family
+        # late-r4: LM quality filter, DSIR selection, sketch family,
+        # suggester, geo, incremental dedup, rank_eval
         "lm_perplexity", "dsir_importance_weights", "cms_heavy_hitters",
-        "agg_cardinality_hll",
+        "agg_cardinality_hll", "phrase_suggest_dym", "geo_distance_users",
+        "dedup_incremental_lsh", "rank_eval_metrics",
     ]:
         fn, _ = QUERIES[name]
         t0 = time.monotonic()

@@ -93,8 +93,12 @@ def geo_distance(
 def geohash(lat: Column, lon: Column, precision: int = 5) -> Column:
     """Geohash cell string: precision*5 bits interleaved lon-first
     (Niemeyer). Bit k of each axis is floor(frac * 2^(k+1)) % 2 where
-    frac is the axis position in [0,1) — exact doubles (powers of two),
-    identical in any engine."""
+    frac is the axis position in [0,1) — the binary expansion of the
+    normalized fraction, pure arithmetic any engine computes
+    identically (the cross-engine contract). Agrees with the canonical
+    interval-bisection formulation everywhere except coordinates within
+    one float ulp of a cell boundary, where the two roundings can pick
+    adjacent cells (property-fuzzed in tests)."""
     if not 1 <= precision <= 8:
         raise ValueError("precision must be 1..8")
     xlon = (lon + F.lit(180.0)) / F.lit(360.0)
