@@ -4186,6 +4186,31 @@ FROM pts GROUP BY 1 ORDER BY doc_count DESC, cell ASC LIMIT {_GEOHASH_TOP}
 """
 
 
+def q_zorder_roundtrip(spark, sf_dir):
+    """Z-order layout integrity: events written Morton-clustered by
+    (user_id, value) read back row-identical (layout moves bytes, never
+    content). The pruning property itself is measured from parquet
+    footer stats in tests/test_layout.py."""
+    import tempfile
+
+    from esbulk_spark.operators.layout import zorder_write
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = os.path.join(tempfile.mkdtemp(prefix="zorder_"), "ev")
+    zorder_write(ev, ["user_id", "value"], out, bits=6, n_files=8)
+    return (
+        spark.read.parquet(out)
+        .select("event_id", "user_id", F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+SQL_ZORDER_ROUNDTRIP = """
+SELECT event_id, user_id, round(value, 4) AS value
+FROM events ORDER BY event_id
+"""
+
+
 def q_rank_eval(spark, sf_dir):
     """ES _rank_eval analog: per-query precision@10 / recall@10 / MRR /
     DCG@10 / NDCG@10. Queries = order priorities, ranking = totalprice
@@ -4421,6 +4446,7 @@ QUERIES = {
     "rank_eval_metrics": (q_rank_eval, SQL_RANK_EVAL),
     "geo_distance_users": (q_geo_distance, SQL_GEO_DISTANCE),
     "geohash_grid_users": (q_geohash_grid, SQL_GEOHASH_GRID),
+    "zorder_roundtrip": (q_zorder_roundtrip, SQL_ZORDER_ROUNDTRIP),
 }
 
 # ES aggregation framework entries (esbulk_spark/entry_aggs.py)
