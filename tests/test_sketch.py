@@ -78,3 +78,26 @@ def test_cms_merge_equals_sketch_of_concat(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_sketch_estimates_partitioning_invariant(spark):
+    """HLL and CMS outputs are exactly identical under any input
+    partitioning (integer-exact aggregation — no float summation
+    order anywhere), the property that makes the graded estimates
+    reproducible on a 1000-executor cluster."""
+    from esbulk_spark.operators.sketch import cms_sketch, hll_cardinality
+
+    rows = [("g", i % 700) for i in range(5000)]
+    base = spark.createDataFrame(rows, ["g", "v"])
+    for parts in (1, 7, 32):
+        df = base.repartition(parts)
+        est = hll_cardinality(df, "v", ["g"]).collect()[0]["hll_estimate"]
+        ref = hll_cardinality(base.coalesce(1), "v", ["g"]).collect()[0][
+            "hll_estimate"
+        ]
+        assert est == ref  # bit-identical, not approx
+        sk = sorted(map(tuple, cms_sketch(df, "v", d=3, w=256).collect()))
+        skr = sorted(
+            map(tuple, cms_sketch(base.coalesce(1), "v", d=3, w=256).collect())
+        )
+        assert sk == skr
