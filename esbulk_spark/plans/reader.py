@@ -1976,6 +1976,67 @@ class IndexReader:
             ]
         return out
 
+    def search_pinned(
+        self, ids: list[int], query: str, k: int = 10
+    ) -> DataFrame:
+        """ES `pinned` query: the given doc ids rank first IN LIST ORDER
+        (ES assigns them descending sort-killer scores above any organic
+        hit), organic BM25 results follow, pinned ids deduplicated out
+        of the organic tail."""
+        organic = self.search(query, k=k + len(ids)).filter(
+            ~F.col("doc_id").isin(ids)
+        )
+        spark = self.spark
+        top = float(1 << 30)
+        pinned = spark.createDataFrame(
+            [(int(d), top - i) for i, d in enumerate(ids)],
+            "doc_id long, score double",
+        ).join(self.docs().select("doc_id"), ["doc_id"], "semi")
+        return (
+            pinned.unionByName(organic.select("doc_id", "score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_distance_feature(
+        self,
+        query: str,
+        field: str,
+        origin: float,
+        pivot: float,
+        boost: float = 1.0,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES `distance_feature` query over a numeric/date field:
+        relevance = BM25 + boost * pivot / (pivot + |field - origin|)
+        (the ES formula) — recency/proximity boosting that decays
+        hyperbolically, joined from the docs table onto the organic
+        candidates (candidate-sized join, not a corpus scan). Rescore-
+        window semantics: the boost re-ranks the top max(4k, 50)
+        organic candidates (the ES rescore pattern) — a doc outside
+        that window cannot be promoted by proximity alone."""
+        organic = self.search(query, k=max(4 * k, 50)).select(
+            "doc_id", F.col("score").alias("__bm25")
+        )
+        feat = self.docs().select(
+            "doc_id", F.col(field).cast("double").alias("__v")
+        )
+        dist = F.abs(F.col("__v") - F.lit(float(origin)))
+        bonus = F.lit(float(boost)) * F.lit(float(pivot)) / (
+            F.lit(float(pivot)) + dist
+        )
+        return (
+            organic.join(feat, ["doc_id"], "left")
+            .select(
+                "doc_id",
+                (F.col("__bm25") + F.coalesce(bonus, F.lit(0.0))).alias(
+                    "score"
+                ),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_intervals(
         self,
         terms: list[str],

@@ -1642,3 +1642,27 @@ def test_rank_eval_on_index(reader):
     out0 = {r["qid"]: r for r in reader.rank_eval(queries, none, k=5).collect()}
     assert all(out0[q]["precision_at_k"] == 0.0 and out0[q]["mrr"] == 0.0
                for q in queries)
+
+
+def test_pinned_and_distance_feature(reader):
+    organic = [r["doc_id"] for r in reader.search("getUserName", k=5).collect()]
+    assert organic
+    pin = [organic[-1], 999999999, organic[0]]  # unknown id drops out
+    got = reader.search_pinned(pin, "getUserName", k=5).collect()
+    ids = [r["doc_id"] for r in got]
+    # pinned ids first, in list order, missing id skipped, no dup after
+    assert ids[:2] == [organic[-1], organic[0]]
+    assert len(ids) == len(set(ids))
+    assert got[0]["score"] > got[2]["score"]
+
+    # distance_feature: boosting proximity to a doc's own dl value must
+    # reorder ties deterministically and never lose the strong matches
+    base = {r["doc_id"]: r["score"]
+            for r in reader.search("getUserName", k=10).collect()}
+    out = reader.search_distance_feature(
+        "getUserName", "dl", origin=0.0, pivot=5.0, boost=2.0, k=10
+    ).collect()
+    for r in out:
+        if r["doc_id"] in base:
+            assert r["score"] >= base[r["doc_id"]]
+            assert r["score"] <= base[r["doc_id"]] + 2.0 + 1e-9
