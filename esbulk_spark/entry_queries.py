@@ -1650,6 +1650,74 @@ def _sql_bm25(query: str, require_all: bool = False) -> str:
     return sql
 
 
+_PINNED_IDS = (3, 1)
+
+
+def q_pinned(spark, sf_dir):
+    """ES pinned query: promoted ids first in list order above organic
+    BM25 hits; oracle rebuilds the promoted scores + full-scan BM25."""
+    r = _index_for(spark, sf_dir)
+    out = r.search_pinned(list(_PINNED_IDS), FLAGSHIP_QUERY, k=10)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _sql_pinned() -> str:
+    organic = duckdb_bm25_sql(
+        "documents", FLAGSHIP_QUERY, id_col="doc_id", text_col="text",
+        k=10 + len(_PINNED_IDS), round_to=None,
+    )
+    top = float(1 << 30)
+    vals = ", ".join(
+        f"(CAST({d} AS BIGINT), {top - i!r})"
+        for i, d in enumerate(_PINNED_IDS)
+    )
+    excl = ", ".join(str(d) for d in _PINNED_IDS)
+    return f"""
+WITH organic AS (
+  SELECT doc_id, score FROM ({organic}) WHERE doc_id NOT IN ({excl})
+),
+pinned AS (
+  SELECT doc_id, score FROM (VALUES {vals}) v(doc_id, score)
+  WHERE doc_id IN (SELECT doc_id FROM documents)
+)
+SELECT doc_id, round(score, 4) AS score
+FROM (SELECT * FROM pinned UNION ALL SELECT * FROM organic)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+_DF_PIVOT, _DF_BOOST = 5.0, 2.0
+
+
+def q_distance_feature(spark, sf_dir):
+    """ES distance_feature: BM25 + boost*pivot/(pivot+|dl-origin|)
+    re-ranking the organic window (rescore semantics); short docs get
+    the proximity bonus here (origin 0 over the dl field)."""
+    r = _index_for(spark, sf_dir)
+    out = r.search_distance_feature(
+        FLAGSHIP_QUERY, "dl", origin=0.0,
+        pivot=_DF_PIVOT, boost=_DF_BOOST, k=10,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _sql_distance_feature() -> str:
+    organic = duckdb_bm25_sql(
+        "documents", FLAGSHIP_QUERY, id_col="doc_id", text_col="text",
+        k=50, round_to=None,
+    )
+    bonus = (
+        f"{_DF_BOOST} * {_DF_PIVOT} / ({_DF_PIVOT} + abs(d.dl - 0.0))"
+    )
+    return f"""
+WITH organic AS ({organic}),
+dls AS (SELECT doc_id, len({TOKS}) AS dl FROM documents)
+SELECT o.doc_id, round(o.score + {bonus}, 4) AS score
+FROM organic o LEFT JOIN dls d USING (doc_id)
+ORDER BY o.score + {bonus} DESC, o.doc_id ASC LIMIT 10
+"""
+
+
 def q_sim_classic(spark, sf_dir):
     """ES similarity-module analog (index setting `similarity: classic`,
     Lucene ClassicSimilarity TF-IDF): same flagship query ranked under
@@ -4332,6 +4400,8 @@ QUERIES = {
     "bm25_topk_hot_term": (q_bm25_hot, _sql_bm25(QUERY_HOT)),
     "bm25_batch_many": (q_bm25_batch, _sql_bm25_batch()),
     "sim_classic_topk": (q_sim_classic, _sql_similarity("classic")),
+    "pinned_query_topk": (q_pinned, _sql_pinned()),
+    "distance_feature_topk": (q_distance_feature, _sql_distance_feature()),
     "sim_lmdirichlet_topk": (
         q_sim_lmdirichlet,
         _sql_similarity("lmdirichlet"),
