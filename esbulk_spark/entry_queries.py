@@ -1268,6 +1268,60 @@ LIMIT 10
 """
 
 
+_RANDOM_SEED = 7
+
+
+def q_random_score(spark, sf_dir):
+    """ES random_score (seeded, deterministic): BM25 * uniform from
+    hash(seed:doc_id) — the reproducible shuffle used for result
+    diversification; the oracle recomputes the identical hash."""
+    r = _index_for(spark, sf_dir)
+    return r.search_random_score(
+        QUERY_FULLSCAN, seed=_RANDOM_SEED, k=10, round_to=4
+    )
+
+
+def _sql_random_score() -> str:
+    from esbulk_spark import B, K1
+
+    values = ", ".join(f"('{t}')" for t in analyze_query(QUERY_FULLSCAN))
+    u = (
+        f"({_duck_md5i(repr(str(_RANDOM_SEED) + ':') + ' || CAST(doc_id AS VARCHAR)')}"
+        " % 1000000) / 1000000.0"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), norms AS (
+  SELECT doc_id, len(toks) AS dl FROM toks
+), stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM norms
+), qterms(term) AS (
+  VALUES {values}
+), tf AS (
+  SELECT t.doc_id, u.t AS term, count(*) AS tf
+  FROM toks t, unnest(t.toks) AS u(t)
+  WHERE u.t IN (SELECT term FROM qterms)
+  GROUP BY t.doc_id, u.t
+), dict AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), agg AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * {K1 + 1.0}) /
+               (tf.tf + {K1} * ({1.0 - B} + {B} * n.dl / (SELECT avgdl FROM stats)))) AS score
+  FROM tf
+  JOIN dict d USING (term)
+  JOIN norms n USING (doc_id)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score * {u}, 4) AS score
+FROM agg
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 _BOOSTING_NEG, _BOOSTING_FACTOR = "merge", 0.5
 
 
@@ -4402,6 +4456,7 @@ QUERIES = {
     "sim_classic_topk": (q_sim_classic, _sql_similarity("classic")),
     "pinned_query_topk": (q_pinned, _sql_pinned()),
     "distance_feature_topk": (q_distance_feature, _sql_distance_feature()),
+    "random_score_topk": (q_random_score, _sql_random_score()),
     "sim_lmdirichlet_topk": (
         q_sim_lmdirichlet,
         _sql_similarity("lmdirichlet"),

@@ -1256,6 +1256,37 @@ class IndexReader:
         )
         return topk_deterministic(out, k, round_to)
 
+    def search_random_score(
+        self,
+        query: str,
+        seed: str | int = 0,
+        k: int = 10,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES ``function_score`` with ``random_score`` (seed + the doc-id
+        field, boost_mode multiply): each hit's BM25 multiplies a
+        DETERMINISTIC uniform in [0,1) keyed on hash(seed:doc_id) — the
+        reproducible-shuffle ES uses for result diversification /
+        sampling. Same permanent-random-number construction as the
+        mixture sampler (operators/mixing.py), so reruns and different
+        partitionings rank identically."""
+        from esbulk_spark.operators.dedup import md5_int
+
+        scored = self.score_all(query)
+        u = (
+            F.pmod(
+                md5_int(
+                    F.concat(
+                        F.lit(f"{seed}:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                F.lit(1_000_000),
+            )
+            / 1_000_000.0
+        )
+        out = scored.select("doc_id", (F.col("score") * u).alias("score"))
+        return topk_deterministic(out, k, round_to)
+
     # conjunctive-seed gate: when the rarest required term's df is under
     # this bound, its doc-id set is decoded driver-side (one pruned scan
     # of THAT term only) and pushed into the other terms' decoders as a

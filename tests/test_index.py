@@ -1666,3 +1666,18 @@ def test_pinned_and_distance_feature(reader):
         if r["doc_id"] in base:
             assert r["score"] >= base[r["doc_id"]]
             assert r["score"] <= base[r["doc_id"]] + 2.0 + 1e-9
+
+
+def test_random_score_deterministic_and_seeded(reader):
+    a = [(r["doc_id"], r["score"]) for r in
+         reader.search_random_score("getUserName", seed=1, k=10).collect()]
+    b = [(r["doc_id"], r["score"]) for r in
+         reader.search_random_score("getUserName", seed=1, k=10).collect()]
+    c = [(r["doc_id"], r["score"]) for r in
+         reader.search_random_score("getUserName", seed=2, k=10).collect()]
+    assert a == b            # same seed -> identical ranking
+    assert a != c            # different seed reshuffles
+    base = {r["doc_id"]: r["score"]
+            for r in reader.search("getUserName", k=1000).collect()}
+    for doc, s in a:
+        assert 0.0 <= s <= base[doc] + 1e-9  # u in [0,1) scales down
