@@ -383,6 +383,41 @@ GROUP BY 1 ORDER BY key
 """
 
 
+_SAMPLER_SIZE = 500
+
+
+def q_agg_sampler(spark, sf_dir):
+    """ES sampler agg: per-type value averages computed over a
+    deterministic 500-event PRN sample instead of the full table."""
+    sample = A.sampler_agg(
+        _t(spark, sf_dir, "events"), _SAMPLER_SIZE, "event_id"
+    )
+    return (
+        sample.groupBy("event_type")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .withColumnRenamed("event_type", "key")
+        .orderBy("key")
+    )
+
+
+def _sql_agg_sampler() -> str:
+    import esbulk_spark.operators.dedup as _dd
+
+    h = _dd.DUCK_MD5_INT.format("CAST(event_id AS VARCHAR) || ':sampler'")
+    return f"""
+WITH sample AS (
+  SELECT * FROM events
+  ORDER BY {h} % 1000000 ASC, event_id ASC LIMIT {_SAMPLER_SIZE}
+)
+SELECT event_type AS key, count(*) AS doc_count,
+       round(avg(value), 4) AS avg_value
+FROM sample GROUP BY 1 ORDER BY key
+"""
+
+
 # ------------------------------------------------- filters agg
 
 
@@ -645,6 +680,7 @@ AGG_QUERIES = {
     "agg_weighted_avg": (q_agg_weighted_avg, SQL_AGG_WEIGHTED_AVG),
     "agg_boxplot_price": (q_agg_boxplot, SQL_AGG_BOXPLOT),
     "agg_mad_price": (q_agg_mad, SQL_AGG_MAD),
+    "agg_sampler_avg": (q_agg_sampler, _sql_agg_sampler()),
     "agg_composite_page": (q_agg_composite, SQL_AGG_COMPOSITE),
     "agg_nested_type_day": (q_agg_nested_type_day, SQL_AGG_NESTED),
     "agg_top_hits_per_lang": (q_agg_top_hits, SQL_AGG_TOP_HITS),

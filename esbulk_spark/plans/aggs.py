@@ -604,3 +604,27 @@ def mad_agg(
     if round_to is not None:
         out = out.withColumn("mad", F.round("mad", round_to))
     return out
+
+
+def sampler_agg(
+    df: DataFrame,
+    size: int,
+    id_col: str,
+    salt: str = "sampler",
+) -> DataFrame:
+    """ES `sampler` aggregation's scope operator, made deterministic:
+    restrict downstream aggs to a fixed-size document sample. ES takes
+    the best-scoring docs per shard; outside a scoring context we take
+    the `size` smallest permanent-random-number hashes of the id (the
+    mixture sampler's construction) — a uniform, rerun- and
+    partitioning-stable sample any engine reproduces. One global
+    top-N by hash (TakeOrdered — no full sort), then feed the result
+    to compile_aggs / any groupBy."""
+    from esbulk_spark.operators.mixing import mixture_hash
+
+    return (
+        df.withColumn("__u", mixture_hash(id_col, salt))
+        .orderBy(F.asc("__u"), F.asc(id_col))
+        .limit(size)
+        .drop("__u")
+    )

@@ -294,3 +294,15 @@ def test_sibling_bucket_aggs(bucket_frame):
     row = A.sibling_bucket_agg(bucket_frame, "stats_bucket", "total").collect()[0]
     assert (row["count"], row["min"], row["max"], row["avg"], row["sum"]) == (
         4, 10.0, 40.0, 25.0, 100.0)
+
+
+def test_sampler_agg_deterministic_any_partitioning(spark):
+    from esbulk_spark.plans.aggs import sampler_agg
+
+    rows = [(i, f"t{i % 4}", float(i)) for i in range(2000)]
+    base = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    a = sorted(map(tuple, sampler_agg(base, 100, "event_id").collect()))
+    b = sorted(
+        map(tuple, sampler_agg(base.repartition(13), 100, "event_id").collect())
+    )
+    assert a == b and len(a) == 100
