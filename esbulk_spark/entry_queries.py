@@ -4033,6 +4033,38 @@ FROM documents ORDER BY id, frame_no
 """
 
 
+def q_json_object_field(spark, sf_dir):
+    """ES object-field access: events.props is a JSON document column
+    (the ES `object` mapping); filter and aggregate on props.k exactly
+    as a dotted field query would — JSON path extraction stays JVM-side
+    (get_json_object), one hash-agg."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_JSON_OBJECT_FIELD = """
+SELECT event_type, count(*) AS doc_count,
+       round(avg(k), 4) AS avg_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+WHERE k >= 50
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_events_hourly(spark, sf_dir):
     """Windowed aggregation (streaming-shaped, batch-evaluated)."""
     e = _t(spark, sf_dir, "events")
@@ -4560,6 +4592,7 @@ QUERIES = {
     "multimodal_frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     # generic relational coverage (window/agg/join/sort/limit)
     "events_hourly_window": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "json_object_field": (q_json_object_field, SQL_JSON_OBJECT_FIELD),
     "events_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "rollup_pricing_sets": (q_rollup_pricing, SQL_ROLLUP_PRICING),
     "asof_join_events": (q_asof_join, SQL_ASOF_JOIN),
