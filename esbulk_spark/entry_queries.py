@@ -1268,6 +1268,23 @@ LIMIT 10
 """
 
 
+def q_constant_score(spark, sf_dir):
+    """ES constant_score: filter-context match set, every hit scored
+    exactly the boost; first 20 matches by doc_id (the `_doc` order)."""
+    r = _index_for(spark, sf_dir)
+    return r.search_constant_score(QUERY_FULLSCAN, boost=1.5, k=20)
+
+
+def _sql_constant_score() -> str:
+    values = ", ".join(f"('{t}')" for t in analyze_query(QUERY_FULLSCAN))
+    return f"""
+SELECT DISTINCT doc_id, 1.5 AS score
+FROM (SELECT doc_id, unnest({TOKS}) AS t FROM documents)
+WHERE t IN (SELECT term FROM (VALUES {values}) q(term))
+ORDER BY doc_id ASC LIMIT 20
+"""
+
+
 _RANDOM_SEED = 7
 
 
@@ -4489,6 +4506,7 @@ QUERIES = {
     "pinned_query_topk": (q_pinned, _sql_pinned()),
     "distance_feature_topk": (q_distance_feature, _sql_distance_feature()),
     "random_score_topk": (q_random_score, _sql_random_score()),
+    "constant_score_match": (q_constant_score, _sql_constant_score()),
     "sim_lmdirichlet_topk": (
         q_sim_lmdirichlet,
         _sql_similarity("lmdirichlet"),

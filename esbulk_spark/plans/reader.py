@@ -1256,6 +1256,22 @@ class IndexReader:
         )
         return topk_deterministic(out, k, round_to)
 
+    def search_constant_score(
+        self, query: str, boost: float = 1.0, k: int = 10
+    ) -> DataFrame:
+        """ES ``constant_score``: filter-context matching — every doc
+        containing ANY query term scores exactly ``boost`` (no BM25, no
+        tf/idf work beyond the pruned postings scan); ties order by
+        doc_id, the ES `_doc` tie-break."""
+        scored = self.score_all(query)
+        return (
+            scored.select(
+                "doc_id", F.lit(float(boost)).alias("score")
+            )
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_random_score(
         self,
         query: str,
