@@ -418,6 +418,34 @@ FROM sample GROUP BY 1 ORDER BY key
 """
 
 
+def q_agg_top_metrics(spark, sf_dir):
+    """ES top_metrics: per event_type, the value carried by the LATEST
+    event (argmax by ts, event_id tie-break via the window's total
+    order on the partition)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_epoch", F.col("ts").cast("timestamp").cast("long")
+    )
+    out = A.top_metrics_agg(
+        ev, ["event_type"], "ts_epoch", ["value", "event_id"],
+        tie_cols=["event_id"],
+    )
+    return out.select(
+        F.col("event_type").alias("key"), "ts_epoch", "value", "event_id"
+    ).orderBy("key")
+
+
+SQL_AGG_TOP_METRICS = """
+SELECT event_type AS key, ts_epoch, value, event_id
+FROM (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+         round(value, 4) AS value, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY floor(epoch(ts)) DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY key
+"""
+
+
 # ------------------------------------------------- filters agg
 
 
@@ -681,6 +709,7 @@ AGG_QUERIES = {
     "agg_boxplot_price": (q_agg_boxplot, SQL_AGG_BOXPLOT),
     "agg_mad_price": (q_agg_mad, SQL_AGG_MAD),
     "agg_sampler_avg": (q_agg_sampler, _sql_agg_sampler()),
+    "agg_top_metrics_latest": (q_agg_top_metrics, SQL_AGG_TOP_METRICS),
     "agg_composite_page": (q_agg_composite, SQL_AGG_COMPOSITE),
     "agg_nested_type_day": (q_agg_nested_type_day, SQL_AGG_NESTED),
     "agg_top_hits_per_lang": (q_agg_top_hits, SQL_AGG_TOP_HITS),

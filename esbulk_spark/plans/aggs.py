@@ -628,3 +628,35 @@ def sampler_agg(
         .limit(size)
         .drop("__u")
     )
+
+
+def top_metrics_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    sort_col: str,
+    metric_cols: list[str],
+    ascending: bool = False,
+    round_to: int | None = 4,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """ES `top_metrics` aggregation: per bucket, the metric values of
+    the single top-sorted document (argmax/argmin by `sort_col`). One
+    window row_number per bucket key — same single-shuffle shape as
+    top_hits, emitting only the winner row's metrics. Pass `tie_cols`
+    (an in-partition unique key) for a deterministic winner when sort
+    values tie — the group key itself cannot break ties."""
+    order = [F.asc(sort_col) if ascending else F.desc(sort_col)] + [
+        F.asc(c) for c in (tie_cols or [])
+    ]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    out = (
+        df.select(*group_cols, sort_col, *metric_cols)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if round_to is not None:
+        for c in metric_cols:
+            if dict(out.dtypes)[c] in ("double", "float"):
+                out = out.withColumn(c, F.round(c, round_to))
+    return out
