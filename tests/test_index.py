@@ -1681,3 +1681,12 @@ def test_random_score_deterministic_and_seeded(reader):
             for r in reader.search("getUserName", k=1000).collect()}
     for doc, s in a:
         assert 0.0 <= s <= base[doc] + 1e-9  # u in [0,1) scales down
+
+
+def test_constant_score_filter_context(reader):
+    hits = reader.search_constant_score("getUserName", boost=2.5, k=50).collect()
+    organic = {r["doc_id"] for r in reader.search("getUserName", k=1000).collect()}
+    assert {r["doc_id"] for r in hits} <= organic
+    assert all(r["score"] == 2.5 for r in hits)
+    ids = [r["doc_id"] for r in hits]
+    assert ids == sorted(ids)  # _doc order
