@@ -446,6 +446,25 @@ FROM (
 """
 
 
+def q_agg_missing(spark, sf_dir):
+    """ES missing agg: count docs whose field is NULL. The events table
+    has no nullable column, so the fixture derives one the same way in
+    both engines (NULLIF on a predicate) — the agg machinery under
+    grade is the missing-bucket path."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "maybe_type", F.expr("nullif(event_type, 'click')")
+    )
+    return A.compile_aggs(
+        ev, {"no_type": {"missing": {"field": "maybe_type"}}}
+    )
+
+
+SQL_AGG_MISSING = """
+SELECT 'missing' AS key, count(*) AS doc_count
+FROM events WHERE nullif(event_type, 'click') IS NULL
+"""
+
+
 # ------------------------------------------------- filters agg
 
 
@@ -710,6 +729,7 @@ AGG_QUERIES = {
     "agg_mad_price": (q_agg_mad, SQL_AGG_MAD),
     "agg_sampler_avg": (q_agg_sampler, _sql_agg_sampler()),
     "agg_top_metrics_latest": (q_agg_top_metrics, SQL_AGG_TOP_METRICS),
+    "agg_missing_bucket": (q_agg_missing, SQL_AGG_MISSING),
     "agg_composite_page": (q_agg_composite, SQL_AGG_COMPOSITE),
     "agg_nested_type_day": (q_agg_nested_type_day, SQL_AGG_NESTED),
     "agg_top_hits_per_lang": (q_agg_top_hits, SQL_AGG_TOP_HITS),
