@@ -2092,7 +2092,9 @@ class IndexReader:
         ordered: bool = False,
         k: int = 10,
     ) -> DataFrame:
-        """ES ``intervals`` query, the single-level term shape: `all_of`
+        """ES ``intervals`` query, the single-level term shape (terms
+        are ANALYZED tokens, the span-API convention — pass
+        analyze_query(...) output, not raw text): `all_of`
         requires every clause with the combined span's internal gap
         bounded by ``max_gaps`` (Lucene: width - clauses <= max_gaps;
         ``max_gaps=-1`` waives proximity entirely, i.e. document-level
