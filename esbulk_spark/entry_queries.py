@@ -1753,7 +1753,7 @@ pinned AS (
 )
 SELECT doc_id, round(score, 4) AS score
 FROM (SELECT * FROM pinned UNION ALL SELECT * FROM organic)
-ORDER BY score DESC, doc_id ASC LIMIT 10
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
 """
 
 
@@ -1785,7 +1785,7 @@ WITH organic AS ({organic}),
 dls AS (SELECT doc_id, len({TOKS}) AS dl FROM documents)
 SELECT o.doc_id, round(o.score + {bonus}, 4) AS score
 FROM organic o LEFT JOIN dls d USING (doc_id)
-ORDER BY o.score + {bonus} DESC, o.doc_id ASC LIMIT 10
+ORDER BY round(o.score + {bonus}, 4) DESC, o.doc_id ASC LIMIT 10
 """
 
 
@@ -4430,7 +4430,7 @@ joined AS (
 ),
 perq AS (
   SELECT qid,
-         sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) / 10.0 AS precision_at_k,
+         sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) * 1.0 / count(*) AS precision_at_k,
          sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS n_rel_ret,
          coalesce(max(CASE WHEN g > 0 THEN 1.0 / rank END), 0.0) AS mrr,
          sum((pow(2.0, g) - 1) / log2(rank + 1)) AS dcg

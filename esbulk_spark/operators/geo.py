@@ -78,9 +78,25 @@ def geo_distance(
         dlon = math.degrees(
             math.asin(min(1.0, math.sin(r_rad) / math.cos(math.radians(clat))))
         )
+    # longitude extent may cross the antimeridian (Matuschek's
+    # crossing-180 case): the box [clon-dlon, clon+dlon] then wraps, so
+    # the sargable predicate becomes an OR of two ranges — still
+    # pushable (two range predicates over one column), still prunes.
+    lon_lo, lon_hi = clon - dlon, clon + dlon
+    if dlon >= 180.0:
+        lon_pred = F.lit(True)
+    elif lon_lo < -180.0:
+        lon_pred = (F.col(lon_col) >= lon_lo + 360.0) | (
+            F.col(lon_col) <= lon_hi
+        )
+    elif lon_hi > 180.0:
+        lon_pred = (F.col(lon_col) >= lon_lo) | (
+            F.col(lon_col) <= lon_hi - 360.0
+        )
+    else:
+        lon_pred = F.col(lon_col).between(lon_lo, lon_hi)
     boxed = df.filter(
-        F.col(lat_col).between(clat - dlat, clat + dlat)
-        & F.col(lon_col).between(clon - dlon, clon + dlon)
+        F.col(lat_col).between(clat - dlat, clat + dlat) & lon_pred
     )
     dist = haversine_km(
         F.col(lat_col), F.col(lon_col), F.lit(clat), F.lit(clon)

@@ -175,18 +175,45 @@ def cms_estimate(
     value_col: str,
     d: int = 4,
     w: int = 4096,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Point-frequency estimates for candidate values: min over the d
     row counters (one-sided error — never under-counts). The sketch is
-    tiny (<= d*w rows), so it broadcasts to the candidate join."""
+    tiny (<= d*w rows per group), so it broadcasts to the candidate
+    join.
+
+    A sketch built with group columns MUST pass the same `group_cols`
+    here: the estimate is then per (group, value), with absent cells
+    counting 0 within each group. Probing a grouped sketch ungrouped
+    would min() across all groups' counters and could return counts
+    below the true per-group frequency, breaking the one-sided-error
+    contract — that mismatch raises."""
+    group_cols = list(group_cols or [])
+    extra = [c for c in sketch.columns if c not in ("i", "b", "c")]
+    if sorted(extra) != sorted(group_cols):
+        raise ValueError(
+            f"sketch group columns {extra} != group_cols {group_cols}; "
+            "a grouped sketch must be probed with its group columns "
+            "(or pre-merged with cms_merge after dropping them)"
+        )
     cand = candidates.select(F.col(value_col).alias("__v")).distinct()
     probes = cand.select(
         "__v",
         F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i"),
     ).select("__v", "i", _cms_bucket(F.col("__v"), F.col("i"), w).alias("b"))
+    if group_cols:
+        # every (group, probe-cell) pair must exist so an absent cell
+        # counts 0 within ITS group (a bare left join on (i,b) would
+        # drop group-cell pairs another group happens to fill)
+        groups = sketch.select(*group_cols).distinct()
+        probes = probes.crossJoin(F.broadcast(groups))
+        joined = probes.join(
+            F.broadcast(sketch), [*group_cols, "i", "b"], "left"
+        )
+    else:
+        joined = probes.join(F.broadcast(sketch), ["i", "b"], "left")
     return (
-        probes.join(F.broadcast(sketch), ["i", "b"], "left")
-        .groupBy("__v")
+        joined.groupBy(*group_cols, "__v")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_count"))
         .withColumnRenamed("__v", value_col)
     )

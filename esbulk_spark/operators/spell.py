@@ -111,13 +111,14 @@ def _suggest_over(
             "t", F.lit(0).cast("long").alias("c1"), F.lit(0).alias("e")
         )
         cand = cand.unionByName(self_row)
-        # DirectSpellChecker-style rank: distance asc, freq desc, term asc
-        from pyspark.sql import Window
-
-        w = Window.orderBy(F.asc("e"), F.desc("c1"), F.asc("t"))
+        # DirectSpellChecker-style rank: distance asc, freq desc, term
+        # asc. Only the top per_slot+1 rows survive, so orderBy+limit
+        # (TakeOrderedAndProject: per-partition heaps + driver merge)
+        # instead of a global row_number window, which would funnel the
+        # whole band-filtered vocabulary through one partition.
         return (
-            cand.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= per_slot + 1)
+            cand.orderBy(F.asc("e"), F.desc("c1"), F.asc("t"))
+            .limit(per_slot + 1)
             .select(
                 F.col("t").alias(f"w{i}"), F.col("e").alias(f"e{i}")
             )

@@ -51,8 +51,10 @@ def rank_eval(
     )
     rel = F.when(F.col("g") > 0, 1).otherwise(0)
     gain = (F.pow(F.lit(2.0), F.col("g")) - 1) / F.log2(F.col("rank") + 1)
+    # ES precision@k divides by the RETRIEVED window size, not fixed k:
+    # a query returning 3 hits, all relevant, is 1.0 (not 3/k)
     per_q = ranked.groupBy(qid_col).agg(
-        (F.sum(rel) / F.lit(float(k))).alias("precision_at_k"),
+        (F.sum(rel) / F.count("*").cast("double")).alias("precision_at_k"),
         F.sum(F.when(F.col("g") > 0, rel).otherwise(0)).alias("__n_rel_ret"),
         F.coalesce(
             F.max(F.when(F.col("g") > 0, 1.0 / F.col("rank"))), F.lit(0.0)

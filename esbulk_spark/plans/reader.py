@@ -2024,12 +2024,16 @@ class IndexReader:
         return out
 
     def search_pinned(
-        self, ids: list[int], query: str, k: int = 10
+        self, ids: list[int], query: str, k: int = 10,
+        round_to: int | None = 4,
     ) -> DataFrame:
         """ES `pinned` query: the given doc ids rank first IN LIST ORDER
         (ES assigns them descending sort-killer scores above any organic
         hit), organic BM25 results follow, pinned ids deduplicated out
-        of the organic tail."""
+        of the organic tail. Ordered by the ROUNDED score (repo topk
+        convention) so near-tie floats select identically cross-engine;
+        the pinned sentinel scores (2^30 - i) are integral and
+        unaffected by rounding."""
         organic = self.search(query, k=k + len(ids)).filter(
             ~F.col("doc_id").isin(ids)
         )
@@ -2039,10 +2043,9 @@ class IndexReader:
             [(int(d), top - i) for i, d in enumerate(ids)],
             "doc_id long, score double",
         ).join(self.docs().select("doc_id"), ["doc_id"], "semi")
-        return (
-            pinned.unionByName(organic.select("doc_id", "score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
+        return topk_deterministic(
+            pinned.unionByName(organic.select("doc_id", "score")),
+            k, round_to,
         )
 
     def search_distance_feature(
@@ -2053,6 +2056,7 @@ class IndexReader:
         pivot: float,
         boost: float = 1.0,
         k: int = 10,
+        round_to: int | None = 4,
     ) -> DataFrame:
         """ES `distance_feature` query over a numeric/date field:
         relevance = BM25 + boost * pivot / (pivot + |field - origin|)
@@ -2072,17 +2076,13 @@ class IndexReader:
         bonus = F.lit(float(boost)) * F.lit(float(pivot)) / (
             F.lit(float(pivot)) + dist
         )
-        return (
-            organic.join(feat, ["doc_id"], "left")
-            .select(
-                "doc_id",
-                (F.col("__bm25") + F.coalesce(bonus, F.lit(0.0))).alias(
-                    "score"
-                ),
-            )
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
+        scored = organic.join(feat, ["doc_id"], "left").select(
+            "doc_id",
+            (F.col("__bm25") + F.coalesce(bonus, F.lit(0.0))).alias("score"),
         )
+        # rounded-score ordering (repo topk convention): near-tie float
+        # differences vs another engine cannot flip top-k membership
+        return topk_deterministic(scored, k, round_to)
 
     def search_intervals(
         self,

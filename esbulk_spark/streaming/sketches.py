@@ -89,5 +89,6 @@ class StreamingSketch:
         if candidates is None:
             raise ValueError("cms estimate needs a candidates DataFrame")
         return S.cms_estimate(
-            self.sketch(), candidates, self.value_col, self.d, self.w
+            self.sketch(), candidates, self.value_col, self.d, self.w,
+            group_cols=self.group_cols,
         )

@@ -1329,11 +1329,13 @@ def test_rank_eval_hand_example(spark):
     # q1: ranked docs a(3.0) b(2.0) c(1.0); judgments a=2, c=1, d=1
     results = spark.createDataFrame(
         [("q1", "a", 3.0), ("q1", "b", 2.0), ("q1", "c", 1.0),
-         ("q2", "x", 1.0)],
+         ("q2", "x", 1.0),
+         ("q3", "m", 2.0), ("q3", "n", 1.0)],
         ["qid", "doc_id", "score"],
     )
     judgments = spark.createDataFrame(
-        [("q1", "a", 2), ("q1", "c", 1), ("q1", "d", 1)],
+        [("q1", "a", 2), ("q1", "c", 1), ("q1", "d", 1),
+         ("q3", "m", 1), ("q3", "n", 1)],
         ["qid", "doc_id", "grade"],
     )
     out = {r["qid"]: r for r in
@@ -1353,6 +1355,10 @@ def test_rank_eval_hand_example(spark):
     q2 = out["q2"]
     assert (q2["precision_at_k"], q2["recall_at_k"], q2["mrr"],
             q2["dcg_at_k"], q2["ndcg_at_k"]) == (0.0, 0.0, 0.0, 0.0, 0.0)
+
+    # q3 retrieves only 2 docs under k=3, both relevant: ES precision
+    # divides by the RETRIEVED window (2), not fixed k -> 1.0, not 2/3
+    assert out["q3"]["precision_at_k"] == pytest.approx(1.0)
 
 
 def test_phrase_suggest_corrects_typos(spark):
@@ -1405,14 +1411,28 @@ def test_geo_distance_prefilter_never_drops(spark):
          for la, lo in itertools.product(range(-80, 81, 20), range(-180, 180, 30))],
         ["lat", "lon"],
     )
+    # denser longitudes near the dateline so the antimeridian cases
+    # have true matches on BOTH sides of ±180
+    near_dateline = spark.createDataFrame(
+        [(float(la), float(lo))
+         for la in range(-30, 31, 10)
+         for lo in (-179.8, -179.0, -178.0, 178.0, 179.0, 179.8)],
+        ["lat", "lon"],
+    )
+    pts = pts.union(near_dateline)
     for center, radius in [((40.0, -74.0), 6000.0), ((0.0, 0.0), 500.0),
-                           ((70.0, 10.0), 3000.0)]:
+                           ((70.0, 10.0), 3000.0),
+                           # antimeridian crossings, both directions
+                           ((0.0, 179.5), 300.0), ((10.0, -179.5), 300.0),
+                           ((0.0, 179.5), 3000.0)]:
         exact = pts.withColumn(
             "d", haversine_km(F.col("lat"), F.col("lon"),
                               F.lit(center[0]), F.lit(center[1]))
         ).filter(F.col("d") <= radius)
         got = geo_distance(pts, "lat", "lon", center, radius)
-        assert got.count() == exact.count()
+        n_exact = exact.count()
+        assert n_exact > 0, (center, radius)  # every case has true matches
+        assert got.count() == n_exact, (center, radius)
 
 
 def test_geo_bounding_box_inclusive(spark):

@@ -66,6 +66,31 @@ def test_cms_overestimates_never_under(spark):
     assert got["absent"] >= 0
 
 
+def test_cms_grouped_estimate_one_sided_per_group(spark):
+    """A grouped sketch probed with group_cols gives per-group counts
+    that never under-count WITHIN the group; probing it without
+    group_cols (which would min() across groups) raises."""
+    import pytest
+
+    from esbulk_spark.operators.sketch import cms_estimate, cms_sketch
+
+    rows = [("a", "hot")] * 300 + [("b", "hot")] * 7 + [
+        ("b", f"w{i}") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    sk = cms_sketch(df, "v", group_cols=["g"], d=4, w=256)
+    cand = spark.createDataFrame([("hot",), ("w0",), ("absent",)], ["v"])
+    got = {(r["g"], r["v"]): r["cms_count"] for r in
+           cms_estimate(sk, cand, "v", d=4, w=256, group_cols=["g"]).collect()}
+    assert got[("a", "hot")] >= 300
+    assert got[("b", "hot")] >= 7
+    # the cross-group min bug would report <=7 for group a's hot count
+    assert got[("a", "w0")] >= 0 and got[("b", "w0")] >= 1
+    assert got[("a", "absent")] >= 0
+    with pytest.raises(ValueError):
+        cms_estimate(sk, cand, "v", d=4, w=256)
+
+
 def test_cms_merge_equals_sketch_of_concat(spark):
     from esbulk_spark.operators.sketch import cms_merge, cms_sketch
 
