@@ -102,52 +102,173 @@ def _apply_merge(syms_col, left: str, right: str, merged: str):
     )
 
 
+def _triple_bounds(syms: DataFrame, cand: list) -> dict:
+    """For each candidate pair (l, r): the max weighted count over
+    adjacent TRIPLES (u, l, r) and (l, r, v) — an exact upper bound on
+    any single pair that merging (l, r) -> lr can create, since every
+    created (u, lr) adjacency consumes one (u, l, r) triple and every
+    (lr, v) one (l, r, v). One filtered hash-agg over the words table;
+    the filter keeps only triples whose first or last bigram is a
+    candidate, so the agg output is candidate-sized."""
+    n = F.size("syms")
+    t12 = F.zip_with(
+        F.slice(F.col("syms"), F.lit(1), n - 2),
+        F.slice(F.col("syms"), F.lit(2), n - 2),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    tri = F.zip_with(
+        t12,
+        F.slice(F.col("syms"), F.lit(3), n - 2),
+        lambda p, c: F.struct(
+            p["a"].alias("a"), p["b"].alias("b"), c.alias("c")
+        ),
+    )
+    sep = "\x00"
+    keys = [r["left"] + sep + r["right"] for r in cand]
+    k12 = F.concat_ws(sep, F.col("t.a"), F.col("t.b"))
+    k23 = F.concat_ws(sep, F.col("t.b"), F.col("t.c"))
+    exploded = (
+        syms.filter(n >= 3)
+        .select("cnt", F.explode(tri).alias("t"))
+        .filter(k12.isin(keys) | k23.isin(keys))
+        .groupBy(F.col("t.a").alias("a"), F.col("t.b").alias("b"),
+                 F.col("t.c").alias("c"))
+        .agg(F.sum("cnt").alias("total"))
+    )
+    bounds = {k: 0 for k in keys}
+    for row in exploded.collect():
+        t = int(row["total"])
+        for key in (row["a"] + sep + row["b"], row["b"] + sep + row["c"]):
+            if key in bounds:
+                bounds[key] = max(bounds[key], t)
+    return {
+        (r["left"], r["right"]): bounds[r["left"] + sep + r["right"]]
+        for r in cand
+    }
+
+
+def _admit_batch(
+    snapshot: list, bounds: dict, batch: int, min_freq: int
+) -> list:
+    """Select a PREFIX of the (count desc, lex asc)-ordered pair
+    snapshot that is provably order-equivalent to running the merges
+    one at a time. Merging (a, b) -> ab changes the count of exactly
+    three old-pair families — (u, a), (b, v), (a, b), all decreases —
+    and creates pairs (u, ab) / (ab, v) bounded by the triple counts
+    in ``bounds``. So candidate j = (l, r) is admitted while:
+
+    - it is UNAFFECTED by every earlier admitted merge i: r != l_i and
+      l != r_i (and neither symbol string-equals a created merged_i) —
+      its snapshot count is still exact. We STOP at the first affected
+      candidate rather than skip it: its decreased count might still
+      win its sequential round, which only the next full recount can
+      decide;
+    - its count strictly exceeds ub_new, the running max of the
+      admitted merges' created-pair bounds, so no created pair can
+      out-rank it (ties lose to creation order uncertainty, hence
+      strict).
+
+    Old pairs ranked behind j only keep or lower their counts and
+    already lose the (count, lex) tie-break, so at every step inside
+    the batch the true sequential argmax IS the next admitted
+    candidate: batched == sequential, merge for merge."""
+    admitted: list = []
+    lefts: set[str] = set()
+    rights: set[str] = set()
+    created: set[str] = set()
+    ub_new = 0
+    for row in snapshot:
+        total = int(row["total"])
+        if total < min_freq:
+            break
+        if admitted and total <= ub_new:
+            break
+        left, right = row["left"], row["right"]
+        if (
+            right in lefts
+            or left in rights
+            or left in created
+            or right in created
+        ):
+            break
+        admitted.append(row)
+        if len(admitted) >= batch:
+            break
+        lefts.add(left)
+        rights.add(right)
+        created.add(left + right)
+        ub_new = max(ub_new, bounds.get((left, right), total))
+    return admitted
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
     n_merges: int = 50,
     min_freq: int = 2,
+    batch: int = 8,
 ) -> list[dict]:
     """Train a BPE merge table over ``df[text_col]``.
 
     Returns the ordered merge list: [{iteration, left, right, merged,
     pair_count}]. Deterministic: argmax ties break lexicographically on
-    (left, right). Stops early when no pair reaches ``min_freq``."""
+    (left, right). Stops early when no pair reaches ``min_freq``.
+
+    Each ROUND is one Spark pair-count aggregation from which up to
+    ``batch`` merges are admitted (see _admit_batch — the admitted
+    prefix is provably identical to the one-merge-at-a-time sequence),
+    so a 32k-merge production vocabulary costs ~32k/batch job rounds
+    instead of 32k. ``batch=1`` recovers the classic loop exactly."""
     from pyspark import StorageLevel
 
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
     wf = word_counts(df, text_col)
     syms = _initial_symbols(wf).persist(StorageLevel.MEMORY_AND_DISK)
     merges: list[dict] = []
     prev = syms
+    done = 0
     try:
-        for it in range(n_merges):
-            best = (
+        while len(merges) < n_merges:
+            want = min(batch, n_merges - len(merges))
+            snapshot = (
                 _pair_counts(prev)
                 .orderBy(F.desc("total"), F.asc("left"), F.asc("right"))
-                .limit(1)
+                .limit(max(16, 2 * want))
                 .collect()
             )
-            if not best or int(best[0]["total"]) < min_freq:
+            # admission scans at most want+1 snapshot rows, so triple
+            # bounds (the second, candidate-sized agg of the round) are
+            # only needed for that prefix
+            bounds = (
+                _triple_bounds(prev, snapshot[: want + 1])
+                if want > 1 and snapshot
+                else {}
+            )
+            admitted = _admit_batch(snapshot, bounds, want, min_freq)
+            if not admitted:
                 break
-            left, right = best[0]["left"], best[0]["right"]
-            merged = left + right
-            merges.append(
-                {
-                    "iteration": it,
-                    "left": left,
-                    "right": right,
-                    "merged": merged,
-                    "pair_count": int(best[0]["total"]),
-                }
-            )
-            nxt = prev.select(
-                _apply_merge(F.col("syms"), left, right, merged).alias("syms"),
-                "cnt",
-            )
-            if (it + 1) % _CHECKPOINT_EVERY == 0:
+            col = F.col("syms")
+            for row in admitted:
+                left, right = row["left"], row["right"]
+                merged = left + right
+                merges.append(
+                    {
+                        "iteration": len(merges),
+                        "left": left,
+                        "right": right,
+                        "merged": merged,
+                        "pair_count": int(row["total"]),
+                    }
+                )
+                col = _apply_merge(col, left, right, merged)
+            nxt = prev.select(col.alias("syms"), "cnt")
+            done += len(admitted)
+            if done >= _CHECKPOINT_EVERY:
                 # cut the fold-transform lineage; eager so the old cache
                 # can drop immediately
                 nxt = nxt.localCheckpoint(eager=True)
+                done = 0
             else:
                 nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
             prev.unpersist()

@@ -13,6 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# hard ceiling on rows collected to the driver for PQ codebook
+# training: codebooks are m*ksub*dsub floats, so ~100k training
+# vectors saturate them; collecting more is pure driver-OOM risk
+PQ_TRAIN_CAP = 100_000
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -728,9 +733,10 @@ def ivfpq_build(
     Training: pass ``centroids``/``codebooks`` to pin them (the
     deterministic-oracle mode); otherwise the coarse quantizer trains
     with Spark KMeans and the codebooks with pq_train on a driver-side
-    sample (``train_fraction``, or everything when unset — at cluster
-    scale ALWAYS set it; codebooks need ~100k sampled rows, not the
-    corpus)."""
+    sample (``train_fraction``, or — when unset — a hard-capped
+    PQ_TRAIN_CAP-row sample: codebooks are m*ksub*dsub floats and never
+    need the corpus, and an uncapped default would collect 10^9 vectors
+    to the driver)."""
     import json
     import os
 
@@ -740,8 +746,11 @@ def ivfpq_build(
         sample = df.select(vec_col)
         if train_fraction:
             sample = sample.sample(train_fraction, seed=seed)
+        # unconditional driver-side cap: even an explicit train_fraction
+        # of a 10^9-vector corpus must not OOM the driver
         X = np.asarray(
-            [[float(x) for x in r[0]] for r in sample.collect()],
+            [[float(x) for x in r[0]]
+             for r in sample.limit(PQ_TRAIN_CAP).collect()],
             dtype=np.float64,
         )
         codebooks = pq_train(X, m=m, ksub=ksub, seed=seed)

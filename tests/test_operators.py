@@ -887,6 +887,38 @@ def test_pq_adc_scores_and_recall(spark, sf_dir):
         assert r.approx_d2 == want[r.id], r.id
 
 
+def test_pq_training_collect_is_capped(spark, sf_dir, tmp_path, monkeypatch):
+    """The default codebook-training path must never collect more than
+    PQ_TRAIN_CAP rows to the driver, train_fraction set or not — the
+    library default has to survive a 10^9-vector corpus."""
+    from esbulk_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert emb.count() > 50  # the cap below must actually bind
+    seen = {}
+    real = sim.pq_train
+
+    def spy(X, **kw):
+        seen["n"] = len(X)
+        return real(X, **kw)
+
+    monkeypatch.setattr(sim, "pq_train", spy)
+    monkeypatch.setattr(sim, "PQ_TRAIN_CAP", 50)
+    sim.ivfpq_build(
+        emb, "embedding", "vec_id", str(tmp_path / "pq"),
+        n_lists=4, m=4, ksub=8,
+    )
+    assert seen["n"] <= 50
+    # an explicit train_fraction is ALSO capped (fraction of 10^9 rows
+    # is still driver OOM)
+    seen.clear()
+    sim.ivfpq_build(
+        emb, "embedding", "vec_id", str(tmp_path / "pq2"),
+        n_lists=4, m=4, ksub=8, train_fraction=0.9,
+    )
+    assert seen["n"] <= 50
+
+
 def test_pq_adc_recall_on_clustered_vectors(spark, sf_dir):
     """Recall on PLANTED-neighbor data: 50 cluster centers x 10 noisy
     variants. Uniform-random vectors are the PQ worst case (16-bit
@@ -1166,6 +1198,34 @@ def test_bpe_train_matches_local_reference(spark, corpus):
     # early stop: a corpus where no pair reaches min_freq trains nothing
     tiny = spark.createDataFrame([("a b",)], "content string")
     assert bpe.bpe_train(tiny, "content", n_merges=4, min_freq=2) == []
+
+
+def test_bpe_batched_rounds_equal_sequential(spark, corpus, monkeypatch):
+    """Batched admission is ORDER-EQUIVALENT to one-merge-at-a-time
+    (same merges, counts, tie-breaks) while running a fraction of the
+    pair-count job rounds — the 32k-merge production-vocab shape."""
+    from esbulk_spark.operators import bpe
+
+    df = corpus.limit(40)
+    rounds = {"n": 0}
+    real = bpe._pair_counts
+
+    def counting(syms):
+        rounds["n"] += 1
+        return real(syms)
+
+    monkeypatch.setattr(bpe, "_pair_counts", counting)
+    m_seq = bpe.bpe_train(df, "content", n_merges=20, min_freq=2, batch=1)
+    seq_rounds = rounds["n"]
+    rounds["n"] = 0
+    m_batch = bpe.bpe_train(df, "content", n_merges=20, min_freq=2, batch=8)
+    batch_rounds = rounds["n"]
+    assert m_batch == m_seq and len(m_seq) == 20
+    assert seq_rounds == 20
+    # admission may cut a batch short when a candidate is affected by
+    # an earlier merge in the batch, but must still beat the
+    # one-merge-per-round count decisively
+    assert batch_rounds <= seq_rounds // 2 + 2
 
 
 def test_lm_perplexity_matches_python_reference(spark):
