@@ -135,11 +135,13 @@ def main(argv: list[str] | None = None) -> int:
     p_search.add_argument("--format", choices=["jsonl", "es"], default="jsonl",
                           help="es = Elasticsearch-shaped response object "
                                "(took / hits.total / max_score / _source)")
-    p_search.add_argument("--es-version", type=int, choices=[6, 7], default=7,
-                          help="with --format es: 7 = nested hits.total "
-                               "{value, relation} (SearchResponse7), 6 = "
+    p_search.add_argument("--es-version", type=int, choices=[5, 6, 7, 8],
+                          default=7,
+                          help="with --format es: 7/8 = nested hits.total "
+                               "{value, relation} (SearchResponse7), 5/6 = "
                                "flat integer total for pre-ES7 clients "
-                               "(SearchResponse6, run_test.go:416-465)")
+                               "(SearchResponse6, run_test.go:416-465); 5 "
+                               "drops _shards.skipped, 8 drops hit _type")
     _add_common(p_search)
 
     p_merge = sub.add_parser("merge", help="merge segment indexes")

@@ -482,11 +482,15 @@ class IndexReader:
         wrapped in <em>..</em>. Pure driver-side work on <= k source
         strings; requires ``with_source`` and a content-storing index.
 
-        ``es_version``: 7 (default) emits the nested ES7+ total
-        (``hits.total = {value, relation}``, SearchResponse7 in
-        run_test.go:441-465); 6 emits the flat pre-ES7 shape
-        (``hits.total = <int>``, SearchResponse6 in run_test.go:416-439)
-        for clients pinning the old response models.
+        ``es_version``: the reference's integration matrix runs ES
+        5.6.16 / 6.8.14 / 7.17.7 / 8.6.0 (run_test.go:218-248); all
+        four are accepted. 7 (default) and 8 emit the nested ES7+
+        total (``hits.total = {value, relation}``, SearchResponse7 in
+        run_test.go:441-465); 5 and 6 emit the flat pre-ES7 shape
+        (``hits.total = <int>``, SearchResponse6 in run_test.go:416-439).
+        Version-specific trims on public ES behavior: 5 omits
+        ``_shards.skipped`` (added in 6.x), 8 omits per-hit ``_type``
+        (mapping types removed in 8).
 
         ``aggs``: ES-request-shaped terms aggregations, e.g.
         ``{"by_lang": {"terms": {"field": "lang", "size": 10}}}`` —
@@ -495,6 +499,11 @@ class IndexReader:
         ``{key, doc_count}`` rows in ES bucket order."""
         import time as _time
 
+        if es_version not in (5, 6, 7, 8):
+            raise ValueError(
+                f"es_version must be 5, 6, 7 or 8 (the reference's "
+                f"integration matrix), got {es_version!r}"
+            )
         t0 = _time.monotonic()
         n_shards_total = int(self.stats.get("n_shards", 0))
         cand = self._topk_candidates(query, k, prune)
@@ -514,6 +523,9 @@ class IndexReader:
             }
             for score, doc_id in merged[:k]
         ]
+        if es_version >= 8:  # ES8 removed mapping types from responses
+            for h in hits:
+                del h["_type"]
         if with_source and hits:
             ids = [h["_id"] for h in hits]
             src = {
@@ -562,15 +574,18 @@ class IndexReader:
             }
         else:  # pre-ES7 clients expect a bare number
             total_field = int(total)
+        shards = {
+            "total": n_shards_total,
+            "successful": len(shards_seen),
+            "skipped": max(0, n_shards_total - len(shards_seen)),
+            "failed": 0,
+        }
+        if es_version == 5:  # _shards.skipped arrived in 6.x
+            del shards["skipped"]
         resp = {
             "took": int((_time.monotonic() - t0) * 1000),
             "timed_out": False,
-            "_shards": {
-                "total": n_shards_total,
-                "successful": len(shards_seen),
-                "skipped": max(0, n_shards_total - len(shards_seen)),
-                "failed": 0,
-            },
+            "_shards": shards,
             "hits": {
                 "total": total_field,
                 "max_score": float(hits[0]["_score"]) if hits else None,
@@ -838,7 +853,8 @@ class IndexReader:
         return self.search(" ".join(expanded), k=k, round_to=round_to)
 
     def search_phrase(
-        self, query: str, k: int = 10, round_to: int | None = None
+        self, query: str, k: int = 10, round_to: int | None = None,
+        prune: bool = True,
     ) -> DataFrame:
         """Phrase (match_phrase) top-k over the opt-in positions table
         (cfg.store_positions): docs whose ANALYZED token stream contains
@@ -860,7 +876,29 @@ class IndexReader:
         the phrase — a phrase starting with a hot token ("data ...")
         no longer drives the join with the biggest position lists.
         Join order is invisible to the adjacency math, which addresses
-        slots by index (p0..p{n-1}) regardless of join sequence."""
+        slots by index (p0..p{n-1}) regardless of join sequence.
+
+        ``prune=True`` (default) adds block-max-style CANDIDATE pruning
+        before any position list is read (_phrase_topk_pruned):
+        phrase_freq <= min slot tf, so the far cheaper postings decode
+        yields an exact per-doc score upper bound; only the top
+        candidates by bound ever decode positions, with an adaptive
+        widening loop that certifies exactness against the next unread
+        bound (the WAND argument applied to phrases). Hot-token phrases
+        skip position decoding the way bm25 skips postings."""
+        if prune:
+            from esbulk_spark.functions.analyzer import tokenize_text
+
+            if len(tokenize_text(query)) >= 2:
+                out = self._phrase_topk_pruned(query, k, round_to)
+                if out is not None:
+                    if round_to is not None:
+                        out = out.withColumn(
+                            "score", F.round("score", round_to)
+                        )
+                    return out.orderBy(
+                        F.desc("score"), F.asc("doc_id")
+                    ).limit(k)
         out = self._phrase_scores(query)
         if round_to is not None:
             out = out.withColumn("score", F.round("score", round_to))
@@ -1106,6 +1144,93 @@ class IndexReader:
         return self._live(cand).join(
             self.norms().select("doc_id", "dl"), "doc_id"
         ).select("doc_id", freq_col, (F.lit(sum_idf) * tfn).alias("score"))
+
+    def _phrase_topk_pruned(
+        self, query: str, k: int, round_to: int | None = None
+    ) -> DataFrame | None:
+        """Exact two-phase phrase top-k (block-max pruning for phrases).
+
+        Phase 1 decodes only the POSTINGS of the phrase terms (rarest-
+        term seed prune applies) and computes, per doc containing all
+        terms, the exact score upper bound sum_idf * bm25_tfn(min slot
+        tf, dl) — valid because a phrase can occur at most as often as
+        its rarest slot occurs (phrase_freq <= min_i tf_i). Phase 2
+        evaluates the real position-intersection ONLY for the top-M
+        candidates by bound (the id IN-list pushes into the positions
+        scan), then certifies: if the k-th true score strictly beats the
+        best unevaluated bound (by a 10^-round_to margin when scores
+        are published rounded — rounding is monotone, so a gap wider
+        than one grid step cannot invert), the result equals the full
+        evaluation; otherwise M doubles. Worst case degenerates to
+        evaluating every candidate — never worse than the unpruned
+        plan's position volume, and on hot-token phrases the position
+        lists read drop from df(hot) docs to ~max(4k, 64).
+
+        Returns the top-k (doc_id, phrase_freq, score) local DataFrame,
+        or None to tell the caller to use the unpruned plan (term
+        missing / no positions handled there for unified errors)."""
+        from esbulk_spark.functions.analyzer import tokenize_text
+        from esbulk_spark.plans.wand import idf as idf_fn
+
+        terms = tokenize_text(query)
+        uniq = sorted(set(terms))
+        dfs = self._dfs_cached(uniq)
+        if any(t not in dfs for t in uniq) or not self.has_positions():
+            return None  # unpruned path owns the empty/raise contract
+        sum_idf = float(sum(idf_fn(dfs[t], self.n_docs) for t in terms))
+        st = self.stats
+        k1, b, avgdl = st["k1"], st["b"], st["avgdl"]
+        seed = self._seed_doc_ids(dfs) if len(uniq) >= 2 else None
+        rows = self._decode_to_rows(uniq, doc_filter=seed)
+        mtf = F.min("tf").cast("double")
+        tfn = (F.col("mtf") * (k1 + 1.0)) / (
+            F.col("mtf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+        )
+        ub = (
+            rows.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("nt"),
+                mtf.alias("mtf"),
+                F.min("dl").cast("double").alias("dl"),
+            )
+            .filter(F.col("nt") == len(uniq))
+            .select("doc_id", (F.lit(sum_idf) * tfn).alias("ub"))
+            .orderBy(F.desc("ub"), F.asc("doc_id"))
+        )
+        margin = (10.0 ** -round_to) if round_to is not None else 0.0
+        ub = ub.persist()
+        try:
+            m = max(4 * k, 64)
+            while True:
+                cand = ub.limit(m + 1).collect()
+                ids = [int(r["doc_id"]) for r in cand[:m]]
+                got = self._phrase_scores(query, doc_ids=ids).collect()
+                got.sort(key=lambda r: (-r["score"], r["doc_id"]))
+                exhausted = len(cand) <= m
+                if exhausted:
+                    break
+                theta = (
+                    float(got[k - 1]["score"])
+                    if len(got) >= k
+                    else float("-inf")
+                )
+                if theta > float(cand[m]["ub"]) + margin:
+                    break
+                m *= 2
+        finally:
+            ub.unpersist()
+        out = got[:k]
+        if not out:
+            return self.spark.createDataFrame(
+                [], "doc_id long, phrase_freq int, score double"
+            )
+        return self.spark.createDataFrame(
+            [
+                (int(r["doc_id"]), int(r["phrase_freq"]), float(r["score"]))
+                for r in out
+            ],
+            "doc_id long, phrase_freq int, score double",
+        )
 
     def _phrase_scores(self, query: str, doc_ids: list[int] | None = None) -> DataFrame:
         """search_phrase's core: unrounded, un-limited (doc_id,

@@ -41,6 +41,7 @@ class StreamingIndexer:
         n_buckets: int = 8,
         segment_shard_docs: int = 4_000_000,
         store_positions: bool = False,
+        keep_ids: bool = False,
     ):
         self.spark = spark
         self.base_dir = base_dir
@@ -48,6 +49,12 @@ class StreamingIndexer:
         self.sort_keys = sort_keys
         self.n_buckets = n_buckets
         self.segment_shard_docs = segment_shard_docs
+        # keep_ids: trust the incoming `doc_id` column instead of
+        # assigning dense per-batch ranges — for sources with stable
+        # globally-unique ids. The caller owns cross-batch uniqueness
+        # (merge_segments requires globally unique ids; SegmentSetReader
+        # serves interleaved id spaces fine).
+        self.keep_ids = keep_ids
         # opt-in positional segments: each micro-batch segment carries a
         # positions table, and compact()'s merge unions them (disjoint
         # doc-id ranges make that exact) — phrase queries work on the
@@ -84,16 +91,20 @@ class StreamingIndexer:
         seg_dir = os.path.join(self.segments_dir, f"seg_{batch_id}")
         base = st["next_doc_id"]
 
-        # segment-local dense ids offset by the global watermark -> the
-        # disjoint-range contract merge_segments needs
-        with_local, n = assign_doc_ids_with_count(
-            batch_df, self.sort_keys, out_col="__local_id"
-        )
-        from pyspark.sql import functions as F
+        if self.keep_ids:
+            docs = batch_df
+            n = docs.count()
+        else:
+            # segment-local dense ids offset by the global watermark ->
+            # the disjoint-range contract merge_segments needs
+            with_local, n = assign_doc_ids_with_count(
+                batch_df, self.sort_keys, out_col="__local_id"
+            )
+            from pyspark.sql import functions as F
 
-        docs = with_local.withColumn(
-            "doc_id", (F.col("__local_id") + F.lit(base)).cast("long")
-        ).drop("__local_id")
+            docs = with_local.withColumn(
+                "doc_id", (F.col("__local_id") + F.lit(base)).cast("long")
+            ).drop("__local_id")
 
         cfg = IndexConfig(
             index_dir=seg_dir,

@@ -339,6 +339,34 @@ def test_phrase_search_semantics(spark, tmp_path):
     assert [x.doc_id for x in r.search_phrase("merge sort join").collect()] == [0]
 
 
+def test_phrase_pruned_equals_unpruned(spark, corpus, tmp_path):
+    """The two-phase block-max phrase path (postings-bound candidates +
+    adaptive widening) is EXACT: same (doc_id, phrase_freq, score) as
+    the full position-intersection, including hot-first-token phrases
+    and with/without published rounding."""
+    from esbulk_spark.config import IndexConfig
+    from esbulk_spark.plans.build import build_index
+
+    d = str(tmp_path / "idx_pp")
+    cfg = IndexConfig(index_dir=d, n_buckets=8, n_shards=4,
+                      chunk_cap=256, store_positions=True)
+    build_index(spark, corpus, cfg, input_sig="pp150")
+    r = IndexReader(spark, d)
+    for q in ("return value", "get user", "the return"):
+        for rt in (None, 4):
+            a = [(x.doc_id, x.phrase_freq, round(x.score, 6))
+                 for x in r.search_phrase(q, k=10, round_to=rt).collect()]
+            b = [(x.doc_id, x.phrase_freq, round(x.score, 6))
+                 for x in r.search_phrase(q, k=10, round_to=rt,
+                                          prune=False).collect()]
+            assert a == b, (q, rt)
+    # tiny k forces the adaptive loop to certify against unread bounds
+    a1 = [x.doc_id for x in r.search_phrase("return value", k=1).collect()]
+    b1 = [x.doc_id
+          for x in r.search_phrase("return value", k=1, prune=False).collect()]
+    assert a1 == b1
+
+
 def test_phrase_survives_fast_merge(spark, corpus, tmp_path):
     """Positions tables union through merge_segments_fast (disjoint doc
     ids): phrase results on the merged index == on a single-pass build
@@ -666,6 +694,35 @@ def test_search_response_es6_vs_es7_total_shape(reader):
     assert isinstance(r6["hits"]["total"], int)
     assert r6["hits"]["total"] == r7["hits"]["total"]["value"]
     assert r6["hits"]["hits"] == r7["hits"]["hits"]
+
+
+def test_search_response_all_four_es_versions(reader):
+    """The reference integration matrix runs ES 5.6.16 / 6.8.14 /
+    7.17.7 / 8.6.0 (run_test.go:218-248). 5 is 6-shaped (flat total)
+    minus _shards.skipped; 8 is 7-shaped (nested total) minus the
+    per-hit _type that ES8 removed. Scores and ids identical across
+    all four."""
+    import pytest
+
+    rs = {v: reader.search_response("getUserName", k=5, es_version=v)
+          for v in (5, 6, 7, 8)}
+    for v in (5, 6):
+        assert isinstance(rs[v]["hits"]["total"], int)
+    for v in (7, 8):
+        assert {"value", "relation"} <= set(rs[v]["hits"]["total"])
+    assert "skipped" not in rs[5]["_shards"]
+    for v in (6, 7, 8):
+        assert "skipped" in rs[v]["_shards"]
+    for v in (5, 6, 7):
+        assert all(h["_type"] == "_doc" for h in rs[v]["hits"]["hits"])
+    assert all("_type" not in h for h in rs[8]["hits"]["hits"])
+    ids_scores = {
+        v: [(h["_id"], h["_score"]) for h in rs[v]["hits"]["hits"]]
+        for v in rs
+    }
+    assert len({tuple(x) for x in ids_scores.values()}) == 1
+    with pytest.raises(ValueError):
+        reader.search_response("getUserName", es_version=9)
 
 
 def test_search_prefix_expansion_and_scores(reader):
