@@ -121,15 +121,13 @@ def main() -> None:
     # was ~40% above a quiet-window re-run of the same command).
     _canary(spark)  # JIT the canary itself so run 1 isn't inflated
     n_runs = int(os.environ.get("BENCH_BUILD_RUNS", "5"))
+    max_runs = max(n_runs, int(os.environ.get("BENCH_BUILD_MAX_RUNS", "10")))
     times: list[float] = []
     canaries: list[float] = []
-    for r in range(n_runs):
-        # adaptive: once the two best runs agree within 5% (the same
-        # quiet window measured twice), further runs only burn time
-        if len(times) >= 3:
-            b = sorted(times)[:2]
-            if b[1] - b[0] < 0.05 * b[0]:
-                break
+    stats: dict = {}
+
+    def _one_build_run() -> None:
+        nonlocal stats
         canaries.append(_canary(spark))
         shutil.rmtree(idx_dir, ignore_errors=True)
         # 32 doc-range shards: the skew salt AND the query-time
@@ -138,6 +136,27 @@ def main() -> None:
         t0 = time.monotonic()
         stats = build_index(spark, corpus, cfg, input_sig=f"bench{n_docs}")
         times.append(round(time.monotonic() - t0, 3))
+
+    def _best_run_noisy() -> bool:
+        # the headline (min) run came from a contended window if its
+        # canary ran >=1.3x slower than the quietest canary observed
+        return canaries[times.index(min(times))] > 1.3 * min(canaries)
+
+    for r in range(n_runs):
+        # adaptive: once the two best runs agree within 5% (the same
+        # quiet window measured twice), further runs only burn time
+        if len(times) >= 3:
+            b = sorted(times)[:2]
+            if b[1] - b[0] < 0.05 * b[0]:
+                break
+        _one_build_run()
+    # noise hardening (r4 verdict item 7): if the best run's canary says
+    # it came from a noisy window, quieter windows are likely available —
+    # keep measuring (bounded by max_runs) instead of publishing a
+    # contended headline. The artifact keeps every run + canary either
+    # way, so a still-noisy final report remains self-evidencing.
+    while _best_run_noisy() and len(times) < max_runs:
+        _one_build_run()
     t_build = min(times)
     t_build_med = round(statistics.median(times), 3)
     queries["index_build"] = t_build
@@ -145,9 +164,7 @@ def main() -> None:
     out["canary_runs_sec"] = canaries
     # the best run is trustworthy when its canary ran in a quiet window
     out["best_run_canary_sec"] = canaries[times.index(t_build)]
-    out["noisy_window"] = bool(
-        out["best_run_canary_sec"] > 1.3 * min(canaries)
-    )
+    out["noisy_window"] = _best_run_noisy()
     out["build_sec_best"] = t_build
     out["build_sec_median"] = t_build_med
     out["build_docs_per_sec"] = round(n_docs / t_build, 1)
