@@ -854,7 +854,7 @@ class IndexReader:
 
     def search_phrase(
         self, query: str, k: int = 10, round_to: int | None = None,
-        prune: bool = True,
+        prune: bool = False,
     ) -> DataFrame:
         """Phrase (match_phrase) top-k over the opt-in positions table
         (cfg.store_positions): docs whose ANALYZED token stream contains
@@ -878,14 +878,26 @@ class IndexReader:
         Join order is invisible to the adjacency math, which addresses
         slots by index (p0..p{n-1}) regardless of join sequence.
 
-        ``prune=True`` (default) adds block-max-style CANDIDATE pruning
-        before any position list is read (_phrase_topk_pruned):
-        phrase_freq <= min slot tf, so the far cheaper postings decode
-        yields an exact per-doc score upper bound; only the top
-        candidates by bound ever decode positions, with an adaptive
-        widening loop that certifies exactness against the next unread
-        bound (the WAND argument applied to phrases). Hot-token phrases
-        skip position decoding the way bm25 skips postings."""
+        ``prune=True`` (opt-in, NOT the default) adds block-max-style
+        CANDIDATE pruning before any position list is read
+        (_phrase_topk_pruned): phrase_freq <= min slot tf, so a
+        postings-only decode yields an exact per-doc score upper bound;
+        only the top candidates by bound decode positions, with an
+        adaptive widening loop that certifies exactness against the
+        best unread bound (the WAND argument applied to phrases). It is
+        exact (pytest pins pruned == unpruned) but MEASURED SLOWER at
+        every tested scale (sf0.1, 200k docs: hot-first phrase 0.56 s
+        unpruned vs 10.1 s pruned; normal phrase 0.27 s vs 4.4 s —
+        BENCH.md 'phrase pruning' table): the bound phase costs as much
+        as the full positional join, per-doc restriction skips no I/O
+        because position blobs are per (term, bucket) chunk rather than
+        per doc-range, and the min-tf bound is a weak predictor of
+        phrase presence for hot pairs, so the widening loop pays
+        multi-job round-trips. The default single-job plan is the one
+        that survives scale-up: it reads only the slots' position
+        chunks, driven rarest-first. Candidate pruning would pay only
+        with doc-range-partitioned position blobs (skippable I/O) on a
+        corpus where a slot's position volume dwarfs its postings."""
         if prune:
             from esbulk_spark.functions.analyzer import tokenize_text
 
@@ -1162,9 +1174,11 @@ class IndexReader:
         are published rounded — rounding is monotone, so a gap wider
         than one grid step cannot invert), the result equals the full
         evaluation; otherwise M doubles. Worst case degenerates to
-        evaluating every candidate — never worse than the unpruned
-        plan's position volume, and on hot-token phrases the position
-        lists read drop from df(hot) docs to ~max(4k, 64).
+        evaluating every candidate. MEASURED SLOWER than the single-job
+        unpruned plan at every tested scale on this index layout — see
+        search_phrase's docstring and BENCH.md 'Phrase candidate
+        pruning' for the numbers and the structural reasons (per-(term,
+        bucket) blob granularity means candidate ids skip no I/O).
 
         Returns the top-k (doc_id, phrase_freq, score) local DataFrame,
         or None to tell the caller to use the unpruned plan (term

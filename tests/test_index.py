@@ -355,13 +355,15 @@ def test_phrase_pruned_equals_unpruned(spark, corpus, tmp_path):
     for q in ("return value", "get user", "the return"):
         for rt in (None, 4):
             a = [(x.doc_id, x.phrase_freq, round(x.score, 6))
-                 for x in r.search_phrase(q, k=10, round_to=rt).collect()]
+                 for x in r.search_phrase(q, k=10, round_to=rt,
+                                          prune=True).collect()]
             b = [(x.doc_id, x.phrase_freq, round(x.score, 6))
                  for x in r.search_phrase(q, k=10, round_to=rt,
                                           prune=False).collect()]
             assert a == b, (q, rt)
     # tiny k forces the adaptive loop to certify against unread bounds
-    a1 = [x.doc_id for x in r.search_phrase("return value", k=1).collect()]
+    a1 = [x.doc_id
+          for x in r.search_phrase("return value", k=1, prune=True).collect()]
     b1 = [x.doc_id
           for x in r.search_phrase("return value", k=1, prune=False).collect()]
     assert a1 == b1
