@@ -110,13 +110,20 @@ def dsir_weights(
     feature table feeds both r_model and the scoring join; at 100 TB
     persist/checkpoint it (or pass a precomputed table) so the corpus
     tokenizes once — the lazy plan recomputes branches."""
-    feats = _hashed_ngram_buckets(raw_df, text_col, id_col, n_buckets)
+    # the raw feature table feeds r_model, the totals and the scoring
+    # join; the lazy plan would tokenize + md5-hash the corpus once per
+    # branch (3x) — persist it so the corpus featurizes ONCE (guide §5:
+    # reuse > recompute; this is the docstring's own 100-TB advice,
+    # applied). The two B-row models persist too: each is referenced by
+    # its totals agg and again by the broadcast scoring join.
+    feats = _hashed_ngram_buckets(raw_df, text_col, id_col, n_buckets).persist()
     t_model = (
         _hashed_ngram_buckets(target_df, text_col, id_col, n_buckets)
         .groupBy("b")
         .agg(F.sum("c").alias("ct"))
+        .persist()
     )
-    r_model = feats.groupBy("b").agg(F.sum("c").alias("cr"))
+    r_model = feats.groupBy("b").agg(F.sum("c").alias("cr")).persist()
     totals = t_model.agg(F.sum("ct").alias("tt")).crossJoin(
         r_model.agg(F.sum("cr").alias("tr"))
     )  # one row -> broadcast

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from esbulk_spark.operators.dedup import ensure_parallelism
+
 # hard ceiling on rows collected to the driver for PQ codebook
 # training: codebooks are m*ksub*dsub floats, so ~100k training
 # vectors saturate them; collecting more is pure driver-OOM risk
@@ -56,6 +58,11 @@ def cosine_topk(
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     if where is not None:
         df = df.filter(where)
+    # small vector tables read as ONE parquet split; the per-row HOF
+    # scoring is interpreted, so a single task serializes it (guide
+    # §2.5 input parallelism. ensure_parallelism no-ops on already
+    # parallel scans; the filter above stays pushed at the scan)
+    df = ensure_parallelism(df)
     out = df.select(
         F.col(id_col).alias("id"),
         (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))).alias("cosine"),
@@ -75,6 +82,7 @@ def hyperplane_signature(
 
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
+    df = ensure_parallelism(df)
     sig = None
     for i in range(n_planes):
         r = F.array(*[F.lit(float(x)) for x in planes[i]])
@@ -208,6 +216,7 @@ def ivf_ann_topk_centroids(
     dists = F.array(
         *[F.round(_sqd(F.col(vec_col), C[j]), 6) for j in range(n_lists)]
     )
+    df = ensure_parallelism(df)
     assigned = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -517,6 +526,31 @@ def _sqd_lit(vec, c):
     )
 
 
+def _dlit(x) -> str:
+    """SQL double literal with the exact bits of ``x``: Python's repr is
+    the shortest string that round-trips IEEE-754, and Java's
+    Double.parseDouble returns the same bits (bit-equality asserted in
+    tests/test_operators.py)."""
+    v = float(x)
+    return repr(v) + "D"
+
+
+def _sqd_sql(vec_sql: str, c) -> str:
+    """The SAME expression _sqd_lit builds, as server-parsed SQL text.
+
+    Building 64+ codeword distance expressions through the Column API
+    costs thousands of py4j round trips (~2.7 s of pure driver-side
+    plan construction per pq_encode call measured at ksub*m=64); one
+    F.expr per subspace parses in milliseconds. Identical semantics:
+    same zip_with/aggregate fold, same casts, same literal bits."""
+    lits = ", ".join(_dlit(x) for x in c)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({lits}), "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
 def pq_encode(df: DataFrame, vec_col: str, id_col: str, codebooks) -> DataFrame:
     """(id, codes array<int>): per subspace, the index of the nearest
     codeword — 6-dp-rounded squared-L2 argmin with lowest-index ties,
@@ -524,16 +558,23 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str, codebooks) -> DataFrame:
     the data path). 8 bits/subspace at ksub<=256: a 64-dim float vector
     compresses 64x. At cluster scale write the codes table once and
     bucket/partition it however the candidate source dictates."""
+    df = ensure_parallelism(df)  # interpreted HOF distances: one split = one core
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     codes = []
     for j in range(m):
-        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
-        dists = F.array(
-            *[F.round(_sqd_lit(sub, c), 6) for c in codebooks[j]]
+        # one server-parsed SQL expression per subspace (see _sqd_sql):
+        # same rounded-argmin/lowest-index-tie semantics as the Column
+        # form, without the per-codeword py4j construction storm
+        sub_sql = f"slice(`{vec_col}`, {j * dsub + 1}, {dsub})"
+        dists_sql = "array(%s)" % ", ".join(
+            f"round({_sqd_sql(sub_sql, c)}, 6)" for c in codebooks[j]
         )
         codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            F.expr(
+                f"cast(array_position({dists_sql}, "
+                f"array_min({dists_sql})) - 1 as int)"
+            )
         )
     return df.select(F.col(id_col).alias("id"), F.array(*codes).alias("codes"))
 
@@ -635,6 +676,7 @@ def ivfpq_topk(
     dists = F.array(
         *[F.round(_sqd_lit(F.col(vec_col), C[j]), 6) for j in range(n_lists)]
     )
+    df = ensure_parallelism(df)
     assigned = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -910,6 +952,7 @@ def sq8_encode(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     [-127, 127] — floor(x+0.5) spelled explicitly so every engine
     rounds identically (no half-even/half-up divergence). 4x memory
     cut at <1% cosine error; pure Catalyst, (id, codes, scale)."""
+    df = ensure_parallelism(df)
     v = F.col(vec_col)
     mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     scale = F.when(mx == 0.0, F.lit(1.0)).otherwise(mx / F.lit(127.0))

@@ -134,29 +134,50 @@ def cms_sketch(
     group_cols: list[str] | None = None,
     d: int = 4,
     w: int = 4096,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005, public):
     (group..., i, b, c) counters, one row per non-empty cell (<= d*w
     rows per group regardless of corpus width). Deterministic md5 row
     hashes -> a DuckDB oracle reproduces every counter; merge = union +
     sum (associative, so map-side combine and per-segment sketches
-    compose exactly like the HLL registers above)."""
+    compose exactly like the HLL registers above).
+
+    Counters are built from per-distinct-value counts: the d row hashes
+    run once per DISTINCT (group, value) instead of once per occurrence
+    (cell c = sum of occurrence counts hashing there — identical values,
+    ~vocabulary-fold fewer md5 evaluations on text streams). Pass
+    ``count_col`` when ``df`` is already an aggregated (value, count)
+    table (e.g. the exact counts a heavy-hitter query computes anyway)
+    to skip the internal aggregation."""
     group_cols = group_cols or []
-    v = F.col(value_col)
+    if count_col is None:
+        counts = (
+            df.select(*group_cols, F.col(value_col).alias("__v"))
+            .groupBy(*group_cols, "__v")
+            .agg(F.count("*").alias("__c"))
+        )
+    else:
+        counts = df.select(
+            *group_cols,
+            F.col(value_col).alias("__v"),
+            F.col(count_col).alias("__c"),
+        )
     return (
-        df.select(*group_cols, v.alias("__v"))
-        .select(
+        counts.select(
             *group_cols,
             F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i"),
             F.col("__v"),
+            F.col("__c"),
         )
         .select(
             *group_cols,
             "i",
             _cms_bucket(F.col("__v"), F.col("i"), w).alias("b"),
+            F.col("__c"),
         )
         .groupBy(*group_cols, "i", "b")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("__c").alias("c"))
     )
 
 

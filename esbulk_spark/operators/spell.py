@@ -49,11 +49,19 @@ def phrase_suggest(
     """Top-k corrected phrases for `query` as (suggestion, n_edits,
     score). The original token is always a candidate with 0 edits, so
     "no correction" competes on LM probability like any other phrase."""
+    # one corpus tokenize feeds both count tables; uni and bi persist
+    # (vocabulary-sized) because _suggest_over references uni once per
+    # slot candidate set + self-row anti join + totals + per-position
+    # narrows, and bi once per adjacent pair — each reference would
+    # otherwise re-run the corpus explode+agg from scratch (guide §5;
+    # the prebuilt-LM path below is the materialized form of the same
+    # idea).
     words = df.select(_ws_words(text_col).alias("w"))
     uni = (
         words.select(F.explode("w").alias("t"))
         .groupBy("t")
         .agg(F.count("*").alias("c1"))
+        .persist()
     )
     bi = (
         words.filter(F.size("w") >= 2)
@@ -61,6 +69,7 @@ def phrase_suggest(
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
+        .persist()
     )
     totals = uni.agg(
         F.sum("c1").alias("tt"), F.count("*").alias("vsz")

@@ -521,11 +521,16 @@ def lm_bigram_perplexity(
     as a one-row aggregate cross join (broadcast), not a driver action,
     so the whole plan stays lazy. At 100 TB the model is a corpus-derived
     table partitioned by its own group keys; nothing collects."""
-    toks_train = train_df.select(_ws_words(text_col).alias("w"))
+    # tokenize the train corpus ONCE: uni and the bigram model both read
+    # the persisted token arrays instead of re-running the split+filter
+    # scan per branch; uni persists too (vocab-sized) because it feeds
+    # both the vocab-size agg and the scoring join (guide §5).
+    toks_train = train_df.select(_ws_words(text_col).alias("w")).persist()
     uni = (
         toks_train.select(F.explode("w").alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("c1"))
+        .persist()
     )
     model = (
         toks_train.filter(F.size("w") >= 2)

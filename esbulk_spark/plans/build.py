@@ -76,6 +76,51 @@ def bucket_col(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
 
 
+def _rle_tf_entries(toks_col: str):
+    """Per-document (term, tf) pairs computed MAP-SIDE from the token
+    array: sort the array, take run starts, pair each with its run
+    length. All tokens of a document live in one row, so tf needs no
+    shuffle at all — the (term, shard) exchange then carries one row
+    per POSTING instead of one per token occurrence (~2.5-3x fewer rows
+    at ~2 KB/doc; guide §2.3 "aggregate before you shuffle"), and the
+    post-shuffle tf hash-agg disappears. Byte-identical index output:
+    the encoder receives the same (doc_id, term, tf, dl) multiset."""
+    toks = F.col(toks_col)
+
+    # "let"-bind each intermediate as a HOF lambda variable (transform
+    # over a 1-element array): higher-order functions interpret their
+    # lambda bodies, and a repeated SUBEXPRESSION (the sort, the
+    # run-starts array) would otherwise re-evaluate on every element
+    # access — O(n^2 log n)/doc. A bound lambda variable is a plain
+    # value lookup, keeping the whole thing O(n log n)/doc.
+    def with_st(st):
+        n = F.size(st)
+        starts_expr = F.filter(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda i: (i == F.lit(0))
+            | (F.get(st, i) != F.get(st, i - F.lit(1))),
+        )
+
+        def with_starts(starts):
+            ends = F.concat(
+                F.slice(starts, 2, F.size(starts) - F.lit(1)), F.array(n)
+            )
+            return F.zip_with(
+                starts,
+                ends,
+                lambda s, e: F.struct(
+                    F.get(st, s).alias("term"), (e - s).alias("tf")
+                ),
+            )
+
+        return F.get(F.transform(F.array(starts_expr), with_starts), 0)
+
+    ent = F.get(F.transform(F.array(F.array_sort(toks)), with_st), 0)
+    return F.when(F.size(toks) > 0, ent).otherwise(
+        F.array().cast("array<struct<term:string,tf:int>>")
+    )
+
+
 def _tfnorm(tf: np.ndarray, dl: np.ndarray, k1: float, b: float, avgdl: float) -> np.ndarray:
     tf = tf.astype(np.float64)
     return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl.astype(np.float64) / avgdl)))
@@ -451,6 +496,14 @@ def build_index(
         and not man.is_done("positions", pos_path)
     )
     tfp_cache = None
+    # map-side run-length tf (see _rle_tf_entries); the positions-fused
+    # and tf_source paths keep their own shapes. ESBULK_BUILD_RLE=0
+    # restores the explode + post-shuffle hash-agg plan for A/B runs.
+    rle = (
+        tf_source is None
+        and not fuse_positions
+        and os.environ.get("ESBULK_BUILD_RLE", "1") != "0"
+    )
     if not man.is_done("postings", post_path):
         from pyspark import StorageLevel
 
@@ -506,6 +559,30 @@ def build_index(
                         .persist(StorageLevel.MEMORY_AND_DISK)
                     )
                     tfrows = tfp_cache.drop("positions")
+                elif rle:
+                    # r6: tf via map-side run-length over the sorted
+                    # token array (_rle_tf_entries) — the exchange
+                    # shrinks from token-occurrence rows to posting
+                    # rows and the post-shuffle tf hash-agg vanishes;
+                    # packing ALSO moves map-side (see `grouped`), so
+                    # the one exchange carries (term, shard, packed)
+                    tfrows = (
+                        src.select(
+                            "doc_id",
+                            F.size("__toks").alias("dl"),
+                            F.explode(_rle_tf_entries("__toks")).alias("e"),
+                        )
+                        .select(
+                            "doc_id",
+                            "dl",
+                            F.col("e.term").alias("term"),
+                            F.col("e.tf").cast("int").alias("tf"),
+                        )
+                        .withColumn(
+                            "shard",
+                            (F.col("doc_id") / F.lit(shard_size)).cast("int"),
+                        )
+                    )
                 else:
                     tokens = src.select(
                         "doc_id",
@@ -566,12 +643,25 @@ def build_index(
                 )
             else:
                 entry_struct = F.struct("doc_id", "tf", "dl")
-            grouped = (
-                sharded.groupBy("term", "shard")
-                # NO sort_array here: doc-ordering happens in the encoder
-                # (numpy lexsort) — cheaper than the JVM struct sort
-                .agg(F.collect_list(entry_struct).alias("postings"))
-            )
+            if rle:
+                # pack BEFORE the exchange: the one (term, shard)
+                # shuffle carries (term, shard, packed) posting rows —
+                # tf/dl/doc_id already folded into the packed value
+                # map-side (guide §2.3: project before the exchange)
+                grouped = (
+                    sharded.select("term", "shard", entry_struct.alias("__p"))
+                    .repartition("term", "shard")
+                    .groupBy("term", "shard")
+                    # NO sort_array: doc-ordering happens in the encoder
+                    .agg(F.collect_list("__p").alias("postings"))
+                )
+            else:
+                grouped = (
+                    sharded.groupBy("term", "shard")
+                    # NO sort_array here: doc-ordering happens in the encoder
+                    # (numpy lexsort) — cheaper than the JVM struct sort
+                    .agg(F.collect_list(entry_struct).alias("postings"))
+                )
             chunks = (
                 grouped.mapInArrow(
                     make_chunk_builder(cfg, stats["avgdl"], int(shard_size)),

@@ -46,22 +46,28 @@ def bm25_fullscan(
     if not terms:
         return empty
 
-    toks = docs.select(
+    # ONE tokenize pass: project (doc_id, dl, query-term tokens only)
+    # and persist that reduced table — tiny (docs matching the query's
+    # terms dominate its size). The plan's three actions (stats collect,
+    # df collect, final top-k job) would otherwise each re-run the
+    # analyzer over the whole corpus (guide §5: reuse > recompute).
+    red = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        tokens_col(text_col).alias("toks"),
-    ).withColumn("dl", F.size("toks"))
+        F.size(tokens_col(text_col)).alias("dl"),
+        F.filter(tokens_col(text_col), lambda t: t.isin(*terms)).alias("qt"),
+    ).persist()
 
-    stats = toks.agg(
+    stats = red.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
     ).collect()[0]
     n_docs = int(stats["n"] or 0)
     if n_docs == 0:
+        red.unpersist()
         return empty
     avgdl = float(stats["total"] or 0) / n_docs
 
     tf = (
-        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(terms))
+        red.select("doc_id", "dl", F.explode("qt").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

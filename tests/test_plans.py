@@ -56,15 +56,21 @@ def test_query_pairs_join_is_broadcast(reader):
 
 def test_fullscan_oracle_filter_before_aggregate(spark, corpus):
     """The term filter must sit below the aggregate in the optimized
-    plan (filter pushdown through explode), so the groupBy only sees
-    matching tokens."""
+    plan, so the groupBy only sees matching tokens. Since r6 the filter
+    is an ARRAY-level membership lambda inside the one persisted
+    tokenize projection (plans/score.py tokenizes once; the explode
+    reads the pre-filtered `qt` array) rather than a row Filter above
+    the explode — accept either shape, but it must sit below the
+    aggregate."""
     from esbulk_spark.plans.score import bm25_fullscan
 
     docs = corpus.withColumn("doc_id", F.xxhash64("commit"))
     df = bm25_fullscan(docs, "getUserName", text_col="content", k=5)
     opt = _optimized(df)
     agg_pos = opt.find("Aggregate")
-    filt_pos = opt.rfind("Filter")
+    # row Filter (pre-r6) or the term-membership array lambda (r6);
+    # query "getUserName" analyzes to sorted terms [get, name, user]
+    filt_pos = max(opt.rfind("Filter "), opt.rfind("IN (get,name,user)"))
     assert agg_pos != -1 and filt_pos != -1 and filt_pos > agg_pos
 
 
