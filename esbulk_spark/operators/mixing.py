@@ -92,6 +92,7 @@ def dsir_weights(
     text_col: str,
     id_col: str,
     n_buckets: int = 1024,
+    target_ids: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", public): estimate
@@ -117,12 +118,31 @@ def dsir_weights(
     # applied). The two B-row models persist too: each is referenced by
     # its totals agg and again by the broadcast scoring join.
     feats = _hashed_ngram_buckets(raw_df, text_col, id_col, n_buckets).persist()
-    t_model = (
-        _hashed_ngram_buckets(target_df, text_col, id_col, n_buckets)
-        .groupBy("b")
-        .agg(F.sum("c").alias("ct"))
-        .persist()
-    )
+    if target_ids is not None:
+        # DSIR's usual shape: target = a selected SUBSET of the raw
+        # corpus (the paper's trusted slice). Its model is then a plain
+        # re-aggregation of the already-persisted raw features — no
+        # second tokenize+md5 pass over the target text (the md5 hash
+        # is the measured cost of this operator: ~9 s per pass at 50k
+        # docs x ~600 grams). `target_ids` must be (id) rows drawn from
+        # raw_df's ids; target_df is ignored in this mode.
+        t_model = (
+            feats.join(
+                F.broadcast(target_ids.select(F.col(target_ids.columns[0]).alias("id"))),
+                ["id"],
+                "semi",
+            )
+            .groupBy("b")
+            .agg(F.sum("c").alias("ct"))
+            .persist()
+        )
+    else:
+        t_model = (
+            _hashed_ngram_buckets(target_df, text_col, id_col, n_buckets)
+            .groupBy("b")
+            .agg(F.sum("c").alias("ct"))
+            .persist()
+        )
     r_model = feats.groupBy("b").agg(F.sum("c").alias("cr")).persist()
     totals = t_model.agg(F.sum("ct").alias("tt")).crossJoin(
         r_model.agg(F.sum("cr").alias("tr"))

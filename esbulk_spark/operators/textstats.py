@@ -524,8 +524,18 @@ def lm_bigram_perplexity(
     # tokenize the train corpus ONCE: uni and the bigram model both read
     # the persisted token arrays instead of re-running the split+filter
     # scan per branch; uni persists too (vocab-sized) because it feeds
-    # both the vocab-size agg and the scoring join (guide §5).
-    toks_train = train_df.select(_ws_words(text_col).alias("w")).persist()
+    # both the vocab-size agg and the scoring join (guide §5). When the
+    # score side IS the train side (the CCNet self-scoring shape), the
+    # persisted table carries ids so the scoring branch reads the same
+    # cache instead of re-tokenizing.
+    same = score_df is train_df
+    if same:
+        base = train_df.select(
+            F.col(id_col).alias("id"), _ws_words(text_col).alias("w")
+        ).persist()
+        toks_train = base.select("w")
+    else:
+        toks_train = train_df.select(_ws_words(text_col).alias("w")).persist()
     uni = (
         toks_train.select(F.explode("w").alias("w1"))
         .groupBy("w1")
@@ -538,11 +548,15 @@ def lm_bigram_perplexity(
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
+        .persist()  # read by the size probe below AND the scoring join
     )
     vocab = uni.agg(F.count("*").alias("vsz"))  # 1 row -> broadcast join
 
+    score_toks = base if same else score_df.select(
+        F.col(id_col).alias("id"), _ws_words(text_col).alias("w")
+    )
     doc_bi = (
-        score_df.select(F.col(id_col).alias("id"), _ws_words(text_col).alias("w"))
+        score_toks
         .filter(F.size("w") >= 2)
         .select("id", F.explode(_bigram_pairs()).alias("p"))
         .select("id", "p.w1", "p.w2")
@@ -551,9 +565,17 @@ def lm_bigram_perplexity(
         (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
         / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("vsz"))
     )
+    # the model tables are vocab-/bigram-vocab-sized while doc_bi is
+    # corpus-sized; Spark's post-aggregate size estimates are
+    # pessimistic, so without hints both left joins SORT-MERGE —
+    # shuffling every document bigram twice. Broadcast while the counts
+    # (cheap reads of the persisted aggregates) are broadcast-safe;
+    # huge-vocab corpora keep the shuffle join (guide §3.1).
+    model = F.broadcast(model) if model.limit(5_000_001).count() <= 5_000_000 else model
+    uni_j = F.broadcast(uni) if uni.limit(5_000_001).count() <= 5_000_000 else uni
     return (
         doc_bi.join(model, ["w1", "w2"], "left")
-        .join(uni, ["w1"], "left")
+        .join(uni_j, ["w1"], "left")
         .crossJoin(vocab)
         .groupBy("id")
         .agg(
