@@ -673,6 +673,20 @@ def build_index(
                 .repartition(cfg.n_buckets, "bucket")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
+            # evidence hook (guide §1/§7.2): dump the postings-stage
+            # physical plan before executing it, so plan-shape claims
+            # (exchange count/width, RLE vs explode shape) are checkable
+            # without the Spark UI. No effect when the env var is unset.
+            exp_dir = os.environ.get("ESBULK_BUILD_EXPLAIN_DIR")
+            if exp_dir:
+                os.makedirs(exp_dir, exist_ok=True)
+                tag = "rle" if rle else "explode"
+                with open(os.path.join(exp_dir, f"postings_{tag}.txt"), "w") as fh:
+                    fh.write(
+                        chunks._jdf.queryExecution().explainString(
+                            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+                        )
+                    )
             _atomic_write(chunks, post_path, partition_by=["bucket"])
             if tf_pinned is not None:
                 tf_pinned.unpersist()
