@@ -4742,47 +4742,48 @@ QUERIES["stream_sketch_hll"] = (
 # streaming serving, the composed training pipeline) were verified
 # locally against the same DuckDB oracles (tools/verify_entry.py) but
 # never appeared in an official artifact. Lead with those 50 so
-# CORRECTNESS_r05 pins the highest-value unpinned claims;
-# lang_id_heuristic leads because its implementation changed in r4
-# after its r3 grade. Relative order of the rest is unchanged.
+# Grading-window order for round 6 (r5 VERDICT items 2 and 10): lead
+# with the 14 agg variants that have never appeared in a driver
+# CORRECTNESS artifact (r5's window stopped at 50), then every entry
+# whose IMPLEMENTATION changed in the round-6 optimization batch (their
+# r3-r5 grades predate the change — the lang_id_heuristic lesson), then
+# r5's order for the rest. Ordering only: no query or oracle changes.
 _GRADE_FIRST = [
-    "lang_id_heuristic",
-    # composed / serving surfaces
-    "training_pipeline_e2e", "segment_set_search", "stream_index_search",
-    "stream_sketch_hll", "incremental_append_search",
-    # ANN / vector search
-    "ann_pq_adc_topk", "ann_ivfpq_topk", "ann_sq8_topk",
-    "knn_filtered_topk", "hybrid_rrf_topk",
-    # dedup / decontamination
-    "dedup_incremental_lsh", "dedup_cluster_cc",
-    "dedup_exact_substring_spans", "decontaminate_ngram_overlap",
-    # data-selection / tokenization pipeline
-    "lm_perplexity", "ccnet_ppl_buckets", "dsir_importance_weights",
-    "sample_mixture_rates", "pack_sequences", "bpe_merge_table",
-    # sketches
-    "cms_heavy_hitters", "agg_cardinality_hll",
-    # text / multimodal / layout operators
-    "code_stats_per_file", "secret_scan_redact", "boilerplate_lines_top",
-    "multimodal_av_meta", "zorder_roundtrip",
-    # ES query surface never in a driver artifact
-    "sort_by_field_matches", "percolate_rules_match",
-    "suggest_completion_prefix", "multi_match_best_fields",
-    "phrase_suggest_dym", "json_object_field", "has_child_orders",
-    "has_parent_lineitems", "rank_eval_metrics", "geo_distance_users",
-    "geohash_grid_users",
-    # aggregation framework (breadth-first representatives)
-    "terms_agg_by_lang", "significant_terms_agg", "agg_date_histogram",
-    "agg_percentiles", "agg_terms_subagg", "agg_composite_page",
-    "agg_top_hits_per_lang", "agg_pipeline_cumsum",
-    "agg_matrix_stats_corr", "agg_adjacency_matrix",
-    "agg_bucket_script_selector",
-    # past-50 overflow: remaining never-graded agg variants, in case a
-    # wider window grades deeper
+    # 1) never driver-graded (judge-verified green vs DuckDB in r5)
     "agg_histogram_price", "agg_range_quantity", "agg_extended_stats",
     "agg_cardinality_by_type", "agg_filters_named", "agg_weighted_avg",
     "agg_boxplot_price", "agg_mad_price", "agg_sampler_avg",
     "agg_top_metrics_latest", "agg_missing_bucket", "agg_nested_type_day",
     "agg_stats_bucket_daily", "agg_moving_fn_window3",
+    # 2) re-pin entries optimized in round 6 (output-identical by
+    # oracle gate + pytest; the official record should say so too)
+    "training_pipeline_e2e", "dedup_cluster_cc", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_incremental_lsh",
+    "dsir_importance_weights", "lm_perplexity", "ccnet_ppl_buckets",
+    "cms_heavy_hitters", "geo_distance_users", "geohash_grid_users",
+    "ann_pq_adc_topk", "ann_ivfpq_topk", "ann_sq8_topk",
+    "embedding_cosine_topk", "knn_filtered_topk", "hybrid_rrf_topk",
+    "bm25_topk_fullscan", "simhash_fingerprint", "phrase_suggest_dym",
+    # index-build RLE is byte-identity-pinned; re-pin the serving
+    # surfaces that read RLE-built indexes end-to-end
+    "segment_set_search", "stream_index_search", "bm25_topk_wand",
+    # 3) r5 leaders whose code did not change, in r5 order
+    "lang_id_heuristic",
+    "stream_sketch_hll", "incremental_append_search",
+    "dedup_exact_substring_spans", "decontaminate_ngram_overlap",
+    "sample_mixture_rates", "pack_sequences", "bpe_merge_table",
+    "agg_cardinality_hll",
+    "code_stats_per_file", "secret_scan_redact", "boilerplate_lines_top",
+    "multimodal_av_meta", "zorder_roundtrip",
+    "sort_by_field_matches", "percolate_rules_match",
+    "suggest_completion_prefix", "multi_match_best_fields",
+    "json_object_field", "has_child_orders",
+    "has_parent_lineitems", "rank_eval_metrics",
+    "terms_agg_by_lang", "significant_terms_agg", "agg_date_histogram",
+    "agg_percentiles", "agg_terms_subagg", "agg_composite_page",
+    "agg_top_hits_per_lang", "agg_pipeline_cumsum",
+    "agg_matrix_stats_corr", "agg_adjacency_matrix",
+    "agg_bucket_script_selector",
 ]
 _missing = [n for n in _GRADE_FIRST if n not in QUERIES]
 assert not _missing, f"_GRADE_FIRST names not in QUERIES: {_missing}"
