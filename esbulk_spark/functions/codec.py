@@ -45,6 +45,11 @@ def varint_encode_with_widths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.zeros(0, dtype=np.int64)
+    if not np.any(v >> np.uint64(7)):
+        # all values < 128: LEB128 is the value byte itself (no
+        # continuation bits) — one cast instead of the width/scatter
+        # passes. Common for tf streams and dense-id delta streams.
+        return v.astype(np.uint8).tobytes(), np.ones(v.size, dtype=np.int64)
     nbytes = _varint_widths(v)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
