@@ -920,12 +920,12 @@ def _build_segmented(
     bounds = [lo - 1] + cuts + [hi]
     wave_shards = max(1, cfg.n_shards // n_waves) if cfg.n_shards else None
     seg_dirs = []
-    for i in range(len(bounds) - 1):
+
+    def _build_wave(i: int) -> None:
         blo, bhi = bounds[i], bounds[i + 1]
-        seg_dir = os.path.join(work, f"seg{i:04d}")
         wcfg = replace(
             cfg,
-            index_dir=seg_dir,
+            index_dir=seg_dirs[i],
             id_col="doc_id",
             segmented=None,
             n_shards=wave_shards,
@@ -938,7 +938,29 @@ def _build_segmented(
             wcfg,
             input_sig=f"{input_sig}#seg{i}/{n_waves}",
         )
-        seg_dirs.append(seg_dir)
+
+    for i in range(len(bounds) - 1):
+        seg_dirs.append(os.path.join(work, f"seg{i:04d}"))
+    # Overlap wave builds (guide §2.6): waves are independent jobs over
+    # disjoint doc ranges with separate manifest dirs, and each wave's
+    # plan has serial sections (stats collect, manifest counts, commit
+    # renames) plus stage tails that leave most cores idle — the FIFO
+    # scheduler back-fills them with the next wave's tasks. Two in
+    # flight keeps the per-wave working-set bound (the reason segmented
+    # builds exist) at 2/N of the single-pass shuffle instead of 1/N;
+    # ESBULK_SEGMENT_PARALLELISM=1 restores strictly sequential waves.
+    # Resume semantics are unchanged: completed waves short-circuit on
+    # their fingerprint regardless of completion order.
+    par = max(1, int(os.environ.get("ESBULK_SEGMENT_PARALLELISM", "2")))
+    if par == 1 or len(seg_dirs) == 1:
+        for i in range(len(seg_dirs)):
+            _build_wave(i)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=par) as pool:
+            # list() re-raises the first wave failure, like the loop
+            list(pool.map(_build_wave, range(len(seg_dirs))))
     mcfg = replace(cfg, segmented=None, pipeline=None)
     stats = merge_segments_fast(spark, seg_dirs, mcfg)
     # stamp the SEGMENTED config's fingerprint so re-runs short-circuit
