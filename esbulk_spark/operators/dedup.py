@@ -651,9 +651,17 @@ def minhash_lsh_pairs_incremental(
     old_files = sorted(glob.glob(os.path.join(state_dir, "*.parquet")))
     if update_state:
         new_keys.write.mode("append").parquet(state_dir)
-        new_keys = spark.read.parquet(state_dir).join(
-            new_df.select(F.col(id_col).alias("id")).distinct(), ["id"]
+        # the append wrote EXACTLY this batch's keys: re-read only the
+        # files it created (the pre-append file list is snapshotted
+        # above). The previous plan re-scanned the WHOLE state table and
+        # joined back to the batch ids — per-batch cost grew with
+        # history size for rows already in hand (guide §2.4).
+        new_files = sorted(
+            set(glob.glob(os.path.join(state_dir, "*.parquet")))
+            - set(old_files)
         )
+        if new_files:
+            new_keys = spark.read.parquet(*new_files)
     a = new_keys.select(F.col("id").alias("id_a"), "band_key")
     b = new_keys.select(F.col("id").alias("id_b"), "band_key")
     pairs = (
