@@ -547,6 +547,22 @@ def build_index(
         and not fuse_positions
         and os.environ.get("ESBULK_BUILD_RLE", "1") != "0"
     )
+    # exchange width for the (term, shard) shuffle: bound POSTINGS PER
+    # REDUCE TASK instead of inheriting the session shuffle width
+    # (guide §2 — partitioning derives from input size, not a constant
+    # tuned for one scale). At 218M postings a 32-wide exchange gives
+    # every reduce task ~7M postings (~175 MB of collect_list buffers
+    # feeding a serial per-partition encode); quiet A/B at 2M docs:
+    # 66.8 s (32-wide) vs 45.6-51.5 s (256-wide) for the exchange+agg+
+    # encode sub-plan. total_postings is already known from the stats
+    # stage, so the width is data-derived with the session width as the
+    # floor — sf0.1 scale (21.8M postings) keeps its previous plan.
+    _per_task = int(os.environ.get("ESBULK_POSTINGS_PER_TASK", str(1_000_000)))
+    exch_width = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism,
+        math.ceil(stats.get("total_postings", 0) / max(_per_task, 1)),
+    )
     if not man.is_done("postings", post_path):
         from pyspark import StorageLevel
 
@@ -589,7 +605,7 @@ def build_index(
                         "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
                     )
                     tfp_cache = (
-                        tokens.repartition("term", "shard")
+                        tokens.repartition(exch_width, "term", "shard")
                         .groupBy("term", "shard", "doc_id", "dl")
                         .agg(
                             F.count(F.lit(1)).cast("int").alias("tf"),
@@ -635,7 +651,7 @@ def build_index(
                         "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
                     )
                     tfrows = (
-                        tokens.repartition("term", "shard")
+                        tokens.repartition(exch_width, "term", "shard")
                         .groupBy("term", "shard", "doc_id", "dl")
                         .agg(F.count(F.lit(1)).cast("int").alias("tf"))
                     )
@@ -693,7 +709,7 @@ def build_index(
                 # map-side (guide §2.3: project before the exchange)
                 grouped = (
                     sharded.select("term", "shard", entry_struct.alias("__p"))
-                    .repartition("term", "shard")
+                    .repartition(exch_width, "term", "shard")
                     .groupBy("term", "shard")
                     # NO sort_array: doc-ordering happens in the encoder
                     .agg(F.collect_list("__p").alias("postings"))
