@@ -18,19 +18,18 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # per-table integer id columns to shift (keys that must stay distinct
-# across copies); every other column is copied verbatim
+# across copies); every other column is copied verbatim. Only the
+# tables feeding the scale-heavy entries replicate; the TPC-shaped
+# dimension/fact tables copy once (their entries are sub-second and
+# referential strides would have to be coordinated across tables).
 SHIFT_COLS = {
     "documents": ["doc_id"],
-    "embeddings": ["id"],
-    "events": ["event_id", "user_id"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey"],
-    "customer": ["c_custkey", "c_nationkey"],
-    "part": ["p_partkey"],
-    "supplier": ["s_suppkey", "s_nationkey"],
-    "nation": [],
-    "region": [],
+    "embeddings": ["vec_id"],
+    "events": ["event_id"],
 }
+COPY_ONCE = [
+    "orders", "lineitem", "customer", "part", "supplier", "nation", "region",
+]
 
 
 def main() -> None:
@@ -48,29 +47,31 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(dst, exist_ok=True)
 
+    for tbl in COPY_ONCE:
+        p = os.path.join(src, f"{tbl}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).write.mode("overwrite").parquet(
+                os.path.join(dst, f"{tbl}.parquet"))
+            print(f"{tbl}: copied x1", flush=True)
     for tbl, cols in SHIFT_COLS.items():
         p = os.path.join(src, f"{tbl}.parquet")
         if not os.path.exists(p):
             continue
         df = spark.read.parquet(p)
-        if tbl in ("nation", "region"):
-            # dimension tables: copy once, unshifted (joins stay valid)
-            out = df
-        else:
-            mx = df.agg(*[F.max(F.abs(F.col(c))) for c in cols]).collect()[0]
-            stride = 1 << (int(max([v or 0 for v in mx] + [1]))).bit_length()
-            parts = []
-            for i in range(factor):
-                d = df
-                for c in cols:
-                    d = d.withColumn(c, (F.col(c) + F.lit(i * stride)).cast(
-                        dict(df.dtypes)[c]))
-                parts.append(d)
-            out = parts[0]
-            for d in parts[1:]:
-                out = out.unionByName(d)
+        mx = df.agg(*[F.max(F.abs(F.col(c))) for c in cols]).collect()[0]
+        stride = 1 << (int(max([v or 0 for v in mx] + [1]))).bit_length()
+        parts = []
+        for i in range(factor):
+            d = df
+            for c in cols:
+                d = d.withColumn(c, (F.col(c) + F.lit(i * stride)).cast(
+                    dict(df.dtypes)[c]))
+            parts.append(d)
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
         out.write.mode("overwrite").parquet(os.path.join(dst, f"{tbl}.parquet"))
-        print(f"{tbl}: written x{1 if tbl in ('nation', 'region') else factor}")
+        print(f"{tbl}: written x{factor}", flush=True)
     # driver-dir convention marker
     open(os.path.join(dst, "_DONE"), "w").close()
     spark.stop()
