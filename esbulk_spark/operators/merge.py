@@ -291,8 +291,12 @@ def merge_segments_fast(
         )
         .withColumn("bucket", bucket_col(F.col("term"), stats["n_buckets"]))
         .repartition(stats["n_buckets"], "bucket")
+        .sortWithinPartitions("term", "shard", "chunk")
     )
-    _atomic_write(refreshed, os.path.join(out, "postings"), partition_by=["bucket"])
+    from esbulk_spark.plans.build import _TERM_TABLE_WRITE_OPTIONS
+
+    _atomic_write(refreshed, os.path.join(out, "postings"),
+                  partition_by=["bucket"], options=_TERM_TABLE_WRITE_OPTIONS)
     man.record("postings", mode="metadata_refresh")
 
     dictionary = (
@@ -301,8 +305,10 @@ def merge_segments_fast(
         .agg(F.sum("n").alias("df"), F.sum("chunk_cf").alias("cf"))
         .withColumn("bucket", bucket_col(F.col("term"), stats["n_buckets"]))
         .repartition(stats["n_buckets"], "bucket")
+        .sortWithinPartitions("term")
     )
-    _atomic_write(dictionary, os.path.join(out, "dictionary"), partition_by=["bucket"])
+    _atomic_write(dictionary, os.path.join(out, "dictionary"),
+                  partition_by=["bucket"], options=_TERM_TABLE_WRITE_OPTIONS)
     man.record("dictionary")
     merged_pos = _merge_positions(spark, segment_dirs, out, stats["n_buckets"], man)
     if bool(stats.get("store_positions", False)) != merged_pos:

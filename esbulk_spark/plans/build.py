@@ -372,7 +372,12 @@ def make_chunk_builder(cfg: IndexConfig, avgdl: float, shard_size: int | None = 
     return build
 
 
-def _atomic_write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+def _atomic_write(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    options: dict | None = None,
+) -> None:
     """Atomic table commit via the pluggable TableIO (plans/tableio.py);
     the default backend is the parquet-dir tmp+rename this function used
     to implement inline. Iceberg deployments get snapshot-isolated
@@ -380,8 +385,22 @@ def _atomic_write(df: DataFrame, path: str, partition_by: list[str] | None = Non
     from esbulk_spark.plans.tableio import ParquetDirIO
 
     ParquetDirIO(os.path.dirname(path)).write(
-        df, os.path.basename(path), partition_by
+        df, os.path.basename(path), partition_by, options
     )
+
+
+# row-group size for term-keyed tables (postings, dictionary): these are
+# written SORTED by term within each bucket file, so parquet row-group
+# min/max statistics on `term` prune a query's scan to the row groups
+# containing its terms. The default 128 MB block makes each ~30-60 MB
+# bucket file one undivisible group (nothing prunes); 4 MB groups cut
+# the warm multi-term pruned-postings scan ~2x at the 2M-doc scale
+# (0.16-0.18 s -> 0.08 s). Values/blobs are unchanged — layout only.
+_TERM_TABLE_WRITE_OPTIONS = {
+    "parquet.block.size": os.environ.get(
+        "ESBULK_TERM_TABLE_ROWGROUP", str(4 * 1024 * 1024)
+    )
+}
 
 
 def build_index(
@@ -728,8 +747,11 @@ def build_index(
                 )
                 .withColumn("bucket", bucket_col(F.col("term"), cfg.n_buckets))
                 # one output file per bucket directory (instead of one per
-                # task x bucket): query-time partition listing stays O(1)
+                # task x bucket): query-time partition listing stays O(1).
+                # TERM-SORTED within each bucket file so row-group stats
+                # prune query scans (see _TERM_TABLE_WRITE_OPTIONS).
                 .repartition(cfg.n_buckets, "bucket")
+                .sortWithinPartitions("term", "shard", "chunk")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             # evidence hook (guide §1/§7.2): dump the postings-stage
@@ -746,7 +768,10 @@ def build_index(
                             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
                         )
                     )
-            _atomic_write(chunks, post_path, partition_by=["bucket"])
+            _atomic_write(
+                chunks, post_path, partition_by=["bucket"],
+                options=_TERM_TABLE_WRITE_OPTIONS,
+            )
             if tf_pinned is not None:
                 tf_pinned.unpersist()
         # skew metric from the still-cached chunks: postings per
@@ -780,9 +805,13 @@ def build_index(
                 .agg(F.sum("n").alias("df"), F.sum("chunk_cf").alias("cf"))
                 .withColumn("bucket", bucket_col(F.col("term"), cfg.n_buckets))
                 .repartition(cfg.n_buckets, "bucket")
+                .sortWithinPartitions("term")
                 .persist()
             )
-            _atomic_write(dictionary, dict_path, partition_by=["bucket"])
+            _atomic_write(
+                dictionary, dict_path, partition_by=["bucket"],
+                options=_TERM_TABLE_WRITE_OPTIONS,
+            )
             # explicit hot-term accounting (north rule): terms whose df
             # exceeds one shard's doc capacity are the skew drivers — the
             # doc-range shard is their salt; record them per build

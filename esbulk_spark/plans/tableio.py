@@ -49,11 +49,17 @@ class TableIO:
     """Storage backend interface for one index's table set."""
 
     def write(
-        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        options: dict | None = None,
     ) -> None:
         """Atomically (re)place table ``name`` with ``df``'s rows.
         Concurrent readers must see either the old or the new table,
-        never a partial write."""
+        never a partial write. ``options`` are backend writer options
+        (e.g. parquet.block.size for the postings row-group layout);
+        backends may ignore options they have no equivalent for."""
         raise NotImplementedError
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
@@ -78,7 +84,11 @@ class ParquetDirIO(TableIO):
         return os.path.join(self.root, name)
 
     def write(
-        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        options: dict | None = None,
     ) -> None:
         path = self._path(name)
         tmp = path + ".__tmp__"
@@ -87,6 +97,8 @@ class ParquetDirIO(TableIO):
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
+        if options:
+            w = w.options(**options)
         w.parquet(tmp)
         has_data = any(
             f.endswith(".parquet")
@@ -137,10 +149,17 @@ class IcebergIO(TableIO):
         return f"{self.catalog}.{self.namespace}.{self.prefix}_{name}"
 
     def write(
-        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        options: dict | None = None,
     ) -> None:
         from pyspark.sql import functions as F
 
+        # options are parquet writer hints (row-group sizing); Iceberg
+        # governs file layout through table properties
+        # (write.parquet.row-group-size-bytes), left to deployment config
         w = df.writeTo(self._ident(name)).using("iceberg")
         if partition_by:
             w = w.partitionedBy(*[F.col(c) for c in partition_by])
